@@ -1,0 +1,210 @@
+"""The flagship main-content extraction pipeline.
+
+Standard (north-rule) shape — two stages joined by THE shuffle:
+
+    corpus (doc_id, spans)
+      -> map_batches(PageRenderer)                  # page-granular fan-out
+      -> groupby(bucket).map_groups(BucketAssembler) # ordered per-doc assembly
+      -> Dataset[DOC_RESULT]                        # all outputs, one row/doc
+
+``extract_fused`` is the no-shuffle fast path for when corpus rows are whole
+documents (the common read_lance layout): render + assemble inside one
+``map_batches`` — identical rows, verified equal in tests.
+
+Projections (:func:`toc_table` etc.) turn the combined result into the
+reference's four logical output tables (SURVEY.md §1.2) as streaming
+transforms; consuming several of them re-executes the upstream unless the
+caller materializes or (preferred) reads back a written extraction.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import pyarrow as pa
+import ray.data
+
+from pdf_parser_ray.doclogic.pipeline import run_document
+from pdf_parser_ray.schemas import (
+    DOC_RESULT_SCHEMA,
+    METADATA_SCHEMA,
+    SECTIONS_SCHEMA,
+    SPAN_FLAT_SCHEMA,
+    SPANS_OUT_SCHEMA,
+    TOC_SCHEMA,
+)
+from pdf_parser_ray.stages.assemble_stage import BucketAssembler, doc_result_to_row
+from pdf_parser_ray.stages.render_stage import PageRenderer, bucket_of
+
+DEFAULT_N_BUCKETS = 64
+
+
+def _default_concurrency() -> Any:
+    """Actor-pool size for stateful stages: autoscale up to the CPU count so
+    the renderer pool never starves the read or the shuffle stages."""
+    try:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    return (1, max(2, ncpu))
+
+
+def page_rows(
+    corpus_ds: ray.data.Dataset,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    batch_size: int = 32,
+    concurrency: Optional[Any] = None,
+) -> ray.data.Dataset:
+    """Stage 1: render per-page rows. Small batch_size bounds the work a
+    single task does even when a batch holds multi-hundred-page docs."""
+    return corpus_ds.map_batches(
+        PageRenderer,
+        fn_constructor_kwargs={"n_buckets": n_buckets},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency if concurrency is not None else _default_concurrency(),
+    )
+
+
+def extract(
+    corpus_ds: ray.data.Dataset,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    strip_boilerplate: bool = True,
+    batch_size: int = 32,
+    concurrency: Optional[Any] = None,
+) -> ray.data.Dataset:
+    """Standard two-stage extraction with the groupby reassembly shuffle."""
+    pages = page_rows(corpus_ds, n_buckets, batch_size, concurrency)
+    assembler = BucketAssembler(strip_boilerplate)
+
+    def assemble_bucket(group: pa.Table) -> pa.Table:
+        return assembler(group)
+
+    return pages.groupby("bucket").map_groups(assemble_bucket, batch_format="pyarrow")
+
+
+def extract_fused(
+    corpus_ds: ray.data.Dataset,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    strip_boilerplate: bool = True,
+    batch_size: int = 16,
+    concurrency: Optional[Any] = None,
+) -> ray.data.Dataset:
+    """No-shuffle fast path: whole-document rows processed in one stage."""
+
+    def fused(batch: pa.Table) -> pa.Table:
+        out = []
+        for doc_id, spans in zip(
+            batch["doc_id"].to_pylist(), batch["spans"].to_pylist()
+        ):
+            doc_id = str(doc_id)
+            bucket = bucket_of(doc_id, n_buckets)
+            try:
+                result = run_document(doc_id, spans or [], strip_boilerplate)
+                out.append(doc_result_to_row(result, bucket, False))
+            except Exception:
+                from pdf_parser_ray.stages.assemble_stage import _empty_result
+
+                out.append(doc_result_to_row(_empty_result(doc_id), bucket, True))
+        return pa.Table.from_pylist(out, schema=DOC_RESULT_SCHEMA)
+
+    kwargs: dict[str, Any] = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return corpus_ds.map_batches(
+        fused, batch_format="pyarrow", batch_size=batch_size, **kwargs
+    )
+
+
+# ---- projections to the reference's logical output tables -----------------
+
+
+def spans_table(doc_results: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, spans) — the north-invariant output table."""
+    return doc_results.select_columns(["doc_id", "spans"])
+
+
+def flat_spans(doc_results: ray.data.Dataset) -> ray.data.Dataset:
+    """Exploded span rows (doc_id, offset, kind, text, media_ref)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, spans in zip(
+            batch["doc_id"].to_pylist(), batch["spans"].to_pylist()
+        ):
+            for span in spans or []:
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "offset": span["offset"],
+                        "kind": span["kind"],
+                        "text": span["text"],
+                        "media_ref": span["media_ref"],
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=SPAN_FLAT_SCHEMA)
+
+    return doc_results.map_batches(explode, batch_format="pyarrow")
+
+
+def _explode_list_column(
+    doc_results: ray.data.Dataset, column: str, schema: pa.Schema
+) -> ray.data.Dataset:
+    def explode(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, entries in zip(
+            batch["doc_id"].to_pylist(), batch[column].to_pylist()
+        ):
+            for entry in entries or []:
+                row = dict(entry)
+                row["doc_id"] = doc_id
+                rows.append(row)
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    return doc_results.map_batches(explode, batch_format="pyarrow")
+
+
+def toc_table(doc_results: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-entry TOC rows (reference usb_pd_toc.jsonl shape + doc_id)."""
+    return _explode_list_column(doc_results, "toc", TOC_SCHEMA)
+
+
+def sections_table(doc_results: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-section rows (reference usb_pd_spec.jsonl shape + doc_id)."""
+    return _explode_list_column(doc_results, "sections", SECTIONS_SCHEMA)
+
+
+def metadata_table(doc_results: ray.data.Dataset) -> ray.data.Dataset:
+    """One metadata row per document (reference usb_pd_metadata.jsonl)."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, meta in zip(
+            batch["doc_id"].to_pylist(), batch["metadata"].to_pylist()
+        ):
+            row = dict(meta or {})
+            row["doc_id"] = doc_id
+            rows.append(row)
+        return pa.Table.from_pylist(rows, schema=METADATA_SCHEMA)
+
+    return doc_results.map_batches(project, batch_format="pyarrow")
+
+
+def stats_table(doc_results: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-document coverage/count metrics (validation-report equivalent)."""
+    return doc_results.select_columns(
+        [
+            "doc_id",
+            "total_pages",
+            "pages_with_text",
+            "n_toc_entries",
+            "n_sections",
+            "n_spans",
+            "toc_covered_pages",
+            "page_coverage_pct",
+            "toc_coverage_pct",
+            "parse_failure",
+        ]
+    )

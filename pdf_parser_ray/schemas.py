@@ -110,6 +110,60 @@ DOC_STATS_SCHEMA = pa.schema(
     ]
 )
 
+# ---- combined per-document result (one shuffle, all outputs) --------------
+TOC_ENTRY_STRUCT = pa.struct(
+    [
+        ("doc_title", pa.string()),
+        ("section_id", pa.string()),
+        ("title", pa.string()),
+        ("page", pa.int32()),
+        ("level", pa.int32()),
+        ("parent_id", pa.string()),
+        ("full_path", pa.string()),
+        ("tags", pa.list_(pa.string())),
+    ]
+)
+SECTION_STRUCT = pa.struct(
+    [
+        ("doc_title", pa.string()),
+        ("section_id", pa.string()),
+        ("title", pa.string()),
+        ("full_path", pa.string()),
+        ("page", pa.int32()),
+        ("level", pa.int32()),
+        ("parent_id", pa.string()),
+        ("content", pa.string()),
+        ("tags", pa.list_(pa.string())),
+    ]
+)
+METADATA_STRUCT = pa.struct(
+    [
+        ("doc_title", pa.string()),
+        ("revision", pa.string()),
+        ("version", pa.string()),
+        ("release_date", pa.string()),
+    ]
+)
+DOC_RESULT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("bucket", pa.int32()),
+        ("metadata", METADATA_STRUCT),
+        ("toc", pa.list_(TOC_ENTRY_STRUCT)),
+        ("sections", pa.list_(SECTION_STRUCT)),
+        ("spans", pa.list_(SPAN_STRUCT)),
+        ("total_pages", pa.int32()),
+        ("pages_with_text", pa.int32()),
+        ("n_toc_entries", pa.int32()),
+        ("n_sections", pa.int32()),
+        ("n_spans", pa.int32()),
+        ("toc_covered_pages", pa.int32()),
+        ("page_coverage_pct", pa.float64()),
+        ("toc_coverage_pct", pa.float64()),
+        ("parse_failure", pa.bool_()),
+    ]
+)
+
 # per-partition lineage/metrics rows (north rule: counters per partition)
 PARTITION_METRICS_SCHEMA = pa.schema(
     [

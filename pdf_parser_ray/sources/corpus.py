@@ -1,0 +1,82 @@
+"""Reading and writing span corpora as Ray Datasets.
+
+The production format is Lance (north rule: ``ray.data.read_lance`` into
+zero-copy Arrow batches); ``pylance`` is not installed in this sandbox, so
+the IO layer is pluggable and falls back to parquet with the identical
+schema. Replaces the reference's JSONL stage files (utils/helpers.py:46-101).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+import ray.data
+
+from pdf_parser_ray.schemas import CORPUS_SCHEMA
+from pdf_parser_ray.synthgen import doc_text_to_spans, generate_document
+
+
+def _lance_available() -> bool:
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def read_corpus(path: str, **kwargs) -> ray.data.Dataset:
+    """Read a span corpus: ``.lance`` via read_lance when available, else a
+    parquet directory/file with the same (doc_id, spans) schema."""
+    if path.endswith(".lance") and _lance_available():
+        return ray.data.read_lance(path, **kwargs)
+    return ray.data.read_parquet(path, **kwargs)
+
+
+def write_corpus(ds: ray.data.Dataset, path: str, **kwargs) -> None:
+    """Write a span corpus (parquet fallback when Lance is unavailable)."""
+    if path.endswith(".lance") and _lance_available():
+        ds.write_lance(path, **kwargs)
+    else:
+        ds.write_parquet(path, **kwargs)
+
+
+def corpus_from_documents(
+    sf_dir: str, limit: Optional[int] = None
+) -> ray.data.Dataset:
+    """Lift the driver's ``documents.parquet`` (doc_id, text) into the span
+    corpus shape as a streaming Ray stage — benchmark input scales with the
+    sf directory without materializing anything on the driver."""
+
+    def lift(batch: pa.Table) -> pa.Table:
+        rows = [
+            doc_text_to_spans(str(doc_id), text if text is not None else "")
+            for doc_id, text in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            )
+        ]
+        return pa.Table.from_pylist(rows, schema=CORPUS_SCHEMA)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    if limit is not None:
+        ds = ds.limit(limit)
+    return ds.map_batches(lift, batch_format="pyarrow", batch_size=256)
+
+
+def synthetic_corpus(
+    n_docs: int, seed: int = 42, max_pages: int = 400, parallelism: int = 32
+) -> ray.data.Dataset:
+    """Distributed deterministic synthetic corpus: generation happens inside
+    map_batches tasks keyed on the doc index, not on the driver."""
+
+    def gen(batch: pa.Table) -> pa.Table:
+        rows = [
+            generate_document(int(i), seed, max_pages) for i in batch["id"].to_pylist()
+        ]
+        return pa.Table.from_pylist(rows, schema=CORPUS_SCHEMA)
+
+    return (
+        ray.data.range(n_docs, override_num_blocks=parallelism)
+        .map_batches(gen, batch_format="pyarrow", batch_size=64)
+    )

@@ -1,0 +1,38 @@
+"""Unit tests for heading strategies (reference heading_strategies.py)."""
+
+from pdf_parser_ray.doclogic.headings import (
+    allcaps_heading_confidence,
+    detect_heading,
+    mixedcap_heading_confidence,
+    numbered_heading_confidence,
+)
+
+
+def test_numbered():
+    assert numbered_heading_confidence("1.2.3 Title") == min(1.0, 0.6 + 2 * 0.2)
+    assert numbered_heading_confidence("12 Overview") == 0.6
+    assert numbered_heading_confidence("no number") == 0.0
+    # dot count runs over the WHOLE line (reference quirk)
+    assert numbered_heading_confidence("1 A.B.C.D") == 1.0
+
+
+def test_allcaps():
+    assert allcaps_heading_confidence("POWER DELIVERY") == 1.0
+    assert allcaps_heading_confidence("ab") == 0.0
+    assert allcaps_heading_confidence("A-") == 0.0  # <2 uppercase alphas
+    assert allcaps_heading_confidence("Mixed Case") == 0.0  # pattern fails
+
+
+def test_mixedcap():
+    assert mixedcap_heading_confidence("Title Case Words") == 1.0
+    assert mixedcap_heading_confidence("word") == 0.0  # <2 words
+    assert mixedcap_heading_confidence("all lower words here") == 0.0
+    assert mixedcap_heading_confidence("Cap lower") == 0.5  # 1/2 >= max(1,1)
+
+
+def test_detect_heading():
+    assert detect_heading("  1.1 Overview  ") == "1.1 Overview"
+    assert detect_heading("POWER DELIVERY") == "POWER DELIVERY"
+    assert detect_heading("") is None
+    assert detect_heading(None) is None
+    assert detect_heading("all lowercase words") is None

@@ -1,0 +1,119 @@
+"""Distributed pipeline tests: the north-rule invariant.
+
+- span-sequence equality (kind, text, media_ref, order) per doc_id between
+  the Ray pipeline and the single-process oracle
+- scale invariance: parallelism 1 vs 4 produce identical sorted output
+- fused (no-shuffle) path equals the standard shuffle path
+- checkpointed run resumes by skipping completed buckets
+"""
+
+import os
+import shutil
+
+import pytest
+import ray.data
+
+from pdf_parser_ray.doclogic import run_document
+from pdf_parser_ray.pipelines import (
+    extract,
+    extract_fused,
+    metadata_table,
+    sections_table,
+    toc_table,
+)
+from pdf_parser_ray.state import completed_buckets, read_extraction, run_extraction
+from pdf_parser_ray.synthgen import generate_corpus
+
+N_DOCS = 30
+
+
+def spans_key(spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+@pytest.fixture(scope="module")
+def corpus_table(ray_session):
+    return generate_corpus(N_DOCS, seed=42, max_pages=120)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_table):
+    return {
+        r["doc_id"]: run_document(r["doc_id"], r["spans"])
+        for r in corpus_table.to_pylist()
+    }
+
+
+def test_span_sequence_equality_vs_oracle(ray_session, corpus_table, oracle):
+    corpus = ray.data.from_arrow(corpus_table).repartition(6)
+    rows = extract(corpus, n_buckets=8).to_pandas()
+    assert len(rows) == N_DOCS
+    for _, row in rows.iterrows():
+        o = oracle[row["doc_id"]]
+        assert spans_key(row["spans"]) == spans_key(o["spans"]), row["doc_id"]
+        assert row["n_toc_entries"] == len(o["toc"])
+        assert row["n_sections"] == len(o["sections"])
+        assert dict(row["metadata"]) == o["metadata"]
+
+
+def test_scale_invariance(ray_session, corpus_table):
+    one = extract(ray.data.from_arrow(corpus_table).repartition(1), n_buckets=4)
+    many = extract(ray.data.from_arrow(corpus_table).repartition(6), n_buckets=16)
+    a = one.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = many.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    for x, y in zip(a["spans"], b["spans"]):
+        assert spans_key(x) == spans_key(y)
+    for col in ["n_toc_entries", "n_sections", "n_spans", "total_pages"]:
+        assert list(a[col]) == list(b[col])
+
+
+def test_fused_equals_standard(ray_session, corpus_table, oracle):
+    fused = extract_fused(ray.data.from_arrow(corpus_table).repartition(6))
+    rows = fused.to_pandas()
+    for _, row in rows.iterrows():
+        assert spans_key(row["spans"]) == spans_key(oracle[row["doc_id"]]["spans"])
+
+
+def test_projections(ray_session, corpus_table, oracle):
+    results = extract_fused(ray.data.from_arrow(corpus_table))
+    toc_rows = toc_table(results).to_pandas()
+    sec_rows = sections_table(results).to_pandas()
+    md_rows = metadata_table(results).to_pandas()
+    assert len(md_rows) == N_DOCS
+    assert len(toc_rows) == sum(len(o["toc"]) for o in oracle.values())
+    assert len(sec_rows) == sum(len(o["sections"]) for o in oracle.values())
+    some_doc = next(d for d, o in oracle.items() if o["toc"])
+    got = toc_rows[toc_rows.doc_id == some_doc].sort_values(["page", "title"])
+    want = sorted(oracle[some_doc]["toc"], key=lambda e: (e["page"], e["title"]))
+    assert list(got["section_id"].fillna("~")) == [
+        e["section_id"] if e["section_id"] is not None else "~" for e in want
+    ]
+
+
+def test_checkpoint_resume(ray_session, corpus_table, tmp_path):
+    out = str(tmp_path / "ckpt")
+    corpus = ray.data.from_arrow(corpus_table).repartition(4)
+    s1 = run_extraction(corpus, out, n_buckets=8)
+    assert s1["docs_parsed"] == N_DOCS and s1["parse_failures"] == 0
+
+    # wipe 3 buckets and resume: only those are recomputed
+    victims = sorted(completed_buckets(out))[:3]
+    for b in victims:
+        os.remove(os.path.join(out, "_manifest", f"bucket_{b}.json"))
+        shutil.rmtree(os.path.join(out, f"bucket={b}"))
+    s2 = run_extraction(corpus, out, n_buckets=8)
+    assert s2["buckets_completed_now"] == 3
+    assert s2["buckets_skipped_resume"] == len(completed_buckets(out)) - 3
+    assert read_extraction(out).count() == N_DOCS
+
+
+def test_parse_failure_isolated(ray_session):
+    # one malformed doc (spans not a list of structs) must not sink the run
+    good = generate_corpus(3).to_pylist()
+    bad = {"doc_id": "bad-doc", "spans": None}
+    ds = ray.data.from_items(good + [bad])
+    rows = extract(ds, n_buckets=4).to_pandas()
+    assert len(rows) == 4
+    bad_row = rows[rows.doc_id == "bad-doc"].iloc[0]
+    assert bad_row["total_pages"] == 0 and len(bad_row["spans"]) == 0
