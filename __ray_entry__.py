@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship extraction on sf0.001; ``queries()`` exposes
+one callable per implemented operator family (SURVEY.md §2 + the
+training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+every SQL-expressible query (same column names, floats rounded identically
+on both sides). Ray is initialised by the driver BEFORE this module is
+imported: nothing here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +13,333 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _round_cols(ds, cols: dict[str, int]):
+    """Round float columns so Ray and DuckDB value-hashes agree despite
+    different float summation orders. Rounds through decimal formatting
+    (``float(f"{x:.Nf}")``) so both sides land on the canonical nearest
+    double for the decimal — ``pyarrow.compute.round`` can produce a
+    different ULP than DuckDB's ROUND. Only ever applied to small,
+    already-aggregated outputs."""
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        for col, digits in cols.items():
+            if col in batch.column_names:
+                vals = pc.cast(batch[col], pa.float64()).to_pylist()
+                rounded = [
+                    None if v is None else float(f"{v:.{digits}f}") for v in vals
+                ]
+                batch = batch.set_column(
+                    batch.column_names.index(col),
+                    col,
+                    pa.array(rounded, pa.float64()),
+                )
+        return batch
+
+    return ds.map_batches(rnd, batch_format="pyarrow")
+
+
+def _int_doc_id(ds):
+    """Extraction pipelines stringify doc_id; cast back to int64 so values
+    match the parquet/DuckDB column type."""
+
+    def cast(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("doc_id")
+        return batch.set_column(i, "doc_id", pc.cast(batch["doc_id"], pa.int64()))
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: documents -> span corpus -> render/assemble shuffle ->
+    per-doc result; returns the north-invariant (doc_id, spans) table plus
+    count columns."""
+    from pdf_parser_ray.pipelines import extract
+    from pdf_parser_ray.sources import corpus_from_documents
+
+    corpus = corpus_from_documents("/root/testdata/sf0.001")
+    results = extract(corpus, n_buckets=16)
+    return results.select_columns(
+        ["doc_id", "spans", "total_pages", "n_sections", "n_spans", "parse_failure"]
+    )
+
+
+# ---- query implementations ------------------------------------------------
+
+
+def _q_extract_doc_pages(sf_dir: str):
+    from pdf_parser_ray.pipelines import extract
+    from pdf_parser_ray.sources import corpus_from_documents
+
+    results = extract(corpus_from_documents(sf_dir), n_buckets=32)
+    return _int_doc_id(results.select_columns(["doc_id", "total_pages"]))
+
+
+def _q_extract_stats(sf_dir: str):
+    from pdf_parser_ray.pipelines import extract_fused, stats_table
+    from pdf_parser_ray.sources import corpus_from_documents
+
+    return _int_doc_id(stats_table(extract_fused(corpus_from_documents(sf_dir))))
+
+
+def _q_extract_span_kinds(sf_dir: str):
+    from pdf_parser_ray.pipelines import extract_fused, flat_spans
+    from pdf_parser_ray.sources import corpus_from_documents
+    from ray.data.aggregate import Count
+
+    spans = flat_spans(extract_fused(corpus_from_documents(sf_dir)))
+    return spans.groupby("kind").aggregate(Count(alias_name="n")).sort("kind")
+
+
+def _q_doc_stats(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.text_analysis import doc_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return doc_stats(ds)
+
+
+def _q_quality(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.text_analysis import quality_score
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return quality_score(ds)
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.text_analysis import lang_id
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return lang_id(ds)
+
+
+def _q_fingerprint(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.text_analysis import fingerprint
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return fingerprint(ds)
+
+
+def _q_exact_dedup(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.dedup import minhash_candidate_pairs, verify_pairs_jaccard
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_candidate_pairs(ds)
+    return verify_pairs_jaccard(pairs, ds, threshold=0.8)
+
+
+def _q_simhash(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.dedup import simhash_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_table(ds)
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.dedup import embedding_near_dup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup(ds, threshold=0.95)
+
+
+def _query_vector(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = pc.index(t["vec_id"], pa.scalar(0, pa.int64())).as_py()
+    return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
+
+
+def _q_knn(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.similarity import knn_bruteforce
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_bruteforce(ds, _query_vector(sf_dir), k=10)
+
+
+def _q_knn_ivf(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.similarity import knn_ivf
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_ivf(ds, _query_vector(sf_dir), k=10, n_centroids=16, n_probe=16)
+
+
+def _q_pricing(sf_dir: str):
+    from pdf_parser_ray.ops.relational import pricing_summary
+
+    return _round_cols(
+        pricing_summary(sf_dir),
+        {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2},
+    )
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    from pdf_parser_ray.ops.relational import revenue_by_nation
+
+    return _round_cols(revenue_by_nation(sf_dir), {"revenue": 2})
+
+
+def _q_filtered_revenue(sf_dir: str):
+    from pdf_parser_ray.ops.relational import filtered_revenue
+
+    return _round_cols(filtered_revenue(sf_dir), {"revenue": 2})
+
+
+def _q_top_parts(sf_dir: str):
+    from pdf_parser_ray.ops.relational import top_parts_by_size
+
+    return top_parts_by_size(sf_dir)
+
+
+def _q_events_window(sf_dir: str):
+    from pdf_parser_ray.ops.relational import events_window_agg
+
+    return _round_cols(events_window_agg(sf_dir), {"sum_value": 2})
+
+
+def _q_supplier_stats(sf_dir: str):
+    from pdf_parser_ray.ops.relational import supplier_balance_stats
+
+    return _round_cols(
+        supplier_balance_stats(sf_dir),
+        {"sum_bal": 2, "min_bal": 2, "max_bal": 2, "avg_bal": 2},
+    )
+
+
+def _q_media_features(sf_dir: str):
+    from pdf_parser_ray.ops.multimodal import media_features, media_inventory
+    from pdf_parser_ray.pipelines import extract_fused
+    from pdf_parser_ray.sources import corpus_from_documents
+
+    media = media_inventory(extract_fused(corpus_from_documents(sf_dir)))
+    return media_features(media, fake=True).drop_columns(["feature"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship extraction family
+        "extract_doc_pages": _q_extract_doc_pages,
+        "extract_stats": _q_extract_stats,
+        "extract_span_kinds": _q_extract_span_kinds,
+        # text analysis
+        "doc_stats": _q_doc_stats,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        # dedup
+        "exact_dedup": _q_exact_dedup,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "embedding_near_dup": _q_embedding_near_dup,
+        # similarity search
+        "knn_bruteforce": _q_knn,
+        "knn_ivf": _q_knn_ivf,
+        # relational engine surface
+        "pricing_summary": _q_pricing,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "filtered_revenue": _q_filtered_revenue,
+        "top_parts_by_size": _q_top_parts,
+        "events_window_agg": _q_events_window,
+        "supplier_balance_stats": _q_supplier_stats,
+        # multimodal plumbing (stubbed decode)
+        "media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        # pages = ceil(max(ceil(len/80),1)/30): doc_text_to_spans line/page math
+        "extract_doc_pages": (
+            "SELECT doc_id, CAST(CEIL(GREATEST(CEIL(LENGTH(text)/80.0),1)/30.0) AS INT) "
+            "AS total_pages FROM documents"
+        ),
+        "doc_stats": (
+            "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars, "
+            "CAST(LENGTH(text) - LENGTH(REPLACE(text, chr(10), '')) + 1 AS BIGINT) AS n_lines, "
+            r"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha "
+            "FROM documents"
+        ),
+        "exact_dedup": (
+            "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text"
+        ),
+        "knn_bruteforce": (
+            "SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding, q.embedding), 6) AS cosine "
+            "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
+            "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+        # n_probe == n_centroids makes IVF exhaustive -> exact same answer
+        "knn_ivf": (
+            "SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding, q.embedding), 6) AS cosine "
+            "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
+            "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "COUNT(*) AS count_order FROM lineitem "
+            "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+        ),
+        "revenue_by_nation": (
+            "SELECT n.n_name, ROUND(SUM(o.o_totalprice), 2) AS revenue, "
+            "COUNT(*) AS n_orders "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "GROUP BY n.n_name ORDER BY n.n_name"
+        ),
+        "filtered_revenue": (
+            "SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue FROM lineitem "
+            "WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
+        "top_parts_by_size": (
+            "SELECT p_partkey, p_name, p_size, p_retailprice FROM part "
+            "ORDER BY p_size DESC, p_partkey LIMIT 20"
+        ),
+        "events_window_agg": (
+            "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+            "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
+            "FROM events GROUP BY event_type, window_start "
+            "ORDER BY event_type, window_start"
+        ),
+        "supplier_balance_stats": (
+            "SELECT s_nationkey, COUNT(*) AS n_suppliers, ROUND(SUM(s_acctbal), 2) AS sum_bal, "
+            "ROUND(MIN(s_acctbal), 2) AS min_bal, ROUND(MAX(s_acctbal), 2) AS max_bal, "
+            "ROUND(AVG(s_acctbal), 2) AS avg_bal FROM supplier "
+            "GROUP BY s_nationkey ORDER BY s_nationkey"
+        ),
+        # extract_stats / extract_span_kinds / quality_score / lang_id /
+        # fingerprint / minhash_pairs / simhash / embedding_near_dup /
+        # knn_ivf / media_features: not SQL-expressible (stateful heuristics,
+        # hashing, LSH, stubbed decode) -> rows-only checks.
+    }

@@ -1,0 +1,166 @@
+"""Benchmark harness.
+
+Default: runs the headline flagship extraction plus the secondary operator
+pipelines over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) in a fresh
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` session and prints
+ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling``: runs the headline twice in fresh subprocesses at num_cpus=8
+and num_cpus=32 on the same input and reports both plus the scaling
+efficiency (t8/t32)/4 — the sandbox proxy for the N vs 4N cluster criterion.
+
+``--headline-only``: headline pipeline only (used by --scaling children).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+OUT_DIR = "/tmp/bench_out"
+
+
+def _sf_label(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base[2:] if base.startswith("sf") else base
+
+
+def run_headline() -> dict:
+    """Flagship: documents -> span corpus -> render -> groupby(bucket)
+    reassembly shuffle -> per-doc results written as partitioned parquet."""
+    import ray
+
+    from pdf_parser_ray.pipelines import extract
+    from pdf_parser_ray.sources import corpus_from_documents
+
+    shutil.rmtree(OUT_DIR, ignore_errors=True)
+    n_docs = corpus_from_documents(SF_DIR).count()  # warms the page cache too
+
+    t0 = time.time()
+    corpus = corpus_from_documents(SF_DIR, heavy_tail=True)
+    results = extract(corpus, n_buckets=max(NUM_CPUS * 4, 32))
+    results.write_parquet(os.path.join(OUT_DIR, "extraction"))
+    dt = time.time() - t0
+    return {"sec": dt, "n_docs": n_docs, "docs_per_sec": n_docs / dt if dt else 0.0}
+
+
+def run_secondary() -> dict[str, float]:
+    """Per-operator timings over the same sf dir."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as em
+
+    qs = em.queries()
+    chosen = [
+        "doc_stats",
+        "quality_score",
+        "lang_id",
+        "exact_dedup",
+        "minhash_pairs",
+        "simhash",
+        "knn_bruteforce",
+        "knn_ivf",
+        "pricing_summary",
+        "revenue_by_nation",
+        "filtered_revenue",
+        "events_window_agg",
+    ]
+    out: dict[str, float] = {}
+    for name in chosen:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        # consume: all of these end in small aggregated outputs
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    headline_only = "--headline-only" in sys.argv
+
+    if "--scaling" in sys.argv:
+        run_scaling()
+        return
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    head = run_headline()
+    queries = {} if headline_only else run_secondary()
+
+    print(
+        json.dumps(
+            {
+                "metric": "flagship extraction end-to-end (documents -> span corpus "
+                "-> render -> groupby reassembly -> parquet)",
+                "value": round(head["sec"], 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": _sf_label(SF_DIR),
+                "num_cpus": NUM_CPUS,
+                "n_docs": head["n_docs"],
+                "docs_per_sec": round(head["docs_per_sec"], 2),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def run_scaling() -> None:
+    """Same input, fresh processes at 8 and 32 CPUs; efficiency =
+    (t8/t32) / (32/8); >= 0.8 is the north-rule criterion."""
+
+    def child(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = child(lo)
+    r_hi = child(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency, num_cpus 8 -> 32 (N -> 4N proxy)",
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "docs_per_sec_8": r_lo["docs_per_sec"],
+                "docs_per_sec_32": r_hi["docs_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "sf": r_hi["sf"],
+                "n_docs": r_hi["n_docs"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+"""Large-scale training-data pipeline operators beyond the reference:
+deduplication, similarity search, text analysis, multimodal plumbing,
+and relational pipelines used for DuckDB-oracle correctness checks."""

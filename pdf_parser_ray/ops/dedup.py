@@ -1,0 +1,359 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes (ray_guide.md "Aggregation at scale"):
+
+* exact     — content hash in a vectorized map_batches, then ONE
+              groupby(hash) shuffle keeping the min doc_id per group.
+* minhash   — per-batch numpy minhash -> explode to (band, band_hash,
+              doc_id) rows -> groupby the band key -> candidate pairs ->
+              verified Jaccard. The only shuffle moves 16-ish small rows
+              per doc, not the text.
+* simhash   — 64-bit simhash; banding on 4x16-bit chunks co-locates
+              candidates, Hamming check verifies.
+* embedding — sign-LSH bucket key over random hyperplanes (seeded), then
+              exact cosine within buckets.
+
+All hashes are process-independent (FNV / md5), never builtin ``hash``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_MERSENNE = (1 << 61) - 1
+
+# coarse shuffle-key cardinality: group work lands in ~this many map_groups
+# calls regardless of distinct-key count (tiny-group overhead dominates
+# otherwise); at cluster scale raise it so a bucket stays << worker memory
+_DEDUP_BUCKETS = 256
+
+
+def _md5_64(texts: list[str]) -> list[int]:
+    return [
+        int.from_bytes(hashlib.md5((t or "").encode()).digest()[:8], "big") >> 1
+        for t in texts
+    ]
+
+
+def exact_dedup(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Keep the minimum id per distinct text. Hash-partitioned: the shuffle
+    key is the 64-bit md5 of the content; within a group rows are compared
+    on the actual text so hash collisions cannot merge distinct docs."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        hashes = _md5_64(pc.cast(batch[text_col], pa.string()).to_pylist())
+        return batch.append_column(
+            "_b", pa.array([h % _DEDUP_BUCKETS for h in hashes], pa.int64())
+        )
+
+    def first_per_text(group: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pandas pass per COARSE bucket (not per distinct
+        # text): sort by id then keep the first row of each text
+        return group.sort_values(id_col).drop_duplicates(
+            subset=text_col, keep="first"
+        )[[id_col, text_col]]
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(first_per_text, batch_format="pandas")
+    )
+
+
+# ---- MinHash + LSH --------------------------------------------------------
+
+
+class MinHasher:
+    """Actor-pool stage: seeded permutation parameters built once per actor.
+
+    Shingles = word ``shingle_size``-grams; signature = ``num_perm`` min
+    values under universal hashing; bands of ``band_size`` rows each become
+    one (band_id, band_hash) LSH key.
+    """
+
+    def __init__(self, num_perm: int = 64, band_size: int = 4, shingle_size: int = 5, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+        self.num_perm = num_perm
+        self.band_size = band_size
+        self.n_bands = num_perm // band_size
+        self.shingle_size = shingle_size
+
+    def signature(self, text: str) -> Optional[np.ndarray]:
+        tokens = (text or "").lower().split()
+        k = self.shingle_size
+        if len(tokens) < k:
+            shingles = [" ".join(tokens)] if tokens else []
+        else:
+            shingles = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+        if not shingles:
+            return None
+        base = np.array(
+            [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") % _MERSENNE for s in set(shingles)],
+            dtype=np.int64,
+        )
+        # (num_perm, n_shingles) universal hash, min over shingles
+        vals = (np.outer(self.a, base) + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = pc.cast(batch["text"], pa.string()).to_pylist()
+        out_doc, out_band, out_hash = [], [], []
+        for doc_id, text in zip(doc_ids, texts):
+            sig = self.signature(text)
+            if sig is None:
+                continue
+            bands = sig.reshape(self.n_bands, self.band_size)
+            for band_id in range(self.n_bands):
+                band_hash = int.from_bytes(
+                    hashlib.md5(bands[band_id].tobytes()).digest()[:8], "big"
+                ) >> 1
+                out_doc.append(doc_id)
+                out_band.append(band_id)
+                out_hash.append(band_hash)
+        return pa.table(
+            {
+                "doc_id": pa.array([str(d) for d in out_doc], pa.string()),
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.int64()),
+            }
+        )
+
+
+def minhash_candidate_pairs(
+    ds: ray.data.Dataset,
+    num_perm: int = 64,
+    band_size: int = 4,
+    shingle_size: int = 5,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Candidate near-dup pairs from LSH band collisions (doc_a < doc_b),
+    deduplicated across bands."""
+    bands = ds.select_columns(["doc_id", "text"]).map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "num_perm": num_perm,
+            "band_size": band_size,
+            "shingle_size": shingle_size,
+        },
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=concurrency,
+    )
+
+    # coarse-bucket the band keys: one map_groups call per bucket, with a
+    # vectorized self-merge inside (quadratic only within true collisions)
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(batch["band_hash"], pa.scalar(_DEDUP_BUCKETS - 1, pa.int64())),
+            pa.int64(),
+        )
+        return batch.append_column("_b", b)
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["band_id", "band_hash", "doc_id"]]
+        # drop singleton band keys before the self-merge
+        counts = g.groupby(["band_id", "band_hash"])["doc_id"].transform("size")
+        g = g[counts > 1]
+        if g.empty:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=str), "doc_b": pd.Series([], dtype=str)})
+        m = g.merge(g, on=["band_id", "band_hash"])
+        m = m[m.doc_id_x < m.doc_id_y]
+        out = m.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})[["doc_a", "doc_b"]]
+        return out.drop_duplicates()
+
+    candidate = (
+        bands.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+    # global pair dedup (the same pair can surface from bands in different
+    # coarse buckets): coarse-bucket again on a pair hash
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        keys = [
+            int.from_bytes(hashlib.md5(f"{a}|{b}".encode()).digest()[:8], "big")
+            % _DEDUP_BUCKETS
+            for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist())
+        ]
+        return batch.append_column("_pb", pa.array(keys, pa.int64()))
+
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(subset=["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+
+    return (
+        candidate.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )
+
+
+def ngram_jaccard(text_a: str, text_b: str, n: int = 5) -> float:
+    """Exact word n-gram Jaccard similarity (the verify step after LSH)."""
+
+    def grams(t: str) -> set[str]:
+        tokens = (t or "").lower().split()
+        if len(tokens) < n:
+            return {" ".join(tokens)} if tokens else set()
+        return {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
+
+    ga, gb = grams(text_a), grams(text_b)
+    if not ga or not gb:
+        return 0.0
+    return len(ga & gb) / len(ga | gb)
+
+
+def verify_pairs_jaccard(
+    pairs_ds: ray.data.Dataset,
+    docs_ds: ray.data.Dataset,
+    threshold: float = 0.8,
+    n: int = 5,
+) -> ray.data.Dataset:
+    """Filter candidate pairs by true Jaccard. The text lookup is a
+    broadcast (ray.put of an id->text dict) — correct while the candidate
+    universe's docs fit in memory; at corpus scale swap for a bucketed join
+    on doc_id."""
+    import ray
+
+    texts = {}
+    for batch in docs_ds.select_columns(["doc_id", "text"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            texts[str(d)] = t or ""
+    ref = ray.put(texts)
+
+    class Verify:
+        def __init__(self, ref, threshold: float, n: int):
+            self.texts = ray.get(ref)
+            self.threshold = threshold
+            self.n = n
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = batch.to_pylist()
+            out = []
+            for r in rows:
+                j = ngram_jaccard(
+                    self.texts.get(str(r["doc_a"]), ""),
+                    self.texts.get(str(r["doc_b"]), ""),
+                    self.n,
+                )
+                if j >= self.threshold:
+                    out.append({"doc_a": r["doc_a"], "doc_b": r["doc_b"], "jaccard": round(j, 6)})
+            return pa.Table.from_pylist(
+                out,
+                schema=pa.schema(
+                    [("doc_a", pa.string()), ("doc_b", pa.string()), ("jaccard", pa.float64())]
+                ),
+            )
+
+    return pairs_ds.map_batches(
+        Verify,
+        fn_constructor_kwargs={"ref": ref, "threshold": threshold, "n": n},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+# ---- SimHash --------------------------------------------------------------
+
+
+def simhash_table(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """64-bit SimHash per doc + the 4x16-bit band keys used to co-locate
+    near-duplicates (Hamming distance <= 3 guarantees one equal band)."""
+
+    def sh(batch: pa.Table) -> pa.Table:
+        texts = pc.cast(batch[text_col], pa.string()).to_pylist()
+        hashes = []
+        for text in texts:
+            tokens = (text or "").lower().split()
+            if not tokens:
+                hashes.append(0)
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in tokens:
+                digest = hashlib.md5(tok.encode()).digest()[:8]
+                bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
+                acc += np.where(bits == 1, 1, -1)
+            bits_out = acc > 0
+            value = 0
+            for bit in bits_out:
+                value = (value << 1) | int(bit)
+            hashes.append(value & 0x7FFFFFFFFFFFFFFF)
+        h_arr = np.array(hashes, dtype=np.int64)
+        tbl = {"doc_id": batch["doc_id"], "simhash": pa.array(h_arr)}
+        for band in range(4):
+            tbl[f"band_{band}"] = pa.array((h_arr >> (band * 16)) & 0xFFFF, pa.int32())
+        return pa.table(tbl)
+
+    return ds.map_batches(sh, batch_format="pyarrow")
+
+
+# ---- embedding near-dup ---------------------------------------------------
+
+
+def embedding_near_dup(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Near-duplicate vector pairs: sign-LSH bucketing (seeded random
+    hyperplanes) then exact pairwise cosine inside each bucket."""
+    rng = np.random.RandomState(seed)
+    planes: Optional[np.ndarray] = None
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        nonlocal planes
+        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        if planes is None:
+            planes = np.random.RandomState(seed).standard_normal((vecs.shape[1], n_planes))
+        signs = (vecs @ planes) > 0
+        keys = (signs.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "bucket_key": pa.array(keys),
+                vec_col: batch[vec_col],
+            }
+        )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        vecs = np.asarray(list(group[vec_col]), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        sims = unit @ unit.T
+        ids = list(group[id_col])
+        out_a, out_b, out_s = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= threshold:
+                    a, b = sorted((ids[i], ids[j]))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_s.append(round(float(sims[i, j]), 6))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_s})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket_key")
+        .map_groups(pairs, batch_format="pandas")
+    )

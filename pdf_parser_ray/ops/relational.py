@@ -1,0 +1,167 @@
+"""Relational pipelines over the TPC-H-ish tables — the engine's generic
+filter / project / aggregate / join / sort / window surface, each with an
+exact DuckDB oracle in ``__ray_entry__.oracle_sql``.
+
+Shuffle discipline: aggregates pre-combine inside ``map_batches`` before the
+small groupby; joins broadcast the small side (ray.put + per-batch pandas
+merge) instead of shuffling both inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-shaped grouped aggregate with per-batch pre-aggregation."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["disc_price"] = df.l_extendedprice * (1 - df.l_discount)
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
+    )
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast-join pipeline: customer->nation lookup shipped once via
+    ray.put, revenue aggregated from orders."""
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    customer = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust_nation = customer.merge(
+        nation[["n_nationkey", "n_name"]],
+        left_on="c_nationkey",
+        right_on="n_nationkey",
+    )[["c_custkey", "n_name"]]
+    lookup_ref = ray.put(dict(zip(cust_nation.c_custkey, cust_nation.n_name)))
+
+    class JoinNation:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch["n_name"] = batch["o_custkey"].map(self.lookup)
+            g = batch.groupby("n_name", as_index=False).agg(
+                revenue=("o_totalprice", "sum"), n_orders=("o_orderkey", "size")
+            )
+            return g
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    partials = orders.map_batches(
+        JoinNation,
+        fn_constructor_kwargs={"ref": lookup_ref},
+        batch_format="pandas",
+        batch_size=32768,
+        concurrency=(1, 8),
+    )
+    return (
+        partials.groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
+        .sort("n_name")
+    )
+
+
+def filtered_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Q6-shaped vectorized filter + global aggregate (Arrow kernels)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_discount"], pa.scalar(0.05)),
+                pc.less_equal(batch["l_discount"], pa.scalar(0.07)),
+            ),
+            pc.less(batch["l_quantity"], pa.scalar(24.0)),
+        )
+        f = batch.filter(mask)
+        revenue = pc.sum(pc.multiply(f["l_extendedprice"], f["l_discount"]))
+        return pa.table({"revenue": pa.array([revenue.as_py() or 0.0], pa.float64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(None).aggregate(Sum("revenue", alias_name="revenue"))
+    return out
+
+
+def top_parts_by_size(sf_dir: str) -> ray.data.Dataset:
+    """Sort + limit (global top-k through per-batch pruning)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_size", "p_retailprice"]
+    )
+    return ds.sort(["p_size", "p_partkey"], descending=[True, False]).limit(20)
+
+
+def events_window_agg(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-hour window per event_type: the streaming-shaped groupby
+    (key, floor(ts/size)) — pre-aggregated per batch."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["window_start"] = df["ts"].dt.floor("h")
+        g = df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return (
+        partials.groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+        .sort(["event_type", "window_start"])
+    )
+
+
+def supplier_balance_stats(sf_dir: str) -> ray.data.Dataset:
+    """Multi-aggregate groupby using Ray Data's built-in AggregateFns."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    )
+    return (
+        ds.groupby("s_nationkey")
+        .aggregate(
+            Count(alias_name="n_suppliers"),
+            Sum("s_acctbal", alias_name="sum_bal"),
+            Min("s_acctbal", alias_name="min_bal"),
+            Max("s_acctbal", alias_name="max_bal"),
+            Mean("s_acctbal", alias_name="avg_bal"),
+        )
+        .sort("s_nationkey")
+    )

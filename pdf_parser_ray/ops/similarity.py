@@ -1,0 +1,129 @@
+"""Similarity search over an embedding column (list<float>).
+
+* :func:`knn_bruteforce` — exact cosine top-k: the query matrix is broadcast
+  once (``ray.put``), each batch computes a numpy matmul and emits only its
+  local top-k, so the global merge sorts k x n_batches rows, not the corpus.
+* :func:`knn_ivf` — the scale path: deterministic coarse centroids, inverted
+  lists via a bucket column, search restricted to the ``n_probe`` nearest
+  lists.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _unit(v: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(v, axis=-1, keepdims=True)
+    n[n == 0] = 1.0
+    return v / n
+
+
+def knn_bruteforce(
+    ds: ray.data.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Exact top-k by cosine similarity to ``query`` (1-D float array).
+    Deterministic tiebreak: (-cosine, id)."""
+    q_ref = ray.put(_unit(np.asarray(query, dtype=np.float64)))
+
+    class BatchTopK:
+        def __init__(self, q_ref, k: int):
+            self.q = ray.get(q_ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            ids = np.asarray(batch[id_col].to_pylist())
+            sims = _unit(vecs) @ self.q
+            order = np.lexsort((ids, -sims))[: self.k]
+            return pa.table(
+                {
+                    id_col: pa.array(ids[order]),
+                    "cosine": pa.array(np.round(sims[order], 6)),
+                }
+            )
+
+    partials = ds.map_batches(
+        BatchTopK,
+        fn_constructor_kwargs={"q_ref": q_ref, "k": k},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    # global merge over the tiny partial set
+    return partials.sort(["cosine", id_col], descending=[True, False]).limit(k)
+
+
+def deterministic_centroids(
+    ds: ray.data.Dataset,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Coarse centroids without an iterative fit: the unit vectors of the
+    ``n_centroids`` smallest ids (deterministic, cheap; a k-means refinement
+    can swap in without changing the query path)."""
+    rows = (
+        ds.sort(id_col).limit(n_centroids).select_columns([vec_col]).take_all()
+    )
+    return _unit(np.asarray([r[vec_col] for r in rows], dtype=np.float64))
+
+
+def knn_ivf(
+    ds: ray.data.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: Optional[np.ndarray] = None,
+) -> ray.data.Dataset:
+    """IVF-style ANN: assign vectors to nearest centroid (broadcast centroid
+    matrix, one matmul per batch), prune to the query's ``n_probe`` nearest
+    lists, exact cosine inside."""
+    if centroids is None:
+        centroids = deterministic_centroids(ds, n_centroids, id_col, vec_col)
+    c_ref = ray.put(centroids)
+    q = _unit(np.asarray(query, dtype=np.float64))
+    probe_lists = set(np.argsort(-(centroids @ q))[:n_probe].tolist())
+
+    class AssignAndFilter:
+        def __init__(self, c_ref, probe_lists, q):
+            self.centroids = ray.get(c_ref)
+            self.probe = probe_lists
+            self.q = q
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            ids = np.asarray(batch[id_col].to_pylist())
+            unit = _unit(vecs)
+            assign = np.argmax(unit @ self.centroids.T, axis=1)
+            mask = np.isin(assign, list(self.probe))
+            if not mask.any():
+                return pa.table({id_col: pa.array([], type=batch[id_col].type), "cosine": pa.array([], pa.float64())})
+            sims = unit[mask] @ self.q
+            return pa.table(
+                {
+                    id_col: pa.array(ids[mask]),
+                    "cosine": pa.array(np.round(sims, 6)),
+                }
+            )
+
+    candidates = ds.map_batches(
+        AssignAndFilter,
+        fn_constructor_kwargs={"c_ref": c_ref, "probe_lists": probe_lists, "q": q},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    return candidates.sort(["cosine", id_col], descending=[True, False]).limit(k)

@@ -43,19 +43,29 @@ def write_corpus(ds: ray.data.Dataset, path: str, **kwargs) -> None:
 
 
 def corpus_from_documents(
-    sf_dir: str, limit: Optional[int] = None
+    sf_dir: str, limit: Optional[int] = None, heavy_tail: bool = False
 ) -> ray.data.Dataset:
     """Lift the driver's ``documents.parquet`` (doc_id, text) into the span
     corpus shape as a streaming Ray stage — benchmark input scales with the
-    sf directory without materializing anything on the driver."""
+    sf directory without materializing anything on the driver.
+
+    ``heavy_tail=True`` deterministically amplifies each doc's text by a
+    hash-derived factor (1-8x, with 2% of docs at 64x) so the benchmark
+    corpus has the multi-hundred-page skew the pipeline must tame —
+    FIXTURES.md F1's page-count distribution at sf scale."""
+    from pdf_parser_ray.synthgen import _stable_hash
 
     def lift(batch: pa.Table) -> pa.Table:
-        rows = [
-            doc_text_to_spans(str(doc_id), text if text is not None else "")
-            for doc_id, text in zip(
-                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-            )
-        ]
+        rows = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            text = text if text is not None else ""
+            if heavy_tail and text:
+                h = _stable_hash(str(doc_id))
+                repeat = 64 if h % 50 == 0 else 1 + h % 8
+                text = "\n".join([text] * repeat)
+            rows.append(doc_text_to_spans(str(doc_id), text))
         return pa.Table.from_pylist(rows, schema=CORPUS_SCHEMA)
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])

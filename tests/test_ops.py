@@ -1,0 +1,151 @@
+"""Ops tests: dedup (planted duplicates), similarity, text analysis,
+multimodal stub plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pdf_parser_ray.ops import dedup, multimodal, similarity, text_analysis
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(ray_session):
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the observer counts tokens for the training corpus pipeline"
+    )
+    rows = [
+        {"doc_id": "a1", "text": base},
+        {"doc_id": "a2", "text": base},  # exact dup of a1
+        {"doc_id": "b1", "text": base + " with one extra tail sentence added"},  # near dup
+        {"doc_id": "c1", "text": "completely different content about databases and storage engines layered"},
+        {"doc_id": "d1", "text": "short text"},
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_exact_dedup(docs_with_dups):
+    out = dedup.exact_dedup(docs_with_dups).to_pandas()
+    assert len(out) == 4
+    assert "a1" in set(out.doc_id) and "a2" not in set(out.doc_id)
+
+
+def test_minhash_finds_planted_near_dup(docs_with_dups):
+    pairs = dedup.minhash_candidate_pairs(docs_with_dups, num_perm=64, band_size=4)
+    verified = dedup.verify_pairs_jaccard(pairs, docs_with_dups, threshold=0.5).to_pandas()
+    got = {tuple(sorted((r.doc_a, r.doc_b))) for r in verified.itertuples()}
+    assert ("a1", "a2") in got
+    assert ("a1", "b1") in got or ("a2", "b1") in got
+    assert all("c1" not in p and "d1" not in p for p in got)
+
+
+def test_ngram_jaccard_scalar():
+    assert dedup.ngram_jaccard("a b c d e f", "a b c d e f") == 1.0
+    assert dedup.ngram_jaccard("a b c d e f", "x y z w v u") == 0.0
+    assert dedup.ngram_jaccard("", "") == 0.0
+
+
+def test_simhash_near_for_similar(docs_with_dups):
+    out = dedup.simhash_table(docs_with_dups).to_pandas().set_index("doc_id")
+    assert out.loc["a1", "simhash"] == out.loc["a2", "simhash"]
+    ham = bin(int(out.loc["a1", "simhash"]) ^ int(out.loc["b1", "simhash"])).count("1")
+    assert ham <= 8  # near-dup -> small hamming distance
+    # banding co-locates a1/b1 in at least one band when hamming small
+    bands_equal = sum(
+        out.loc["a1", f"band_{i}"] == out.loc["b1", f"band_{i}"] for i in range(4)
+    )
+    assert bands_equal >= 1 or ham > 3
+
+
+def test_embedding_near_dup_planted(ray_session):
+    rng = np.random.RandomState(0)
+    vecs = rng.standard_normal((20, 16))
+    vecs[7] = vecs[3] + rng.standard_normal(16) * 0.01  # planted near-dup
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(20)]
+    )
+    out = dedup.embedding_near_dup(ds, threshold=0.95, n_planes=6).to_pandas()
+    assert {(r.id_a, r.id_b) for r in out.itertuples()} == {(3, 7)}
+
+
+def test_knn_bruteforce_exact(ray_session):
+    rng = np.random.RandomState(1)
+    vecs = rng.standard_normal((50, 8))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(50)]
+    )
+    q = vecs[5]
+    got = similarity.knn_bruteforce(ds, q, k=5).to_pandas()
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = unit @ (q / np.linalg.norm(q))
+    want = np.lexsort((np.arange(50), -sims))[:5]
+    assert list(got.vec_id) == list(want)
+    assert got.cosine.iloc[0] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_knn_ivf_full_probe_equals_bruteforce(ray_session):
+    rng = np.random.RandomState(2)
+    vecs = rng.standard_normal((60, 8))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(60)]
+    )
+    q = vecs[0]
+    bf = similarity.knn_bruteforce(ds, q, k=7).to_pandas()
+    ivf = similarity.knn_ivf(ds, q, k=7, n_centroids=8, n_probe=8).to_pandas()
+    assert list(bf.vec_id) == list(ivf.vec_id)
+
+
+def test_doc_stats_and_quality(ray_session):
+    ds = ray.data.from_items(
+        [{"doc_id": 1, "text": "Hello world.\nThe cat sat."}, {"doc_id": 2, "text": ""}]
+    )
+    stats = text_analysis.doc_stats(ds).to_pandas().set_index("doc_id")
+    assert stats.loc[1, "n_tokens"] == 5
+    assert stats.loc[1, "n_lines"] == 2
+    assert stats.loc[2, "n_tokens"] == 0
+    q = text_analysis.quality_score(ds).to_pandas().set_index("doc_id")
+    assert 0 <= q.loc[1, "quality"] <= 1
+
+
+def test_lang_id(ray_session):
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "the cat and the dog are in the house of a friend"},
+            {"doc_id": 2, "text": "el perro y el gato en la casa de un ser que no"},
+            {"doc_id": 3, "text": "zzz qqq xxx"},
+        ]
+    )
+    out = text_analysis.lang_id(ds, concurrency=2).to_pandas().set_index("doc_id")
+    assert out.loc[1, "lang_pred"] == "en"
+    assert out.loc[2, "lang_pred"] == "es"
+    assert out.loc[3, "lang_pred"] == "und"
+
+
+def test_fingerprint_deterministic(ray_session):
+    ds = ray.data.from_items([{"doc_id": 1, "text": "a b c d e f g h"}])
+    a = text_analysis.fingerprint(ds).to_pandas()
+    b = text_analysis.fingerprint(ds).to_pandas()
+    assert a.fingerprint.iloc[0] == b.fingerprint.iloc[0]
+    assert a.rolling_min.iloc[0] == b.rolling_min.iloc[0]
+
+
+def test_media_decoder_stub(ray_session):
+    media = ray.data.from_arrow(
+        pa.Table.from_pylist(
+            [
+                {"doc_id": "d", "media_ref": "img://d/p1/0", "media_type": "image", "payload": b"xx"},
+            ],
+            schema=multimodal.MEDIA_SCHEMA,
+        )
+    )
+    out = multimodal.media_features(media, fake=True, concurrency=1).to_pandas()
+    assert len(out) == 1
+    assert out.decode_ok.iloc[0]
+    assert out.n_bytes.iloc[0] == 2
+    assert len(out.feature.iloc[0]) == 8
+    # real decode path raises NotImplementedError (no codecs in sandbox)
+    dec = multimodal.MediaDecoder(fake=False)
+    with pytest.raises(NotImplementedError):
+        dec._decode("x", b"")
