@@ -236,6 +236,30 @@ def _q_supplier_stats(sf_dir: str):
     )
 
 
+def _q_term_search(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.functions import term_search
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _int_doc_id(term_search(ds, "merge"))
+
+
+def _q_validation_summary(sf_dir: str):
+    import pandas as pd
+
+    from pdf_parser_ray.pipelines import extract_fused
+    from pdf_parser_ray.pipelines.validation import validation_summary
+    from pdf_parser_ray.sources import corpus_from_documents
+
+    summary = validation_summary(extract_fused(corpus_from_documents(sf_dir)))
+    flat = {k: v for k, v in summary.items() if not isinstance(v, dict)}
+    flat.update(
+        {f"coverage_{k}": v for k, v in summary["enhanced_coverage_metrics"].items()}
+    )
+    return pd.DataFrame([flat])
+
+
 def _q_media_features(sf_dir: str):
     from pdf_parser_ray.ops.multimodal import media_features, media_inventory
     from pdf_parser_ray.pipelines import extract_fused
@@ -252,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_stats": _q_extract_stats,
         "extract_span_kinds": _q_extract_span_kinds,
         # text analysis
+        "term_search": _q_term_search,
         "doc_stats": _q_doc_stats,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
@@ -273,6 +298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_stats": _q_supplier_stats,
         # multimodal plumbing (stubbed decode)
         "media_features": _q_media_features,
+        # corpus-level validation report (reference step 5)
+        "validation_summary": _q_validation_summary,
     }
 
 
@@ -292,6 +319,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text"
+        ),
+        "term_search": (
+            "SELECT doc_id, line_idx, line FROM ("
+            "  SELECT doc_id, CAST(unnest(range(len(lines))) AS INT) AS line_idx, "
+            "         unnest(lines) AS line "
+            "  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)"
+            r") WHERE regexp_matches(line, '(?i)\bmerge\b')"
         ),
         "knn_bruteforce": (
             "SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding, q.embedding), 6) AS cosine "

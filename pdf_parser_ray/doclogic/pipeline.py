@@ -93,6 +93,15 @@ def document_stats(
         "doc_id": doc_id,
         "total_pages": total_pages,
         "pages_with_text": pages_with_text,
+        # per-content-type page indicators (coverage_calculator.py:59-81)
+        "pages_with_tables": sum(1 for r in page_rows if r.get("n_tables", 0) > 0),
+        "pages_with_images": sum(1 for r in page_rows if r.get("n_images", 0) > 0),
+        "pages_with_annotations": sum(
+            1 for r in page_rows if r.get("n_annotations", 0) > 0
+        ),
+        "pages_with_layout": sum(
+            1 for r in page_rows if r.get("n_layout_lines", 0) > 0
+        ),
         "toc_entries": len(toc_entries),
         "sections": len(section_records),
         "spans_out": len(out_spans),

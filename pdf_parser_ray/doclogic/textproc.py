@@ -49,13 +49,21 @@ def find_content_start(lines: Iterable[tuple[int, str]], search_terms: list[str]
     """Index just past the first line containing any term (word-bounded,
     case-insensitive); 0 when no line matches.
 
-    Reference: utils/text_utils.py:27-33, 59-66.
+    One combined alternation replaces the reference's per-line, per-term
+    compile-and-search (utils/text_utils.py:27-33, 59-66) — same result,
+    since any matching term returns the line.
     """
-    for idx, (_page, line) in enumerate(lines):
-        for term in search_terms:
-            if _compiled(rf"\b{re.escape(term)}\b").search(line):
-                return idx + 1
-    return 0
+    pattern = _compiled(
+        r"\b(?:" + "|".join(re.escape(t) for t in search_terms) + r")\b"
+    )
+    # one C-level scan over the newline-joined text instead of a Python
+    # loop of per-line searches; terms contain no newline so a match can
+    # never span lines, and \b behaves identically at \n and line edges
+    joined = "\n".join(line for _page, line in lines)
+    match = pattern.search(joined)
+    if match is None:
+        return 0
+    return joined.count("\n", 0, match.start()) + 1
 
 
 def clean_text(text: str) -> str:

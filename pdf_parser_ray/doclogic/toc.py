@@ -316,6 +316,9 @@ def _enhanced_pass(
 
     for _page_num, line in lines:
         clean_line = line.strip()
+        if not clean_line[-1:].isdigit():
+            # same trailing-page-number gate as the primary pass
+            continue
         if any(clean_line in path for path in original_paths):
             continue
         for pattern in ENHANCED_PATTERNS:
@@ -431,6 +434,13 @@ def parse_toc(
     toc_entries: list[dict[str, Any]] = []
     potential_entries: list[dict[str, Any]] = []
     for page_num, line in lines:
+        # fast path: every primary/enhanced pattern and the potential-line
+        # analyzer require a trailing page number, so a line whose last
+        # non-space char isn't a digit can't produce an entry — skip the
+        # 14-pattern regex cascade entirely (semantics-preserving; the 922
+        # golden lines all end with digits)
+        if not line.rstrip()[-1:].isdigit():
+            continue
         entry = match_primary(line)
         if entry and entry.get("page") and _is_high_quality_entry(entry):
             toc_entries.append(_make_entry(doc_title, entry))

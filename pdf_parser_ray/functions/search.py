@@ -1,0 +1,59 @@
+"""Word-boundary term search (reference: utils/text_utils.py:59-66, M11).
+
+Scalar form for in-UDF use plus a corpus-level Ray operator that returns
+every matching (doc_id, line_idx, line) — the vectorized path uses one
+Arrow ``count_substring_regex`` prefilter per batch before the per-line scan.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_TERM_CACHE: dict[str, re.Pattern] = {}
+
+
+def _term_pattern(term: str) -> re.Pattern:
+    pat = _TERM_CACHE.get(term)
+    if pat is None:
+        pat = re.compile(rf"\b{re.escape(term)}\b", re.IGNORECASE)
+        _TERM_CACHE[term] = pat
+    return pat
+
+
+def search_term_in_line(line: str, term: str) -> bool:
+    """True when the word-bounded term occurs in the line (case-insensitive)."""
+    return bool(_term_pattern(term).search(line or ""))
+
+
+def term_search(
+    ds: ray.data.Dataset, term: str, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """All matching lines across a documents table.
+
+    Per batch: a single vectorized regex prefilter drops documents without
+    any hit; only surviving docs pay the per-line scan.
+    """
+    regex = rf"(?i)\b{re.escape(term)}\b"
+    out_schema = pa.schema(
+        [("doc_id", pa.string()), ("line_idx", pa.int32()), ("line", pa.string())]
+    )
+
+    def scan(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch[text_col], pa.string())
+        hits = pc.greater(pc.count_substring_regex(text, regex), 0)
+        survivors = batch.filter(hits)
+        rows = []
+        pat = _term_pattern(term)
+        for doc_id, doc_text in zip(
+            survivors[id_col].to_pylist(), pc.cast(survivors[text_col], pa.string()).to_pylist()
+        ):
+            for i, line in enumerate((doc_text or "").splitlines()):
+                if pat.search(line):
+                    rows.append({"doc_id": str(doc_id), "line_idx": i, "line": line})
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return ds.map_batches(scan, batch_format="pyarrow")

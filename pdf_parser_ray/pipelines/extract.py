@@ -34,7 +34,7 @@ from pdf_parser_ray.schemas import (
     TOC_SCHEMA,
 )
 from pdf_parser_ray.stages.assemble_stage import BucketAssembler, doc_result_to_row
-from pdf_parser_ray.stages.render_stage import PageRenderer, bucket_of
+from pdf_parser_ray.stages.render_stage import PageRenderer, bucket_of, render_pages
 
 DEFAULT_N_BUCKETS = 64
 
@@ -54,17 +54,26 @@ def _default_concurrency() -> Any:
 def page_rows(
     corpus_ds: ray.data.Dataset,
     n_buckets: int = DEFAULT_N_BUCKETS,
-    batch_size: int = 32,
+    batch_size: int = 64,
     concurrency: Optional[Any] = None,
 ) -> ray.data.Dataset:
-    """Stage 1: render per-page rows. Small batch_size bounds the work a
-    single task does even when a batch holds multi-hundred-page docs."""
+    """Stage 1: render per-page rows as elastic tasks (stateless — regex
+    banks warm at module import). ``batch_size`` bounds the docs one task
+    iteration handles so a run of multi-hundred-page docs can't blow a
+    task's heap; pass ``concurrency`` to switch to a fixed actor pool."""
+    if concurrency is not None:
+        return corpus_ds.map_batches(
+            PageRenderer,
+            fn_constructor_kwargs={"n_buckets": n_buckets},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     return corpus_ds.map_batches(
-        PageRenderer,
-        fn_constructor_kwargs={"n_buckets": n_buckets},
+        render_pages,
+        fn_kwargs={"n_buckets": n_buckets},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency if concurrency is not None else _default_concurrency(),
     )
 
 
@@ -116,6 +125,64 @@ def extract_fused(
     return corpus_ds.map_batches(
         fused, batch_format="pyarrow", batch_size=batch_size, **kwargs
     )
+
+
+def extract_hybrid(
+    corpus_factory,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    strip_boilerplate: bool = True,
+    giant_span_threshold: int = 512,
+    batch_size: int = 16,
+    concurrency: Optional[Any] = None,
+) -> ray.data.Dataset:
+    """Skew-aware flagship: shuffle ONLY what must move.
+
+    Documents at or below ``giant_span_threshold`` spans are whole rows and
+    process in place (``extract_fused`` — map-only, no data movement);
+    larger documents fan out to page rows and go through the
+    groupby(bucket) reassembly shuffle. At corpus scale this shuffles the
+    heavy tail (a few percent of bytes) instead of the whole corpus —
+    the same reason the reference's PageManager dict (page_manager.py:20-27)
+    never leaves one process for a single document.
+
+    ``corpus_factory``: a zero-arg callable returning a fresh corpus
+    Dataset (each branch re-reads the source — two cheap columnar scans
+    beat one full shuffle), or a Dataset (branched lazily; its upstream
+    executes once per branch).
+    """
+
+    def make():
+        return corpus_factory() if callable(corpus_factory) else corpus_factory
+
+    def keep_small(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pa.compute.less_equal(
+                pa.compute.list_value_length(batch["spans"]), giant_span_threshold
+            )
+        )
+
+    def keep_giant(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pa.compute.greater(
+                pa.compute.list_value_length(batch["spans"]), giant_span_threshold
+            )
+        )
+
+    small = extract_fused(
+        make().map_batches(keep_small, batch_format="pyarrow"),
+        n_buckets,
+        strip_boilerplate,
+        batch_size,
+        concurrency,
+    )
+    giant = extract(
+        make().map_batches(keep_giant, batch_format="pyarrow"),
+        n_buckets,
+        strip_boilerplate,
+        batch_size,
+        concurrency,
+    )
+    return small.union(giant)
 
 
 # ---- projections to the reference's logical output tables -----------------
@@ -199,6 +266,10 @@ def stats_table(doc_results: ray.data.Dataset) -> ray.data.Dataset:
             "doc_id",
             "total_pages",
             "pages_with_text",
+            "pages_with_tables",
+            "pages_with_images",
+            "pages_with_annotations",
+            "pages_with_layout",
             "n_toc_entries",
             "n_sections",
             "n_spans",

@@ -154,6 +154,10 @@ DOC_RESULT_SCHEMA = pa.schema(
         ("spans", pa.list_(SPAN_STRUCT)),
         ("total_pages", pa.int32()),
         ("pages_with_text", pa.int32()),
+        ("pages_with_tables", pa.int32()),
+        ("pages_with_images", pa.int32()),
+        ("pages_with_annotations", pa.int32()),
+        ("pages_with_layout", pa.int32()),
         ("n_toc_entries", pa.int32()),
         ("n_sections", pa.int32()),
         ("n_spans", pa.int32()),

@@ -43,7 +43,10 @@ def write_corpus(ds: ray.data.Dataset, path: str, **kwargs) -> None:
 
 
 def corpus_from_documents(
-    sf_dir: str, limit: Optional[int] = None, heavy_tail: bool = False
+    sf_dir: str,
+    limit: Optional[int] = None,
+    heavy_tail: bool = False,
+    mult: int = 1,
 ) -> ray.data.Dataset:
     """Lift the driver's ``documents.parquet`` (doc_id, text) into the span
     corpus shape as a streaming Ray stage — benchmark input scales with the
@@ -52,7 +55,9 @@ def corpus_from_documents(
     ``heavy_tail=True`` deterministically amplifies each doc's text by a
     hash-derived factor (1-8x, with 2% of docs at 64x) so the benchmark
     corpus has the multi-hundred-page skew the pipeline must tame —
-    FIXTURES.md F1's page-count distribution at sf scale."""
+    FIXTURES.md F1's page-count distribution at sf scale. ``mult`` emits
+    that many distinct copies of every document (doc_id suffixed) to scale
+    total work for throughput/scaling measurement without new data."""
     from pdf_parser_ray.synthgen import _stable_hash
 
     def lift(batch: pa.Table) -> pa.Table:
@@ -65,13 +70,42 @@ def corpus_from_documents(
                 h = _stable_hash(str(doc_id))
                 repeat = 64 if h % 50 == 0 else 1 + h % 8
                 text = "\n".join([text] * repeat)
-            rows.append(doc_text_to_spans(str(doc_id), text))
+            if mult == 1:
+                rows.append(doc_text_to_spans(str(doc_id), text))
+            else:
+                for rep in range(mult):
+                    rows.append(doc_text_to_spans(f"{doc_id}#{rep}", text))
         return pa.Table.from_pylist(rows, schema=CORPUS_SCHEMA)
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # block count scales with the session's CPUs so downstream parallelism
+    # is never capped by a single input file's default split
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    n_rows = None
+    try:
+        import pyarrow.parquet as pq
+
+        n_rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    except Exception:
+        pass
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=max(32, ncpu * 2),
+    )
     if limit is not None:
         ds = ds.limit(limit)
-    return ds.map_batches(lift, batch_format="pyarrow", batch_size=256)
+        n_rows = min(n_rows, limit) if n_rows else limit
+    # fixed ~32-task granularity: full parallelism up to 32 CPUs while the
+    # AllToAll's per-block coordination cost stays constant across session
+    # sizes (tasks queue at lower CPU counts)
+    if n_rows:
+        batch = max(16, n_rows // 32)
+    else:
+        batch = 128
+    return ds.map_batches(lift, batch_format="pyarrow", batch_size=batch)
 
 
 def synthetic_corpus(

@@ -42,6 +42,10 @@ def doc_result_to_row(result: dict[str, Any], bucket: int, parse_failure: bool) 
         "spans": result["spans"],
         "total_pages": stats["total_pages"],
         "pages_with_text": stats["pages_with_text"],
+        "pages_with_tables": stats["pages_with_tables"],
+        "pages_with_images": stats["pages_with_images"],
+        "pages_with_annotations": stats["pages_with_annotations"],
+        "pages_with_layout": stats["pages_with_layout"],
         "n_toc_entries": stats["toc_entries"],
         "n_sections": stats["sections"],
         "n_spans": stats["spans_out"],
@@ -68,6 +72,10 @@ def _empty_result(doc_id: str) -> dict[str, Any]:
             "doc_id": doc_id,
             "total_pages": 0,
             "pages_with_text": 0,
+            "pages_with_tables": 0,
+            "pages_with_images": 0,
+            "pages_with_annotations": 0,
+            "pages_with_layout": 0,
             "toc_entries": 0,
             "sections": 0,
             "spans_out": 0,

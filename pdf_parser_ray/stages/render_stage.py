@@ -29,52 +29,61 @@ def bucket_of(doc_id: str, n_buckets: int) -> int:
     return _stable_hash(doc_id) % n_buckets
 
 
-class PageRenderer:
+def _empty_doc_row(doc_id: str, bucket: int, failure: bool) -> dict[str, Any]:
+    return {
+        "doc_id": doc_id,
+        "bucket": bucket,
+        "page": 0,
+        "text": "",
+        "rendered": "",
+        "nontext_spans": [],
+        "n_tables": 0,
+        "n_images": 0,
+        "n_annotations": 0,
+        "n_layout_lines": 0,
+        "coverage_score": 0.0,
+        "parse_failure": failure,
+    }
+
+
+def render_pages(batch: pa.Table, n_buckets: int = 64) -> pa.Table:
     """corpus (doc_id, spans) batch -> page rows batch.
 
-    Semantic parse failures (malformed span payloads) become a single
-    ``parse_failure`` row for the document — counted in partition metrics,
-    never a task crash (reference degrades per page the same way,
-    extractor.py:141-148).
+    Stateless (the warm regex banks live at module level, paid once per
+    worker process), so it runs as elastic tasks — no actor-pool ramp-up,
+    parallelism follows the block count. Semantic parse failures (malformed
+    span payloads) become a single ``parse_failure`` row for the document —
+    counted in partition metrics, never a task crash (the reference degrades
+    per page the same way, extractor.py:141-148).
     """
+    out_rows: list[dict[str, Any]] = []
+    doc_ids = batch["doc_id"].to_pylist()
+    spans_col = batch["spans"].to_pylist()
+    for doc_id, spans in zip(doc_ids, spans_col):
+        doc_id = str(doc_id)
+        bucket = bucket_of(doc_id, n_buckets)
+        try:
+            pages = render.spans_to_pages(spans or [])
+            for page in pages:
+                row = page_row_from_record(page)
+                row["doc_id"] = doc_id
+                row["bucket"] = bucket
+                row["parse_failure"] = False
+                out_rows.append(row)
+            if not pages:
+                out_rows.append(_empty_doc_row(doc_id, bucket, failure=False))
+        except Exception:
+            out_rows.append(_empty_doc_row(doc_id, bucket, failure=True))
+    return pa.Table.from_pylist(out_rows, schema=PAGE_ROW_SCHEMA)
+
+
+class PageRenderer:
+    """Actor-pool form of :func:`render_pages` — use when a deployment
+    wants fixed warm workers (e.g. models in ``__init__``); the default
+    pipeline uses the task form."""
 
     def __init__(self, n_buckets: int = 64):
         self.n_buckets = n_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_rows: list[dict[str, Any]] = []
-        doc_ids = batch["doc_id"].to_pylist()
-        spans_col = batch["spans"].to_pylist()
-        for doc_id, spans in zip(doc_ids, spans_col):
-            doc_id = str(doc_id)
-            bucket = bucket_of(doc_id, self.n_buckets)
-            try:
-                pages = render.spans_to_pages(spans or [])
-                for page in pages:
-                    row = page_row_from_record(page)
-                    row["doc_id"] = doc_id
-                    row["bucket"] = bucket
-                    row["parse_failure"] = False
-                    out_rows.append(row)
-                if not pages:
-                    out_rows.append(self._empty_doc_row(doc_id, bucket, failure=False))
-            except Exception:
-                out_rows.append(self._empty_doc_row(doc_id, bucket, failure=True))
-        return pa.Table.from_pylist(out_rows, schema=PAGE_ROW_SCHEMA)
-
-    @staticmethod
-    def _empty_doc_row(doc_id: str, bucket: int, failure: bool) -> dict[str, Any]:
-        return {
-            "doc_id": doc_id,
-            "bucket": bucket,
-            "page": 0,
-            "text": "",
-            "rendered": "",
-            "nontext_spans": [],
-            "n_tables": 0,
-            "n_images": 0,
-            "n_annotations": 0,
-            "n_layout_lines": 0,
-            "coverage_score": 0.0,
-            "parse_failure": failure,
-        }
+        return render_pages(batch, self.n_buckets)

@@ -117,3 +117,15 @@ def test_parse_failure_isolated(ray_session):
     assert len(rows) == 4
     bad_row = rows[rows.doc_id == "bad-doc"].iloc[0]
     assert bad_row["total_pages"] == 0 and len(bad_row["spans"]) == 0
+
+
+def test_hybrid_equals_fused(ray_session, corpus_table, oracle):
+    from pdf_parser_ray.pipelines import extract_hybrid
+
+    # threshold chosen so the synthetic corpus has docs on BOTH sides
+    hybrid = extract_hybrid(
+        ray.data.from_arrow(corpus_table), giant_span_threshold=60
+    ).to_pandas()
+    assert len(hybrid) == N_DOCS
+    for _, row in hybrid.iterrows():
+        assert spans_key(row["spans"]) == spans_key(oracle[row["doc_id"]]["spans"])

@@ -1,0 +1,57 @@
+"""Validation-report aggregate + JSONL compat tests."""
+
+import json
+
+import ray.data
+
+from pdf_parser_ray.pipelines import extract_fused
+from pdf_parser_ray.pipelines.validation import (
+    validation_summary,
+    write_validation_report,
+)
+from pdf_parser_ray.sources.jsonl_compat import (
+    iter_reference_records,
+    read_jsonl_tolerant,
+    write_reference_outputs,
+)
+from pdf_parser_ray.synthgen import generate_corpus
+
+
+def test_validation_summary(ray_session):
+    corpus = ray.data.from_arrow(generate_corpus(20))
+    results = extract_fused(corpus)
+    summary = validation_summary(results)
+    assert summary["n_docs"] == 20
+    assert summary["total_pages"] > 0
+    assert 0 <= summary["enhanced_coverage_metrics"]["overall_coverage"] <= 100
+    assert summary["parse_failures"] == 0
+    # reference invariant: pages always have text in this corpus
+    assert summary["page_coverage_pct"] == 100.0
+
+
+def test_write_validation_report(ray_session, tmp_path):
+    corpus = ray.data.from_arrow(generate_corpus(5))
+    summary = validation_summary(extract_fused(corpus))
+    out = write_validation_report(summary, str(tmp_path / "report.xlsx"))
+    assert out is not None
+    # openpyxl absent -> json fallback; either way the file exists
+    assert out.endswith((".xlsx", ".json"))
+    import os
+
+    assert os.path.exists(out)
+
+
+def test_reference_jsonl_outputs(ray_session, tmp_path):
+    corpus = ray.data.from_arrow(generate_corpus(8))
+    results = extract_fused(corpus).materialize()
+    paths = write_reference_outputs(results, str(tmp_path))
+    toc_ds = read_jsonl_tolerant(paths["toc"])
+    assert toc_ds.count() == int(results.to_pandas()["n_toc_entries"].sum())
+
+
+def test_tolerant_reader_skips_junk(ray_session, tmp_path):
+    p = tmp_path / "junk.jsonl"
+    p.write_text('{"a": 1}\n\nnot json\n{"b": 2}\n' + "x" * 2_000_000 + "\n")
+    rows = list(iter_reference_records(str(p)))
+    assert rows == [{"a": 1}, {"b": 2}]
+    assert read_jsonl_tolerant(str(p)).count() == 2
