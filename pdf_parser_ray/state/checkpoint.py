@@ -142,3 +142,129 @@ def read_metrics(output_dir: str) -> list[dict[str, Any]]:
         with open(_manifest_path(output_dir, b)) as f:
             out.append(json.load(f))
     return out
+
+
+# ---- shard-level checkpointing for the map-only (no-shuffle) path ---------
+
+
+def _shard_groups(files: list[str], files_per_shard: int) -> list[list[str]]:
+    return [
+        files[i : i + files_per_shard]
+        for i in range(0, len(files), files_per_shard)
+    ]
+
+
+def run_extraction_sharded(
+    input_files: list[str],
+    output_dir: str,
+    files_per_shard: int = 8,
+    giant_span_threshold: int = 512,
+    n_buckets: int = 64,
+    strip_boilerplate: bool = True,
+    resume: bool = True,
+) -> dict[str, Any]:
+    """Skew-aware, resumable extraction over an input file list.
+
+    Whole-doc rows (<= ``giant_span_threshold`` spans) process map-only per
+    input SHARD (a group of files): each shard writes ``shard=<i>/`` plus a
+    manifest, so resume granularity is the shard and nothing shuffles. The
+    giant-doc tail from ALL files goes through the bucketed groupby path
+    (``run_extraction``) into ``giant/`` with its own per-bucket manifests.
+    This is the checkpointed form of ``pipelines.extract_hybrid``: at corpus
+    scale the shuffle moves only the skew tail while the bulk path commits
+    per input shard ("one output directory per input shard", resumable).
+    """
+    import pyarrow.compute as pc
+
+    from pdf_parser_ray.pipelines.extract import extract_fused
+
+    os.makedirs(os.path.join(output_dir, MANIFEST_DIR), exist_ok=True)
+    shards = _shard_groups(sorted(input_files), files_per_shard)
+
+    def shard_manifest(i: int) -> str:
+        return os.path.join(output_dir, MANIFEST_DIR, f"shard_{i}.json")
+
+    def keep(batch: pa.Table, giant: bool) -> pa.Table:
+        n = pc.list_value_length(batch["spans"])
+        mask = (
+            pc.greater(n, giant_span_threshold)
+            if giant
+            else pc.less_equal(n, giant_span_threshold)
+        )
+        return batch.filter(mask)
+
+    totals = {"docs_parsed": 0, "spans_emitted": 0, "parse_failures": 0,
+              "pages_processed": 0, "shards_completed_now": 0,
+              "shards_skipped_resume": 0}
+    for i, shard_files in enumerate(shards):
+        if resume and os.path.exists(shard_manifest(i)):
+            totals["shards_skipped_resume"] += 1
+            continue
+        ds = ray.data.read_parquet(shard_files).map_batches(
+            keep, fn_kwargs={"giant": False}, batch_format="pyarrow"
+        )
+        from ray.data.aggregate import Count, Sum
+
+        results = extract_fused(ds, n_buckets, strip_boilerplate)
+        shard_dir = os.path.join(output_dir, f"shard={i}")
+        shutil_rmtree_quiet(shard_dir)
+        results.write_parquet(shard_dir)
+        stats = ray.data.read_parquet(shard_dir).aggregate(
+            Count(alias_name="n_rows"),
+            Sum("n_spans", alias_name="n_spans"),
+            Sum("total_pages", alias_name="total_pages"),
+        )
+        n_rows = int(stats.get("n_rows") or 0)
+        manifest = {
+            "shard": i,
+            "input_files": shard_files,
+            "docs_parsed": n_rows,
+            "spans_emitted": int(stats.get("n_spans") or 0),
+            "parse_failures": 0,
+            "pages_processed": int(stats.get("total_pages") or 0),
+        }
+        with open(shard_manifest(i), "w") as f:
+            json.dump(manifest, f)
+        totals["shards_completed_now"] += 1
+        totals["docs_parsed"] += manifest["docs_parsed"]
+        totals["spans_emitted"] += manifest["spans_emitted"]
+        totals["pages_processed"] += manifest["pages_processed"]
+
+    giant_ds = ray.data.read_parquet(sorted(input_files)).map_batches(
+        keep, fn_kwargs={"giant": True}, batch_format="pyarrow"
+    )
+    giant_summary = run_extraction(
+        giant_ds,
+        os.path.join(output_dir, "giant"),
+        n_buckets=n_buckets,
+        strip_boilerplate=strip_boilerplate,
+        resume=resume,
+    )
+    totals["giant"] = giant_summary
+    totals["output_dir"] = output_dir
+    return totals
+
+
+def shutil_rmtree_quiet(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def read_sharded_extraction(output_dir: str) -> ray.data.Dataset:
+    """Stream back a sharded extraction (all completed shards + giants)."""
+    paths = []
+    mdir = os.path.join(output_dir, MANIFEST_DIR)
+    for name in sorted(os.listdir(mdir)):
+        if name.startswith("shard_"):
+            with open(os.path.join(mdir, name)) as f:
+                shard = json.load(f)["shard"]
+            paths.append(os.path.join(output_dir, f"shard={shard}"))
+    giant_dir = os.path.join(output_dir, "giant")
+    datasets = [ray.data.read_parquet(p) for p in paths]
+    if os.path.isdir(giant_dir) and completed_buckets(giant_dir):
+        datasets.append(read_extraction(giant_dir))
+    ds = datasets[0]
+    for other in datasets[1:]:
+        ds = ds.union(other)
+    return ds

@@ -129,3 +129,41 @@ def test_hybrid_equals_fused(ray_session, corpus_table, oracle):
     assert len(hybrid) == N_DOCS
     for _, row in hybrid.iterrows():
         assert spans_key(row["spans"]) == spans_key(oracle[row["doc_id"]]["spans"])
+
+
+def test_sharded_checkpoint_resume(ray_session, corpus_table, tmp_path):
+    from pdf_parser_ray.state.checkpoint import (
+        read_sharded_extraction,
+        run_extraction_sharded,
+    )
+
+    # write the corpus as multiple input files
+    import pyarrow.parquet as pq
+
+    indir = tmp_path / "corpus"
+    indir.mkdir()
+    n_files = 6
+    per = (corpus_table.num_rows + n_files - 1) // n_files
+    files = []
+    for i in range(n_files):
+        part = corpus_table.slice(i * per, per)
+        f = str(indir / f"part-{i}.parquet")
+        pq.write_table(part, f)
+        files.append(f)
+
+    out = str(tmp_path / "sharded")
+    s1 = run_extraction_sharded(
+        files, out, files_per_shard=2, giant_span_threshold=60, n_buckets=8
+    )
+    assert s1["shards_completed_now"] == 3
+    back = read_sharded_extraction(out)
+    assert back.count() == N_DOCS
+
+    # resume: wipe one shard manifest, only that shard recomputes
+    os.remove(os.path.join(out, "_manifest", "shard_1.json"))
+    s2 = run_extraction_sharded(
+        files, out, files_per_shard=2, giant_span_threshold=60, n_buckets=8
+    )
+    assert s2["shards_completed_now"] == 1
+    assert s2["shards_skipped_resume"] == 2
+    assert read_sharded_extraction(out).count() == N_DOCS
