@@ -194,6 +194,21 @@ def _q_knn_ivf(sf_dir: str):
     return knn_ivf(ds, _query_vector(sf_dir), k=10, n_centroids=16, n_probe=16)
 
 
+def _q_minhash_dedup(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.dedup import minhash_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_dedup(ds, jaccard_threshold=0.8).select_columns(["doc_id"])
+
+
+def _q_sessionize(sf_dir: str):
+    from pdf_parser_ray.ops.streaming import sessionize
+
+    return sessionize(sf_dir, gap_minutes=30)
+
+
 def _q_pricing(sf_dir: str):
     from pdf_parser_ray.ops.relational import pricing_summary
 
@@ -286,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "embedding_near_dup": _q_embedding_near_dup,
+        "minhash_dedup": _q_minhash_dedup,
         # similarity search
         "knn_bruteforce": _q_knn,
         "knn_ivf": _q_knn_ivf,
@@ -295,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_revenue": _q_filtered_revenue,
         "top_parts_by_size": _q_top_parts,
         "events_window_agg": _q_events_window,
+        "sessionize": _q_sessionize,
         "supplier_balance_stats": _q_supplier_stats,
         # multimodal plumbing (stubbed decode)
         "media_features": _q_media_features,
@@ -365,6 +382,18 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
             "FROM events GROUP BY event_type, window_start "
             "ORDER BY event_type, window_start"
+        ),
+        "sessionize": (
+            "WITH marked AS ("
+            "  SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER "
+            "    (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE "
+            "  THEN 1 ELSE 0 END AS new_s FROM events"
+            "), s AS ("
+            "  SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id "
+            "    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id FROM marked"
+            ") SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+            "MIN(ts) AS session_start, MAX(ts) AS session_end, "
+            "COUNT(*) AS n_events FROM s GROUP BY user_id, session_id"
         ),
         "supplier_balance_stats": (
             "SELECT s_nationkey, COUNT(*) AS n_suppliers, ROUND(SUM(s_acctbal), 2) AS sum_bal, "

@@ -357,3 +357,78 @@ def embedding_near_dup(
         .groupby("bucket_key")
         .map_groups(pairs, batch_format="pandas")
     )
+
+
+# ---- near-dup clustering + representative keep ----------------------------
+
+
+def connected_components(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Union-find over candidate-duplicate pairs -> node -> cluster
+    representative (the minimum id in the component).
+
+    Driver-side by design: the LSH candidate-pair set is orders of magnitude
+    smaller than the corpus (only colliding bands survive). Guarded — for a
+    pathological pair explosion switch to iterative min-label propagation
+    (groupby rounds) instead of raising the limit.
+    """
+    if len(pairs) > 5_000_000:
+        raise ValueError(
+            "candidate pair set too large for driver-side union-find; "
+            "use iterative min-label propagation"
+        )
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    return {node: find(node) for node in parent}
+
+
+def minhash_dedup(
+    ds: ray.data.Dataset,
+    jaccard_threshold: float = 0.8,
+    num_perm: int = 64,
+    band_size: int = 4,
+    shingle_size: int = 5,
+) -> ray.data.Dataset:
+    """End-to-end near-dedup: LSH candidates -> verified Jaccard -> connected
+    components -> keep each component's minimum doc_id. Returns the
+    deduplicated documents dataset.
+
+    The cluster map (small) is broadcast via ray.put; the corpus itself
+    streams through a single filter."""
+    import ray as _ray
+
+    candidates = minhash_candidate_pairs(ds, num_perm, band_size, shingle_size)
+    verified = verify_pairs_jaccard(candidates, ds, jaccard_threshold, shingle_size)
+    pair_rows = verified.select_columns(["doc_a", "doc_b"]).take_all()
+    clusters = connected_components(
+        [(str(r["doc_a"]), str(r["doc_b"])) for r in pair_rows]
+    )
+    drop = {node for node, rep in clusters.items() if node != rep}
+    drop_ref = _ray.put(drop)
+
+    class KeepRepresentatives:
+        def __init__(self, ref):
+            self.drop = _ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = [str(d) not in self.drop for d in batch["doc_id"].to_pylist()]
+            return batch.filter(pa.array(keep))
+
+    return ds.map_batches(
+        KeepRepresentatives,
+        fn_constructor_kwargs={"ref": drop_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )

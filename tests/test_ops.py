@@ -149,3 +149,39 @@ def test_media_decoder_stub(ray_session):
     dec = multimodal.MediaDecoder(fake=False)
     with pytest.raises(NotImplementedError):
         dec._decode("x", b"")
+
+
+def test_connected_components():
+    comp = dedup.connected_components([("b", "c"), ("a", "b"), ("x", "y")])
+    assert comp["c"] == "a" and comp["b"] == "a"
+    assert comp["y"] == "x"
+    assert dedup.connected_components([]) == {}
+
+
+def test_minhash_dedup_removes_planted(docs_with_dups):
+    out = dedup.minhash_dedup(docs_with_dups, jaccard_threshold=0.5).to_pandas()
+    kept = set(out.doc_id)
+    # a1/a2/b1 cluster -> only a1 survives; unrelated docs kept
+    assert "a1" in kept and "a2" not in kept and "b1" not in kept
+    assert {"c1", "d1"} <= kept
+
+
+def test_sessionize_gap_splits(ray_session, tmp_path, monkeypatch):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 02:00",
+         "2024-01-01 00:05"]
+    )
+    t = pa.table({"user_id": [7, 7, 7, 8], "ts": pa.array(ts, pa.timestamp("us")),
+                  "event_type": ["a"] * 4, "value": [1.0] * 4,
+                  "event_id": [1, 2, 3, 4], "props": [""] * 4})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    from pdf_parser_ray.ops.streaming import sessionize
+
+    out = sessionize(str(tmp_path), gap_minutes=30).to_pandas()
+    u7 = out[out.user_id == 7].sort_values("session_id")
+    assert list(u7.n_events) == [2, 1]  # 2h gap splits the session
+    assert len(out[out.user_id == 8]) == 1
