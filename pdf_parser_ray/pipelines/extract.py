@@ -84,7 +84,15 @@ def extract(
     batch_size: int = 32,
     concurrency: Optional[Any] = None,
 ) -> ray.data.Dataset:
-    """Standard two-stage extraction with the groupby reassembly shuffle."""
+    """Standard two-stage extraction with the groupby reassembly shuffle.
+
+    Accepts fragmented documents: a doc may arrive as MULTIPLE corpus rows
+    (page-aligned span ranges carrying global page numbers) — the groupby
+    merges all fragments of a doc_id before assembly, so a document larger
+    than a storage block splits cleanly upstream
+    (tests/test_pipeline_ray.py::test_doc_split_across_corpus_rows).
+    ``extract_fused`` / the small branch of ``extract_hybrid`` require
+    whole-doc rows."""
     pages = page_rows(corpus_ds, n_buckets, batch_size, concurrency)
     assembler = BucketAssembler(strip_boilerplate)
 
@@ -194,26 +202,57 @@ def spans_table(doc_results: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def flat_spans(doc_results: ray.data.Dataset) -> ray.data.Dataset:
-    """Exploded span rows (doc_id, offset, kind, text, media_ref)."""
+    """Exploded span rows (doc_id, offset, kind, text, media_ref) — fully
+    vectorized: Arrow list-flatten kernels, no Python per-row loop."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        rows = []
-        for doc_id, spans in zip(
-            batch["doc_id"].to_pylist(), batch["spans"].to_pylist()
-        ):
-            for span in spans or []:
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "offset": span["offset"],
-                        "kind": span["kind"],
-                        "text": span["text"],
-                        "media_ref": span["media_ref"],
-                    }
-                )
-        return pa.Table.from_pylist(rows, schema=SPAN_FLAT_SCHEMA)
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        lengths = pa.compute.list_value_length(spans).fill_null(0)
+        doc_ids = batch["doc_id"]
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+        import numpy as np
+
+        counts = lengths.to_numpy(zero_copy_only=False)
+        repeated_ids = doc_ids.take(
+            pa.array(np.repeat(np.arange(len(counts)), counts), pa.int64())
+        )
+        flat = pa.compute.list_flatten(spans)
+        return pa.table(
+            {
+                "doc_id": repeated_ids,
+                "offset": flat.field("offset"),
+                "kind": flat.field("kind"),
+                "text": flat.field("text"),
+                "media_ref": flat.field("media_ref"),
+            }
+        ).cast(SPAN_FLAT_SCHEMA)
 
     return doc_results.map_batches(explode, batch_format="pyarrow")
+
+
+def page_range(
+    corpus_ds: ray.data.Dataset,
+    start_page: int = 1,
+    end_page: Optional[int] = None,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> ray.data.Dataset:
+    """Page-range reader (reference extractor.py:116-148, S2): rendered page
+    rows restricted to the 1-indexed inclusive range with an Arrow predicate
+    after the page fan-out."""
+    rows = page_rows(corpus_ds, n_buckets)
+
+    def cut(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.greater_equal(batch["page"], start_page)
+        if end_page is not None:
+            mask = pa.compute.and_(
+                mask, pa.compute.less_equal(batch["page"], end_page)
+            )
+        return batch.filter(mask)
+
+    return rows.map_batches(cut, batch_format="pyarrow")
 
 
 def _explode_list_column(

@@ -167,3 +167,27 @@ def test_sharded_checkpoint_resume(ray_session, corpus_table, tmp_path):
     assert s2["shards_completed_now"] == 1
     assert s2["shards_skipped_resume"] == 2
     assert read_sharded_extraction(out).count() == N_DOCS
+
+
+def test_doc_split_across_corpus_rows(ray_session):
+    """A document fragmented into multiple corpus rows (page-aligned span
+    ranges, global page numbers) reassembles identically through the
+    standard groupby path — what makes docs-bigger-than-a-block safe."""
+    from pdf_parser_ray.synthgen import generate_document
+
+    doc = generate_document(1, max_pages=120)
+    spans = doc["spans"]
+    breaks = [i for i, s in enumerate(spans) if s["kind"] == "page_break"]
+    cut = breaks[len(breaks) // 2]
+    ds = ray.data.from_items(
+        [
+            {"doc_id": doc["doc_id"], "spans": spans[:cut]},
+            {"doc_id": doc["doc_id"], "spans": spans[cut:]},
+        ]
+    ).repartition(2)
+    got = extract(ds, n_buckets=4).to_pandas()
+    want = run_document(doc["doc_id"], spans)
+    assert len(got) == 1
+    assert spans_key(got.iloc[0]["spans"]) == spans_key(want["spans"])
+    assert got.iloc[0]["n_sections"] == len(want["sections"])
+    assert got.iloc[0]["n_toc_entries"] == len(want["toc"])
