@@ -242,6 +242,30 @@ def _q_events_window(sf_dir: str):
     return _round_cols(events_window_agg(sf_dir), {"sum_value": 2})
 
 
+def _q_customers_without_orders(sf_dir: str):
+    from pdf_parser_ray.ops.relational import customers_without_orders
+
+    return customers_without_orders(sf_dir)
+
+
+def _q_parts_in_lineitem(sf_dir: str):
+    from pdf_parser_ray.ops.relational import parts_in_lineitem
+
+    return parts_in_lineitem(sf_dir)
+
+
+def _q_distinct_counts(sf_dir: str):
+    from pdf_parser_ray.ops.relational import distinct_counts
+
+    return distinct_counts(sf_dir)
+
+
+def _q_top_orders_per_priority(sf_dir: str):
+    from pdf_parser_ray.ops.relational import top_orders_per_priority
+
+    return top_orders_per_priority(sf_dir, k=3)
+
+
 def _q_supplier_stats(sf_dir: str):
     from pdf_parser_ray.ops.relational import supplier_balance_stats
 
@@ -313,6 +337,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_agg": _q_events_window,
         "sessionize": _q_sessionize,
         "supplier_balance_stats": _q_supplier_stats,
+        "customers_without_orders": _q_customers_without_orders,
+        "parts_in_lineitem": _q_parts_in_lineitem,
+        "distinct_counts": _q_distinct_counts,
+        "top_orders_per_priority": _q_top_orders_per_priority,
         # multimodal plumbing (stubbed decode)
         "media_features": _q_media_features,
         # corpus-level validation report (reference step 5)
@@ -400,6 +428,28 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(MIN(s_acctbal), 2) AS min_bal, ROUND(MAX(s_acctbal), 2) AS max_bal, "
             "ROUND(AVG(s_acctbal), 2) AS avg_bal FROM supplier "
             "GROUP BY s_nationkey ORDER BY s_nationkey"
+        ),
+        "customers_without_orders": (
+            "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            " AND o.o_orderdate >= DATE '1998-01-01') "
+            "ORDER BY c_custkey"
+        ),
+        "parts_in_lineitem": (
+            "SELECT p_partkey, p_name FROM part p WHERE EXISTS "
+            "(SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey) "
+            "ORDER BY p_partkey"
+        ),
+        "distinct_counts": (
+            "SELECT COUNT(DISTINCT o_custkey) AS n_distinct_custkeys, "
+            "COUNT(DISTINCT o_orderpriority) AS n_distinct_priorities FROM orders"
+        ),
+        "top_orders_per_priority": (
+            "SELECT o_orderkey, o_orderpriority, o_totalprice FROM ("
+            "  SELECT o_orderkey, o_orderpriority, o_totalprice, "
+            "  ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+            "    ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders"
+            ") WHERE rn <= 3"
         ),
         # extract_stats / extract_span_kinds / quality_score / lang_id /
         # fingerprint / minhash_pairs / simhash / embedding_near_dup /

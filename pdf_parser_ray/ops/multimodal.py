@@ -143,3 +143,80 @@ def media_inventory(doc_results: ray.data.Dataset) -> ray.data.Dataset:
         return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
     return doc_results.map_batches(explode, batch_format="pyarrow")
+
+
+class ImageResizer:
+    """Actor-pool resize stage (STUB kernel): real deployments decode +
+    resample in `_resize`; the stub deterministically computes the target
+    geometry (aspect-preserving fit into ``max_side``) from the fake
+    decoder's dimensions so the schema/batching plumbing is exercised."""
+
+    def __init__(self, max_side: int = 256, fake: bool = True):
+        self.max_side = max_side
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for row in batch.to_pylist():
+            w, h = int(row["width"]), int(row["height"])
+            if not self.fake:
+                raise NotImplementedError("real resize needs an image codec")
+            scale = min(1.0, self.max_side / max(w, h, 1))
+            rows.append(
+                {
+                    **{k: row[k] for k in ("doc_id", "media_ref", "media_type")},
+                    "width": int(w * scale),
+                    "height": int(h * scale),
+                    "n_bytes": row["n_bytes"],
+                    "feature": row["feature"],
+                    "decode_ok": row["decode_ok"],
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=MEDIA_FEATURES_SCHEMA)
+
+
+def resize_media(
+    features_ds: ray.data.Dataset, max_side: int = 256, batch_size: int = 16
+) -> ray.data.Dataset:
+    return features_ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"max_side": max_side},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+    )
+
+
+def sample_frames(
+    media_ds: ray.data.Dataset, every_n: int = 10, max_frames: int = 8
+) -> ray.data.Dataset:
+    """Frame-sampling plumbing for video refs (STUB): emits deterministic
+    frame refs ``<media_ref>#f<i>`` for i in 0, n, 2n, ... — the real kernel
+    would demux the container; the fan-out shape (one media row -> K frame
+    rows, small batches) is what matters for the pipeline."""
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("media_ref", pa.string()),
+            ("frame_index", pa.int32()),
+            ("frame_ref", pa.string()),
+        ]
+    )
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        rows = []
+        for row in batch.to_pylist():
+            for k in range(max_frames):
+                idx = k * every_n
+                rows.append(
+                    {
+                        "doc_id": row["doc_id"],
+                        "media_ref": row["media_ref"],
+                        "frame_index": idx,
+                        "frame_ref": f"{row['media_ref']}#f{idx}",
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    return media_ds.map_batches(fan_out, batch_format="pyarrow", batch_size=16)

@@ -165,3 +165,125 @@ def supplier_balance_stats(sf_dir: str) -> ray.data.Dataset:
         )
         .sort("s_nationkey")
     )
+
+
+def customers_without_orders(
+    sf_dir: str, since: str = "1998-01-01"
+) -> ray.data.Dataset:
+    """Anti-join via broadcast key set: customers with no orders on/after
+    ``since``.
+
+    The probe side (distinct recent o_custkey, pruned at the read with a
+    row-group filter) is collected once and shipped via ray.put; the stream
+    side filters per batch — no shuffle (ray_guide.md "Semi / anti join")."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    cutoff = datetime.datetime.fromisoformat(since)
+    keys = set(
+        pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey"],
+            filters=[("o_orderdate", ">=", cutoff)],
+        )
+        .column("o_custkey")
+        .to_pylist()
+    )
+    keys_ref = ray.put(keys)
+
+    class AntiJoin:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = [k not in self.keys for k in batch["c_custkey"].to_pylist()]
+            return batch.filter(pa.array(mask))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return ds.map_batches(
+        AntiJoin, fn_constructor_kwargs={"ref": keys_ref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).sort("c_custkey")
+
+
+def parts_in_lineitem(sf_dir: str) -> ray.data.Dataset:
+    """Semi-join via broadcast key set: parts referenced by any lineitem."""
+    import pyarrow.parquet as pq
+
+    keys = set(
+        pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+        .column("l_partkey")
+        .to_pylist()
+    )
+    keys_ref = ray.put(keys)
+
+    class SemiJoin:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = [k in self.keys for k in batch["p_partkey"].to_pylist()]
+            return batch.filter(pa.array(mask))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    return ds.map_batches(
+        SemiJoin, fn_constructor_kwargs={"ref": keys_ref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).sort("p_partkey")
+
+
+def distinct_counts(sf_dir: str) -> ray.data.Dataset:
+    """Exact distinct counts via per-batch set partials merged in one tiny
+    reduce — the pre-aggregate pattern applied to COUNT(DISTINCT)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        custs = pc.unique(batch["o_custkey"])
+        prios = pc.unique(batch["o_orderpriority"])
+        return pa.table(
+            {
+                "custkeys": pa.array([custs.to_pylist()]),
+                "priorities": pa.array([prios.to_pylist()]),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n_cust = len({k for row in parts for k in row["custkeys"]})
+    n_prio = len({p for row in parts for p in row["priorities"]})
+    return ray.data.from_items(
+        [{"n_distinct_custkeys": n_cust, "n_distinct_priorities": n_prio}]
+    )
+
+
+def top_orders_per_priority(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Top-k rows per group (orders by price within each priority):
+    per-batch partial top-k prune, then one small groupby."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+            .groupby("o_orderpriority", as_index=False)
+            .head(k)
+        )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(k)
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .map_groups(final_topk, batch_format="pandas")
+    )

@@ -185,3 +185,18 @@ def test_sessionize_gap_splits(ray_session, tmp_path, monkeypatch):
     u7 = out[out.user_id == 7].sort_values("session_id")
     assert list(u7.n_events) == [2, 1]  # 2h gap splits the session
     assert len(out[out.user_id == 8]) == 1
+
+
+def test_media_resize_and_frames(ray_session):
+    media = ray.data.from_arrow(
+        pa.Table.from_pylist(
+            [{"doc_id": "d", "media_ref": "vid://d/0", "media_type": "video", "payload": b""}],
+            schema=multimodal.MEDIA_SCHEMA,
+        )
+    )
+    feats = multimodal.media_features(media, fake=True, concurrency=1)
+    resized = multimodal.resize_media(feats, max_side=64).to_pandas()
+    assert resized.width.iloc[0] <= 64 and resized.height.iloc[0] <= 64
+    frames = multimodal.sample_frames(media, every_n=5, max_frames=3).to_pandas()
+    assert list(frames.frame_index) == [0, 5, 10]
+    assert frames.frame_ref.iloc[1] == "vid://d/0#f5"
