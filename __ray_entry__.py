@@ -245,7 +245,10 @@ def _q_events_window(sf_dir: str):
 def _q_customers_without_orders(sf_dir: str):
     from pdf_parser_ray.ops.relational import customers_without_orders
 
-    return customers_without_orders(sf_dir)
+    # an empty Ray result loses its schema through to_pandas; reindex so the
+    # driver's column check still sees the declared columns
+    df = customers_without_orders(sf_dir).to_pandas()
+    return df.reindex(columns=["c_custkey", "c_name"]) if df.empty else df
 
 
 def _q_parts_in_lineitem(sf_dir: str):

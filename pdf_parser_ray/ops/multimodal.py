@@ -156,17 +156,17 @@ class ImageResizer:
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError("real resize needs an image codec")
         rows = []
         for row in batch.to_pylist():
             w, h = int(row["width"]), int(row["height"])
-            if not self.fake:
-                raise NotImplementedError("real resize needs an image codec")
             scale = min(1.0, self.max_side / max(w, h, 1))
             rows.append(
                 {
                     **{k: row[k] for k in ("doc_id", "media_ref", "media_type")},
-                    "width": int(w * scale),
-                    "height": int(h * scale),
+                    "width": max(1, round(w * scale)),
+                    "height": max(1, round(h * scale)),
                     "n_bytes": row["n_bytes"],
                     "feature": row["feature"],
                     "decode_ok": row["decode_ok"],
@@ -176,11 +176,14 @@ class ImageResizer:
 
 
 def resize_media(
-    features_ds: ray.data.Dataset, max_side: int = 256, batch_size: int = 16
+    features_ds: ray.data.Dataset,
+    max_side: int = 256,
+    batch_size: int = 16,
+    fake: bool = True,
 ) -> ray.data.Dataset:
     return features_ds.map_batches(
         ImageResizer,
-        fn_constructor_kwargs={"max_side": max_side},
+        fn_constructor_kwargs={"max_side": max_side, "fake": fake},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, 4),
@@ -207,6 +210,8 @@ def sample_frames(
     def fan_out(batch: pa.Table) -> pa.Table:
         rows = []
         for row in batch.to_pylist():
+            if row.get("media_type") != "video":
+                continue
             for k in range(max_frames):
                 idx = k * every_n
                 rows.append(

@@ -167,74 +167,71 @@ def supplier_balance_stats(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def broadcast_key_filter(
+    ds: ray.data.Dataset, column: str, keys: pa.Array, keep: bool
+) -> ray.data.Dataset:
+    """Semi-join (``keep=True``) / anti-join (``keep=False``) against a
+    broadcast key set: the distinct keys ship once via ray.put, each batch
+    filters with the vectorized ``pc.is_in`` kernel — no shuffle
+    (ray_guide.md "Semi / anti join")."""
+    keys_ref = ray.put(keys)
+
+    class KeyFilter:
+        def __init__(self, ref, keep: bool):
+            self.value_set = ray.get(ref)
+            self.keep = keep
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch[column], value_set=self.value_set)
+            if not self.keep:
+                mask = pc.invert(mask)
+            return batch.filter(mask)
+
+    return ds.map_batches(
+        KeyFilter,
+        fn_constructor_kwargs={"ref": keys_ref, "keep": keep},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
 def customers_without_orders(
     sf_dir: str, since: str = "1998-01-01"
 ) -> ray.data.Dataset:
-    """Anti-join via broadcast key set: customers with no orders on/after
-    ``since``.
-
-    The probe side (distinct recent o_custkey, pruned at the read with a
-    row-group filter) is collected once and shipped via ray.put; the stream
-    side filters per batch — no shuffle (ray_guide.md "Semi / anti join")."""
+    """Anti-join: customers with no orders on/after ``since``. Probe side =
+    distinct recent o_custkey (predicate pushed to the parquet read,
+    deduped in Arrow before leaving the driver)."""
     import datetime
 
     import pyarrow.parquet as pq
 
     cutoff = datetime.datetime.fromisoformat(since)
-    keys = set(
+    keys = pc.unique(
         pq.read_table(
             f"{sf_dir}/orders.parquet",
             columns=["o_custkey"],
             filters=[("o_orderdate", ">=", cutoff)],
-        )
-        .column("o_custkey")
-        .to_pylist()
+        ).column("o_custkey")
     )
-    keys_ref = ray.put(keys)
-
-    class AntiJoin:
-        def __init__(self, ref):
-            self.keys = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = [k not in self.keys for k in batch["c_custkey"].to_pylist()]
-            return batch.filter(pa.array(mask))
-
     ds = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
-    return ds.map_batches(
-        AntiJoin, fn_constructor_kwargs={"ref": keys_ref},
-        batch_format="pyarrow", concurrency=(1, 4),
-    ).sort("c_custkey")
+    return broadcast_key_filter(ds, "c_custkey", keys, keep=False).sort("c_custkey")
 
 
 def parts_in_lineitem(sf_dir: str) -> ray.data.Dataset:
-    """Semi-join via broadcast key set: parts referenced by any lineitem."""
+    """Semi-join: parts referenced by any lineitem (distinct probe keys)."""
     import pyarrow.parquet as pq
 
-    keys = set(
-        pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
-        .column("l_partkey")
-        .to_pylist()
+    keys = pc.unique(
+        pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"]).column(
+            "l_partkey"
+        )
     )
-    keys_ref = ray.put(keys)
-
-    class SemiJoin:
-        def __init__(self, ref):
-            self.keys = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = [k in self.keys for k in batch["p_partkey"].to_pylist()]
-            return batch.filter(pa.array(mask))
-
     ds = ray.data.read_parquet(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
     )
-    return ds.map_batches(
-        SemiJoin, fn_constructor_kwargs={"ref": keys_ref},
-        batch_format="pyarrow", concurrency=(1, 4),
-    ).sort("p_partkey")
+    return broadcast_key_filter(ds, "p_partkey", keys, keep=True).sort("p_partkey")
 
 
 def distinct_counts(sf_dir: str) -> ray.data.Dataset:

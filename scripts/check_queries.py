@@ -31,7 +31,7 @@ def value_hash(df: pd.DataFrame) -> str:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         df[c] = df[c].astype(str)
-    rows = sorted(df.apply("|".join, axis=1).tolist())
+    rows = sorted(df.apply("|".join, axis=1).tolist()) if len(df) else []
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 
 
