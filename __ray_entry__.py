@@ -269,6 +269,12 @@ def _q_top_orders_per_priority(sf_dir: str):
     return top_orders_per_priority(sf_dir, k=3)
 
 
+def _q_order_priority_revenue(sf_dir: str):
+    from pdf_parser_ray.ops.relational import order_priority_revenue
+
+    return _round_cols(order_priority_revenue(sf_dir), {"revenue": 2})
+
+
 def _q_supplier_stats(sf_dir: str):
     from pdf_parser_ray.ops.relational import supplier_balance_stats
 
@@ -344,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_in_lineitem": _q_parts_in_lineitem,
         "distinct_counts": _q_distinct_counts,
         "top_orders_per_priority": _q_top_orders_per_priority,
+        "order_priority_revenue": _q_order_priority_revenue,
         # multimodal plumbing (stubbed decode)
         "media_features": _q_media_features,
         # corpus-level validation report (reference step 5)
@@ -446,6 +453,13 @@ def oracle_sql() -> dict[str, str]:
         "distinct_counts": (
             "SELECT COUNT(DISTINCT o_custkey) AS n_distinct_custkeys, "
             "COUNT(DISTINCT o_orderpriority) AS n_distinct_priorities FROM orders"
+        ),
+        "order_priority_revenue": (
+            "SELECT o_orderpriority, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "COUNT(*) AS n_items FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
         ),
         "top_orders_per_priority": (
             "SELECT o_orderkey, o_orderpriority, o_totalprice FROM ("

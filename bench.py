@@ -119,8 +119,10 @@ def run_secondary() -> dict[str, float]:
         "knn_ivf",
         "pricing_summary",
         "revenue_by_nation",
+        "order_priority_revenue",
         "filtered_revenue",
         "events_window_agg",
+        "sessionize",
     ]
     out: dict[str, float] = {}
     for name in chosen:

@@ -284,3 +284,39 @@ def top_orders_per_priority(sf_dir: str, k: int = 3) -> ray.data.Dataset:
         .groupby("o_orderpriority")
         .map_groups(final_topk, batch_format="pandas")
     )
+
+
+def order_priority_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Large x large partitioned hash join (Ray-native ``Dataset.join``):
+    lineitem ⋈ orders on the order key, then a pre-aggregated groupby.
+    Complements the broadcast join — this is the path when neither side
+    fits a broadcast."""
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = lineitem.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["rev"] = batch.l_extendedprice * (1 - batch.l_discount)
+        return batch.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("rev", "sum"), n_items=("rev", "size")
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("revenue", alias_name="revenue"), Sum("n_items", alias_name="n_items")
+        )
+        .sort("o_orderpriority")
+    )
