@@ -151,13 +151,11 @@ def main() -> None:
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    from ray.data.context import DataContext, ShuffleStrategy
+    from pdf_parser_ray.pipelines.steps import configure_context
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
     # push-based sort shuffle: measurably lower driver-side coordination
     # cost for the reassembly groupby in this Ray build
-    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    configure_context(shuffle="push")
 
     head = run_headline()
     queries = {} if headline_only else run_secondary()

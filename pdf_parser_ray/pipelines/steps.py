@@ -1,0 +1,97 @@
+"""Pluggable pipeline-step API (reference main.py:92-116, SURVEY §2.9).
+
+The reference runs an ordered list of (name, callable) steps, each wrapped
+so a failure degrades to None and the pipeline continues. Here a step is
+``(name, Dataset -> Dataset)``; failures record the error and pass the input
+through unchanged — the Ray-native analogue of the reference's
+degrade-and-continue contract (main.py:118-126).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import ray.data
+
+StepFn = Callable[[ray.data.Dataset], ray.data.Dataset]
+
+
+@dataclass
+class StagePipeline:
+    """Ordered, pluggable Dataset-stage pipeline.
+
+    >>> pipe = StagePipeline()
+    >>> pipe.add_step("render", lambda ds: page_rows(ds))
+    >>> pipe.add_step("assemble", my_assemble)
+    >>> result = pipe.run(corpus_ds)
+    """
+
+    steps: list[tuple[str, StepFn]] = field(default_factory=list)
+    errors: dict[str, str] = field(default_factory=dict)
+
+    def add_step(self, name: str, fn: StepFn) -> "StagePipeline":
+        if not callable(fn):
+            raise TypeError("step must be callable (Dataset -> Dataset)")
+        self.steps.append((name, fn))
+        return self
+
+    def insert_step(self, index: int, name: str, fn: StepFn) -> "StagePipeline":
+        self.steps.insert(index, (name, fn))
+        return self
+
+    def run(
+        self, ds: ray.data.Dataset, fail_fast: bool = False
+    ) -> ray.data.Dataset:
+        """Apply steps in order. On a step error: raise when ``fail_fast``,
+        else record it in ``errors`` and continue with the previous dataset
+        (the reference's per-step try/except, main.py:104-126)."""
+        self.errors = {}
+        for name, fn in self.steps:
+            try:
+                ds = fn(ds)
+            except Exception as exc:
+                if fail_fast:
+                    raise
+                self.errors[name] = f"{type(exc).__name__}: {exc}"
+        return ds
+
+
+def default_extraction_pipeline(
+    n_buckets: int = 64, strip_boilerplate: bool = True
+) -> StagePipeline:
+    """The flagship as composable steps — swap/insert stages freely."""
+    from pdf_parser_ray.pipelines.extract import extract
+
+    pipe = StagePipeline()
+    pipe.add_step(
+        "extract", lambda ds: extract(ds, n_buckets, strip_boilerplate)
+    )
+    return pipe
+
+
+def configure_context(
+    shuffle: str = "push",
+    target_max_block_size: Optional[int] = None,
+    preserve_order: bool = False,
+) -> Any:
+    """Apply the engine's recommended DataContext knobs in one place —
+    entry points own the Ray session, the library never mutates global
+    state implicitly. ``shuffle``: 'push' (recommended — lowest driver
+    coordination cost measured on this Ray build), 'pull', or 'hash'
+    (known to hang for groupby in Ray 2.49 local mode; kept for forward
+    compat)."""
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.preserve_order = preserve_order
+    if shuffle == "push":
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    elif shuffle == "hash":
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    else:
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+    if target_max_block_size is not None:
+        ctx.target_max_block_size = target_max_block_size
+    return ctx

@@ -55,3 +55,36 @@ def test_tolerant_reader_skips_junk(ray_session, tmp_path):
     rows = list(iter_reference_records(str(p)))
     assert rows == [{"a": 1}, {"b": 2}]
     assert read_jsonl_tolerant(str(p)).count() == 2
+
+
+def test_stage_pipeline(ray_session):
+    import pyarrow as pa
+
+    from pdf_parser_ray.pipelines.steps import StagePipeline
+
+    pipe = StagePipeline()
+    pipe.add_step("double", lambda ds: ds.map_batches(
+        lambda b: b.set_column(0, "x", pa.compute.multiply(b["x"], 2)),
+        batch_format="pyarrow"))
+    pipe.add_step("boom", lambda ds: (_ for _ in ()).throw(RuntimeError("nope")))
+    pipe.add_step("add1", lambda ds: ds.map_batches(
+        lambda b: b.set_column(0, "x", pa.compute.add(b["x"], 1)),
+        batch_format="pyarrow"))
+    ds = ray.data.from_items([{"x": 3}])
+    out = pipe.run(ds).to_pandas()
+    # failing step recorded, pipeline continued: 3*2 + 1
+    assert out.x.iloc[0] == 7
+    assert "boom" in pipe.errors and "RuntimeError" in pipe.errors["boom"]
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        pipe.run(ds, fail_fast=True)
+
+
+def test_default_extraction_pipeline(ray_session):
+    from pdf_parser_ray.pipelines.steps import default_extraction_pipeline
+    from pdf_parser_ray.synthgen import generate_corpus
+
+    pipe = default_extraction_pipeline(n_buckets=4)
+    out = pipe.run(ray.data.from_arrow(generate_corpus(5)))
+    assert out.count() == 5 and not pipe.errors
