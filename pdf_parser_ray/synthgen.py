@@ -150,7 +150,8 @@ def generate_document(doc_idx: int, seed: int = 42, max_pages: int = 400) -> dic
     elif r < 0.95:
         n_pages = rng.randint(10, 50)
     else:
-        n_pages = rng.randint(100, min(400, max_pages))
+        giant_lo = min(100, max_pages)
+        n_pages = rng.randint(giant_lo, max(giant_lo, min(400, max_pages)))
     n_pages = min(n_pages, max_pages)
 
     has_metadata = rng.random() < 0.7
