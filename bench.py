@@ -27,9 +27,11 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-# corpus multiplier: scales headline work without new data (used by --scaling
-# so the measured region dominates fixed session overhead)
-MULT = int(os.environ.get("GRAFT_BENCH_MULT", "1"))
+# corpus multiplier: scales headline work without new data. Default 8 so the
+# measured region reflects sustained throughput rather than fixed pipeline
+# latency; --scaling raises it further (64) so compute dominates the
+# shuffle's per-block coordination cost
+MULT = int(os.environ.get("GRAFT_BENCH_MULT", "8"))
 OUT_DIR = "/tmp/bench_out"
 
 

@@ -81,8 +81,15 @@ def configure_context(
     coordination cost measured on this Ray build), 'pull', or 'hash'
     (known to hang for groupby in Ray 2.49 local mode; kept for forward
     compat)."""
+    import logging
+
     from ray.data.context import DataContext, ShuffleStrategy
 
+    # Ray's block-schema dedup hashing warns per block on nested-struct
+    # schemas ("Failed to hash the schemas") — harmless and very loud
+    logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").setLevel(
+        logging.ERROR
+    )
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.preserve_order = preserve_order
