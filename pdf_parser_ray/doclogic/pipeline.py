@@ -14,7 +14,7 @@ single-process — the north-rule invariant.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 from pdf_parser_ray.doclogic import metadata as md
 from pdf_parser_ray.doclogic import render, sections, toc
@@ -61,7 +61,12 @@ def assemble_document(
     toc_pages = [r for r in page_rows if r.get("page", 0) <= TOC_MAX_PAGE]
     toc_entries = toc.parse_toc(toc_pages, doc_title)
 
-    section_records = sections.parse_sections(page_rows, toc_entries, doc_title)
+    # the reference never passes the metadata title into the section stage
+    # (main.py:54-58 constructs SectionParser with its fixed default); the
+    # metadata title reaches sections only through each TOC entry
+    section_records = sections.parse_sections(
+        page_rows, toc_entries, sections.DEFAULT_SECTION_DOC_TITLE
+    )
 
     out_spans = render.assemble_output_spans(page_rows, strip_boilerplate)
 

@@ -51,7 +51,9 @@ def spans_to_pages(spans: list[dict[str, Any]]) -> list[dict[str, Any]]:
         kind = span.get("kind", "")
         text = span.get("text", "") or ""
         if kind == "page_break":
-            number = int(text) if text.isdigit() else (len(pages) + 1 if current is None else current["page"] + 1)
+            # isdecimal, not isdigit: superscript/vulgar digits pass
+            # isdigit() but crash int() — those fall back to sequential
+            number = int(text) if text.isdecimal() else (len(pages) + 1 if current is None else current["page"] + 1)
             if current is not None:
                 pages.append(current)
             current = new_page(number)

@@ -34,6 +34,13 @@ from pdf_parser_ray.doclogic.render import comprehensive_content_range
 _NUMBERED_LINE_RE = re.compile(r"^\d+(\.\d+)*\s+")
 _LETTERED_LINE_RE = re.compile(r"^[A-Z](\.\d+)*\s+")
 
+# SectionParser's constructor default (section_parser.py:37): the reference's
+# main pipeline never passes the metadata title to the section stage, so
+# page/content sections and the TOC-entry fallback always use this fixed
+# title — the metadata-derived title reaches sections only via each TOC
+# entry's own doc_title field.
+DEFAULT_SECTION_DOC_TITLE = "USB Power Delivery Specification"
+
 SECTION_FIELDS = (
     "doc_title",
     "section_id",

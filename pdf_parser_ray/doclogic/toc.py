@@ -425,8 +425,20 @@ def parse_toc(
 
     ``pages`` must already be filtered to the TOC search window (the caller
     applies the page <= 60 cut, main.py:194-202) and be in page order.
-    Reference orchestration: toc_parser.py:115-178.
+    Reference orchestration: toc_parser.py:115-178; like the reference's
+    parse_toc, any internal error degrades to an empty TOC (toc_parser.py:
+    78-80) so the rest of the document's outputs survive — e.g. a line
+    ending in a superscript digit passes ``isdigit`` but crashes ``int()``.
     """
+    try:
+        return _parse_toc_inner(pages, doc_title)
+    except Exception:
+        return []
+
+
+def _parse_toc_inner(
+    pages: list[dict[str, Any]], doc_title: str
+) -> list[dict[str, Any]]:
     lines = flatten_pages_to_lines(pages)
     start_index = textproc.find_content_start(lines, TOC_START_INDICATORS)
     lines = lines[start_index:]

@@ -43,12 +43,16 @@ def knn_bruteforce(
         def __call__(self, batch: pa.Table) -> pa.Table:
             vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
             ids = np.asarray(batch[id_col].to_pylist())
-            sims = _unit(vecs) @ self.q
+            # prune on the ROUNDED similarity so the per-batch cut agrees
+            # with the global merge's (rounded, id) ordering — near-ties at
+            # the 6th decimal must break by id everywhere or the k boundary
+            # can diverge from the SQL oracle
+            sims = np.round(_unit(vecs) @ self.q, 6)
             order = np.lexsort((ids, -sims))[: self.k]
             return pa.table(
                 {
                     id_col: pa.array(ids[order]),
-                    "cosine": pa.array(np.round(sims[order], 6)),
+                    "cosine": pa.array(sims[order]),
                 }
             )
 

@@ -30,25 +30,12 @@ from pdf_parser_ray.schemas import (
     METADATA_SCHEMA,
     SECTIONS_SCHEMA,
     SPAN_FLAT_SCHEMA,
-    SPANS_OUT_SCHEMA,
     TOC_SCHEMA,
 )
 from pdf_parser_ray.stages.assemble_stage import BucketAssembler, doc_result_to_row
 from pdf_parser_ray.stages.render_stage import PageRenderer, bucket_of, render_pages
 
 DEFAULT_N_BUCKETS = 64
-
-
-def _default_concurrency() -> Any:
-    """Actor-pool size for stateful stages: autoscale up to the CPU count so
-    the renderer pool never starves the read or the shuffle stages."""
-    try:
-        import ray
-
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        ncpu = 8
-    return (1, max(2, ncpu))
 
 
 def page_rows(
@@ -157,6 +144,11 @@ def extract_hybrid(
     Dataset (each branch re-reads the source — two cheap columnar scans
     beat one full shuffle), or a Dataset (branched lazily; its upstream
     executes once per branch).
+
+    REQUIRES whole-document rows: the size filter classifies per ROW, so a
+    document fragmented across corpus rows would have its fragments
+    assembled independently (duplicate doc_id results). Fragmented corpora
+    must use :func:`extract`, whose groupby merges fragments.
     """
 
     def make():

@@ -12,7 +12,6 @@ each doc's rows by page, and runs the order-dependent doc-level pipeline
 
 from __future__ import annotations
 
-from collections import defaultdict
 from typing import Any
 
 import pyarrow as pa
@@ -93,13 +92,14 @@ def assemble_doc_rows(
 ) -> dict[str, Any]:
     """Assemble one document from its page rows -> one DOC_RESULT row.
 
-    Marker rows (page == 0, emitted for empty/failed docs by the renderer)
-    carry the failure flag; real page rows are assembled in page order.
-    Assembly exceptions degrade to a parse_failure row, never a task crash.
+    Marker rows (page == -1, emitted for empty/failed docs by the renderer)
+    carry the failure flag; real page rows (page >= 0, including genuine
+    page-0 content) are assembled in page order. Assembly exceptions degrade
+    to a parse_failure row, never a task crash.
     """
     bucket = rows[0].get("bucket", 0) if rows else 0
     failure = any(r.get("parse_failure") for r in rows)
-    page_rows = [r for r in rows if r.get("page", 0) > 0]
+    page_rows = [r for r in rows if r.get("page", -1) >= 0]
     if not page_rows:
         return doc_result_to_row(_empty_result(doc_id), bucket, failure)
     try:
@@ -110,17 +110,34 @@ def assemble_doc_rows(
 
 
 class BucketAssembler:
-    """map_groups callable over bucket groups of page rows."""
+    """map_groups callable over bucket groups of page rows.
+
+    Memory shape: the group stays an Arrow table (compact, possibly
+    memory-mapped); rows are converted to Python dicts one DOCUMENT at a
+    time via sorted slices, so peak Python-heap usage is one doc's pages
+    plus one result row — not the whole bucket (which at corpus scale is
+    corpus_size / n_buckets)."""
 
     def __init__(self, strip_boilerplate: bool = True):
         self.strip_boilerplate = strip_boilerplate
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        by_doc: dict[str, list[dict[str, Any]]] = defaultdict(list)
-        for row in group.to_pylist():
-            by_doc[str(row["doc_id"])].append(row)
-        out = [
-            assemble_doc_rows(doc_id, by_doc[doc_id], self.strip_boilerplate)
-            for doc_id in sorted(by_doc)
-        ]
+        if group.num_rows == 0:
+            return pa.Table.from_pylist([], schema=DOC_RESULT_SCHEMA)
+        order = pa.compute.sort_indices(
+            group, sort_keys=[("doc_id", "ascending"), ("page", "ascending")]
+        )
+        group = group.take(order)
+        doc_ids = group["doc_id"].to_pylist()
+        out = []
+        start = 0
+        for i in range(1, len(doc_ids) + 1):
+            if i == len(doc_ids) or doc_ids[i] != doc_ids[start]:
+                rows = group.slice(start, i - start).to_pylist()
+                out.append(
+                    assemble_doc_rows(
+                        str(doc_ids[start]), rows, self.strip_boilerplate
+                    )
+                )
+                start = i
         return pa.Table.from_pylist(out, schema=DOC_RESULT_SCHEMA)

@@ -30,10 +30,13 @@ def bucket_of(doc_id: str, n_buckets: int) -> int:
 
 
 def _empty_doc_row(doc_id: str, bucket: int, failure: bool) -> dict[str, Any]:
+    # marker page is -1: a real page number can never be negative (page_break
+    # texts parse via isdecimal), so empty/failed-doc markers can't collide
+    # with genuine page-0 content
     return {
         "doc_id": doc_id,
         "bucket": bucket,
-        "page": 0,
+        "page": -1,
         "text": "",
         "rendered": "",
         "nontext_spans": [],

@@ -173,6 +173,10 @@ def run_extraction_sharded(
     This is the checkpointed form of ``pipelines.extract_hybrid``: at corpus
     scale the shuffle moves only the skew tail while the bulk path commits
     per input shard ("one output directory per input shard", resumable).
+
+    REQUIRES whole-document rows (like extract_hybrid): fragments of one
+    document in different rows would assemble independently on the map-only
+    path — fragmented corpora go through ``run_extraction``.
     """
     import pyarrow.compute as pc
 
@@ -209,18 +213,25 @@ def run_extraction_sharded(
         shard_dir = os.path.join(output_dir, f"shard={i}")
         shutil_rmtree_quiet(shard_dir)
         results.write_parquet(shard_dir)
-        stats = ray.data.read_parquet(shard_dir).aggregate(
-            Count(alias_name="n_rows"),
-            Sum("n_spans", alias_name="n_spans"),
-            Sum("total_pages", alias_name="total_pages"),
-        )
+        if os.path.isdir(shard_dir):
+            stats = ray.data.read_parquet(shard_dir).aggregate(
+                Count(alias_name="n_rows"),
+                Sum("n_spans", alias_name="n_spans"),
+                Sum("parse_failure", alias_name="parse_failures"),
+                Sum("total_pages", alias_name="total_pages"),
+            )
+        else:
+            # a shard whose docs are all above the giant threshold writes
+            # nothing (they flow through the giant branch below) — still a
+            # completed shard with zero counters
+            stats = {}
         n_rows = int(stats.get("n_rows") or 0)
         manifest = {
             "shard": i,
             "input_files": shard_files,
             "docs_parsed": n_rows,
             "spans_emitted": int(stats.get("n_spans") or 0),
-            "parse_failures": 0,
+            "parse_failures": int(stats.get("parse_failures") or 0),
             "pages_processed": int(stats.get("total_pages") or 0),
         }
         with open(shard_manifest(i), "w") as f:
@@ -228,6 +239,7 @@ def run_extraction_sharded(
         totals["shards_completed_now"] += 1
         totals["docs_parsed"] += manifest["docs_parsed"]
         totals["spans_emitted"] += manifest["spans_emitted"]
+        totals["parse_failures"] += manifest["parse_failures"]
         totals["pages_processed"] += manifest["pages_processed"]
 
     giant_ds = ray.data.read_parquet(sorted(input_files)).map_batches(
@@ -259,11 +271,17 @@ def read_sharded_extraction(output_dir: str) -> ray.data.Dataset:
         if name.startswith("shard_"):
             with open(os.path.join(mdir, name)) as f:
                 shard = json.load(f)["shard"]
-            paths.append(os.path.join(output_dir, f"shard={shard}"))
+            p = os.path.join(output_dir, f"shard={shard}")
+            if os.path.isdir(p):  # all-giant shards write no map-only data
+                paths.append(p)
     giant_dir = os.path.join(output_dir, "giant")
     datasets = [ray.data.read_parquet(p) for p in paths]
     if os.path.isdir(giant_dir) and completed_buckets(giant_dir):
         datasets.append(read_extraction(giant_dir))
+    if not datasets:
+        from pdf_parser_ray.schemas import DOC_RESULT_SCHEMA
+
+        return ray.data.from_arrow(pa.Table.from_pylist([], schema=DOC_RESULT_SCHEMA))
     ds = datasets[0]
     for other in datasets[1:]:
         ds = ds.union(other)

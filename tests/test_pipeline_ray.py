@@ -191,3 +191,51 @@ def test_doc_split_across_corpus_rows(ray_session):
     assert spans_key(got.iloc[0]["spans"]) == spans_key(want["spans"])
     assert got.iloc[0]["n_sections"] == len(want["sections"])
     assert got.iloc[0]["n_toc_entries"] == len(want["toc"])
+
+
+def test_page_zero_not_confused_with_marker(ray_session):
+    """Genuine page-0 content must survive the shuffle path (the empty-doc
+    marker uses page=-1, not 0)."""
+    spans = [
+        {"kind": "page_break", "text": "0", "media_ref": "", "offset": 0},
+        {"kind": "text", "text": "hello page zero content", "media_ref": "", "offset": 1},
+    ]
+    ds = ray.data.from_items([{"doc_id": "z", "spans": spans}])
+    got = extract(ds, n_buckets=4).to_pandas().iloc[0]
+    want = run_document("z", spans)
+    assert spans_key(got["spans"]) == spans_key(want["spans"])
+    assert got["total_pages"] == 1 and len(got["spans"]) == 1
+
+
+def test_unicode_digit_robustness(ray_session):
+    """Superscript digits pass isdigit() but crash int(): the TOC degrades
+    to empty (reference parity, toc_parser.py:78-80) and page_break falls
+    back to sequential numbering — oracle and distributed agree."""
+    spans = [
+        {"kind": "page_break", "text": "²", "media_ref": "", "offset": 0},
+        {"kind": "text", "text": "Power Overview Details ²", "media_ref": "", "offset": 1},
+        {"kind": "text", "text": "normal body text here", "media_ref": "", "offset": 2},
+    ]
+    want = run_document("u", spans)  # must not raise
+    ds = ray.data.from_items([{"doc_id": "u", "spans": spans}])
+    got = extract(ds, n_buckets=4).to_pandas().iloc[0]
+    assert spans_key(got["spans"]) == spans_key(want["spans"])
+    assert not got["parse_failure"]
+
+
+def test_sharded_all_giant_shard(ray_session, tmp_path):
+    """A shard whose docs are ALL above the giant threshold completes with
+    an empty map-only manifest instead of crashing."""
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.state import read_sharded_extraction, run_extraction_sharded
+    from pdf_parser_ray.synthgen import generate_corpus
+
+    tbl = generate_corpus(6, seed=5, max_pages=50)
+    f = str(tmp_path / "all.parquet")
+    pq.write_table(tbl, f)
+    out = str(tmp_path / "out")
+    s = run_extraction_sharded([f], out, files_per_shard=1, giant_span_threshold=1, n_buckets=4)
+    assert s["shards_completed_now"] == 1 and s["docs_parsed"] == 0
+    assert s["giant"]["docs_parsed"] == 6
+    assert read_sharded_extraction(out).count() == 6
