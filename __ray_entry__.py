@@ -113,6 +113,29 @@ def _q_quality(sf_dir: str):
     return quality_score(ds)
 
 
+def _q_classify_blocks(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.blocks import classify_blocks
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        classify_blocks(ds).groupby("block_class").aggregate(Count(alias_name="n")).sort("block_class")
+    )
+
+
+def _q_main_content(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.blocks import main_content_filter
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _int_doc_id(
+        main_content_filter(ds).select_columns(["doc_id", "n_lines_kept", "n_lines_total"])
+    )
+
+
 def _q_lang_id(sf_dir: str):
     import ray.data
 
@@ -328,6 +351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": _q_doc_stats,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
+        "classify_blocks": _q_classify_blocks,
+        "main_content": _q_main_content,
         "fingerprint": _q_fingerprint,
         # dedup
         "exact_dedup": _q_exact_dedup,

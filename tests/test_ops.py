@@ -200,3 +200,43 @@ def test_media_resize_and_frames(ray_session):
     frames = multimodal.sample_frames(media, every_n=5, max_frames=3).to_pandas()
     assert list(frames.frame_index) == [0, 5, 10]
     assert frames.frame_ref.iloc[1] == "vid://d/0#f5"
+
+
+def test_classify_blocks(ray_session):
+    from pdf_parser_ray.ops import blocks
+
+    text = "\n".join([
+        "INTRODUCTION OVERVIEW",                       # heading (caps)
+        "This is a normal paragraph sentence with enough words to count.",
+        "- first bullet item",                          # list_item
+        "a | b | c",                                    # table_row
+        "Home | About | Contact",                       # table_row/nav family
+        "def main():",                                  # code
+        "",                                             # blank
+        "ok",                                           # short
+    ])
+    ds = ray.data.from_items([{"doc_id": "d", "text": text}])
+    out = blocks.classify_blocks(ds).to_pandas().sort_values("line_idx")
+    got = list(out.block_class)
+    assert got[0] == "heading"
+    assert got[1] == "paragraph"
+    assert got[2] == "list_item"
+    assert got[3] == "table_row"
+    assert got[5] == "code"
+    assert got[6] == "blank"
+    assert got[7] == "short"
+
+    main = blocks.main_content_filter(ds).to_pandas().iloc[0]
+    assert "normal paragraph" in main.main_text
+    assert "def main" not in main.main_text
+    assert main.n_lines_kept < main.n_lines_total
+
+
+def test_classify_blocks_empty_doc(ray_session):
+    from pdf_parser_ray.ops import blocks
+
+    ds = ray.data.from_items([{"doc_id": "e", "text": ""}])
+    out = blocks.classify_blocks(ds).to_pandas()
+    assert len(out) == 1 and out.block_class.iloc[0] == "blank"
+    m = blocks.main_content_filter(ds).to_pandas().iloc[0]
+    assert m.main_text == "" and m.n_lines_kept == 0
