@@ -432,3 +432,96 @@ def minhash_dedup(
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
+
+
+def connected_components_distributed(
+    pairs_ds: ray.data.Dataset, max_rounds: int = 6
+) -> ray.data.Dataset:
+    """Distributed connected components over candidate pairs via iterative
+    min-label propagation — the scale path when the pair set outgrows the
+    driver-side union-find.
+
+    Implemented as co-partitioned message passing (edges and labels bucketed
+    on the same key hash, merged per bucket with vectorized pandas) rather
+    than Dataset.join — two coarse groupbys per round, converging in
+    O(component diameter) rounds; near-dup components are short chains so
+    the default 6 rounds suffices. Returns (doc_id, cluster) with cluster =
+    component-minimum id.
+    """
+
+    def to_directed(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_pylist()
+        b = batch["doc_b"].to_pylist()
+        keys = a + b
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "dst": pa.array(b + a, pa.string()),
+                "label": pa.array([None] * len(keys), pa.string()),
+                "_b": pa.array(
+                    [_md5_64([k])[0] % _DEDUP_BUCKETS for k in keys], pa.int64()
+                ),
+            }
+        )
+
+    directed = pairs_ds.map_batches(to_directed, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        keys = batch["key"]
+        return pa.table(
+            {
+                "key": keys,
+                "dst": pa.array([None] * len(keys), pa.string()),
+                "label": keys,
+                "_b": batch["_b"],
+            }
+        )
+
+    def min_label_per_key(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby("key", as_index=False)["label"].min()
+        out["dst"] = None
+        out["_b"] = [_md5_64([k])[0] % _DEDUP_BUCKETS for k in out["key"]]
+        return out[["key", "dst", "label", "_b"]]
+
+    def as_arrow(batch: pa.Table) -> pa.Table:
+        # map_groups(pandas) emits pandas blocks; union with the Arrow
+        # edge dataset requires uniform Arrow blocks
+        return batch
+
+    labels = (
+        directed.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(min_label_per_key, batch_format="pandas")
+        .map_batches(as_arrow, batch_format="pyarrow")
+    )
+
+    def propagate(group: pd.DataFrame) -> pd.DataFrame:
+        labs = group[group["label"].notna()][["key", "label"]]
+        edges = group[group["dst"].notna()][["key", "dst"]]
+        sent = edges.merge(labs, on="key")[["dst", "label"]].rename(
+            columns={"dst": "key"}
+        )
+        out = pd.concat([labs, sent], ignore_index=True)
+        out = out.groupby("key", as_index=False)["label"].min()
+        out["dst"] = None
+        out["_b"] = [_md5_64([k])[0] % _DEDUP_BUCKETS for k in out["key"]]
+        return out[["key", "dst", "label", "_b"]]
+
+    for _ in range(max_rounds):
+        combined = directed.union(labels)
+        # bucket = hash(key): a key's label row and all its outgoing edges
+        # co-locate, so the per-bucket merge is exact; messages re-bucket by
+        # their destination key and the second groupby takes the global min
+        labels = (
+            combined.groupby("_b")
+            .map_groups(propagate, batch_format="pandas")
+            .groupby("_b")
+            .map_groups(min_label_per_key, batch_format="pandas")
+            .map_batches(as_arrow, batch_format="pyarrow")
+            .materialize()
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["key"], "cluster": batch["label"]})
+
+    return labels.map_batches(finalize, batch_format="pyarrow")

@@ -240,3 +240,16 @@ def test_classify_blocks_empty_doc(ray_session):
     assert len(out) == 1 and out.block_class.iloc[0] == "blank"
     m = blocks.main_content_filter(ds).to_pandas().iloc[0]
     assert m.main_text == "" and m.n_lines_kept == 0
+
+
+def test_connected_components_distributed_matches_unionfind(ray_session):
+    # chain a-b-c-d plus separate pair x-y plus singleton edge-free nodes absent
+    pairs = [("b", "c"), ("a", "b"), ("c", "d"), ("x", "y"), ("p", "q"), ("q", "r")]
+    ds = ray.data.from_items([{"doc_a": a, "doc_b": b} for a, b in pairs])
+    got = dedup.connected_components_distributed(ds, max_rounds=5).to_pandas()
+    got_map = dict(zip(got.doc_id, got.cluster))
+    want = dedup.connected_components(pairs)
+    # union-find maps only non-root nodes; roots map to themselves
+    for node in got_map:
+        assert got_map[node] == want.get(node, node), (node, got_map[node])
+    assert got_map["d"] == "a" and got_map["y"] == "x" and got_map["r"] == "p"
