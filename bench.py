@@ -53,12 +53,19 @@ def _prepare_corpus() -> tuple[str, int]:
 
     from pdf_parser_ray.sources import corpus_from_documents
 
-    key = f"{_sf_label(SF_DIR)}_m{MULT}"
+    # cache key includes the source file's identity so regenerated test
+    # data at the same path invalidates the prepared corpus
+    st = os.stat(f"{SF_DIR}/documents.parquet")
+    key = f"{_sf_label(SF_DIR)}_m{MULT}_{st.st_size}_{int(st.st_mtime)}"
     path = f"/tmp/bench_corpus_{key}"
     marker = os.path.join(path, "_READY")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
-        corpus = corpus_from_documents(SF_DIR, heavy_tail=True, mult=MULT)
+        # ONE lift pass: materialize the corpus once, filter twice from the
+        # object store instead of recomputing the lift per size class
+        corpus = corpus_from_documents(
+            SF_DIR, heavy_tail=True, mult=MULT
+        ).materialize()
 
         def keep(batch: pa.Table, giant: bool) -> pa.Table:
             n = pc.list_value_length(batch["spans"])
@@ -70,9 +77,7 @@ def _prepare_corpus() -> tuple[str, int]:
             return batch.filter(mask)
 
         corpus.map_batches(keep, fn_kwargs={"giant": False}, batch_format="pyarrow").write_parquet(f"{path}/small")
-        corpus_from_documents(SF_DIR, heavy_tail=True, mult=MULT).map_batches(
-            keep, fn_kwargs={"giant": True}, batch_format="pyarrow"
-        ).write_parquet(f"{path}/giant")
+        corpus.map_batches(keep, fn_kwargs={"giant": True}, batch_format="pyarrow").write_parquet(f"{path}/giant")
         open(marker, "w").close()
     n_docs = (
         ray.data.read_parquet(f"{path}/small").count()

@@ -51,7 +51,10 @@ def term_search(
         for doc_id, doc_text in zip(
             survivors[id_col].to_pylist(), pc.cast(survivors[text_col], pa.string()).to_pylist()
         ):
-            for i, line in enumerate((doc_text or "").splitlines()):
+            # split on '\n' exactly (NOT splitlines, which also breaks on
+            # \r, \x0c,  ...) so line_idx matches the DuckDB oracle's
+            # string_split(text, chr(10)) line numbering
+            for i, line in enumerate((doc_text or "").split("\n")):
                 if pat.search(line):
                     rows.append({"doc_id": str(doc_id), "line_idx": i, "line": line})
         return pa.Table.from_pylist(rows, schema=out_schema)

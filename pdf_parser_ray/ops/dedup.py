@@ -82,10 +82,17 @@ class MinHasher:
     one (band_id, band_hash) LSH key.
     """
 
+    # universal-hash modulus: 2^31-1 keeps a*x+b strictly inside int64
+    # (a,x < 2^31 -> product < 2^62; +b < 2^62+2^31) so the modular
+    # arithmetic is exact — with a 61-bit prime the np.outer products would
+    # silently wrap mod 2^64 and void the min-wise-independence the LSH
+    # banding math assumes
+    _P = (1 << 31) - 1
+
     def __init__(self, num_perm: int = 64, band_size: int = 4, shingle_size: int = 5, seed: int = 7):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+        self.a = rng.randint(1, self._P, size=num_perm, dtype=np.int64)
+        self.b = rng.randint(0, self._P, size=num_perm, dtype=np.int64)
         self.num_perm = num_perm
         self.band_size = band_size
         self.n_bands = num_perm // band_size
@@ -101,11 +108,11 @@ class MinHasher:
         if not shingles:
             return None
         base = np.array(
-            [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") % _MERSENNE for s in set(shingles)],
+            [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") % self._P for s in set(shingles)],
             dtype=np.int64,
         )
         # (num_perm, n_shingles) universal hash, min over shingles
-        vals = (np.outer(self.a, base) + self.b[:, None]) % _MERSENNE
+        vals = (np.outer(self.a, base) + self.b[:, None]) % self._P
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -314,15 +321,13 @@ def embedding_near_dup(
     vec_col: str = "embedding",
 ) -> ray.data.Dataset:
     """Near-duplicate vector pairs: sign-LSH bucketing (seeded random
-    hyperplanes) then exact pairwise cosine inside each bucket."""
-    rng = np.random.RandomState(seed)
-    planes: Optional[np.ndarray] = None
+    hyperplanes) then exact pairwise cosine inside each bucket. The plane
+    matrix is rebuilt deterministically per task from the seed (tiny; a
+    closure-cached copy would not survive task serialization anyway)."""
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        nonlocal planes
         vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
-        if planes is None:
-            planes = np.random.RandomState(seed).standard_normal((vecs.shape[1], n_planes))
+        planes = np.random.RandomState(seed).standard_normal((vecs.shape[1], n_planes))
         signs = (vecs @ planes) > 0
         keys = (signs.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
         return pa.table(
@@ -435,7 +440,7 @@ def minhash_dedup(
 
 
 def connected_components_distributed(
-    pairs_ds: ray.data.Dataset, max_rounds: int = 6
+    pairs_ds: ray.data.Dataset, max_rounds: int = 50
 ) -> ray.data.Dataset:
     """Distributed connected components over candidate pairs via iterative
     min-label propagation — the scale path when the pair set outgrows the
@@ -443,10 +448,11 @@ def connected_components_distributed(
 
     Implemented as co-partitioned message passing (edges and labels bucketed
     on the same key hash, merged per bucket with vectorized pandas) rather
-    than Dataset.join — two coarse groupbys per round, converging in
-    O(component diameter) rounds; near-dup components are short chains so
-    the default 6 rounds suffices. Returns (doc_id, cluster) with cluster =
-    component-minimum id.
+    than Dataset.join — two coarse groupbys per round. Iterates to a
+    FIXPOINT (a cheap label-checksum aggregate per round detects
+    convergence), with ``max_rounds`` only as a runaway cap; convergence
+    takes O(component diameter) rounds. Returns (doc_id, cluster) with
+    cluster = component-minimum id.
     """
 
     def to_directed(batch: pa.Table) -> pa.Table:
@@ -507,6 +513,22 @@ def connected_components_distributed(
         out["_b"] = [_md5_64([k])[0] % _DEDUP_BUCKETS for k in out["key"]]
         return out[["key", "dst", "label", "_b"]]
 
+    def checksum(labels_ds: ray.data.Dataset) -> int:
+        """Deterministic order-insensitive digest of the label assignment."""
+        from ray.data.aggregate import Sum
+
+        def digest(batch: pa.Table) -> pa.Table:
+            vals = _md5_64(
+                [f"{k}|{v}" for k, v in zip(batch["key"].to_pylist(), batch["label"].to_pylist())]
+            )
+            return pa.table({"d": pa.array([sum(vals) & 0x7FFFFFFFFFFFFFFF], pa.int64())})
+
+        agg = labels_ds.map_batches(digest, batch_format="pyarrow").aggregate(
+            Sum("d", alias_name="d")
+        )
+        return int(agg.get("d") or 0)
+
+    prev = checksum(labels)
     for _ in range(max_rounds):
         combined = directed.union(labels)
         # bucket = hash(key): a key's label row and all its outgoing edges
@@ -520,6 +542,10 @@ def connected_components_distributed(
             .map_batches(as_arrow, batch_format="pyarrow")
             .materialize()
         )
+        cur = checksum(labels)
+        if cur == prev:  # fixpoint: no label changed anywhere
+            break
+        prev = cur
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": batch["key"], "cluster": batch["label"]})

@@ -137,20 +137,24 @@ def fingerprint(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datase
     """64-bit FNV-1a document fingerprint plus a rolling-window min-hash of
     token 4-grams (a cheap content fingerprint stable under small shifts)."""
 
+    import hashlib
+
+    def h64(s: str) -> int:
+        # C-speed 64-bit content hash (md5 prefix) — a per-character Python
+        # FNV loop over whole documents was the hot cost of this op
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 1
+
     def fp(batch: pa.Table) -> pa.Table:
         texts = pc.cast(batch[text_col], pa.string()).to_pylist()
         full_hashes, rolling = [], []
         for text in texts:
             text = text or ""
-            h = 0xCBF29CE484222325
-            for ch in text:
-                h = ((h ^ ord(ch)) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-            full_hashes.append(h & 0x7FFFFFFFFFFFFFFF)
+            full_hashes.append(h64(text))
             tokens = text.split()
             if len(tokens) >= 4:
-                grams = [" ".join(tokens[i : i + 4]) for i in range(len(tokens) - 3)]
-                gh = np.array([_fnv(g) for g in grams], dtype=np.uint64)
-                rolling.append(int(gh.min()) & 0x7FFFFFFFFFFFFFFF)
+                rolling.append(
+                    min(h64(" ".join(tokens[i : i + 4])) for i in range(len(tokens) - 3))
+                )
             else:
                 rolling.append(full_hashes[-1])
         return pa.table(
@@ -162,10 +166,3 @@ def fingerprint(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datase
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
-
-
-def _fnv(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for ch in s:
-        h = ((h ^ ord(ch)) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h

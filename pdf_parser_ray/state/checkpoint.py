@@ -66,6 +66,20 @@ def run_extraction(
     """Run (or resume) the flagship extraction, writing per-bucket parquet +
     manifests. Returns a summary dict with aggregate counters."""
     os.makedirs(os.path.join(output_dir, MANIFEST_DIR), exist_ok=True)
+    run_manifest = os.path.join(output_dir, MANIFEST_DIR, "run.json")
+    if resume and os.path.exists(run_manifest):
+        with open(run_manifest) as f:
+            prior = json.load(f)
+        if prior.get("n_buckets") != n_buckets:
+            # resuming with a different bucket count would drop every doc
+            # whose OLD bucket is marked done but whose NEW bucket differs
+            raise ValueError(
+                f"resume n_buckets={n_buckets} does not match the original "
+                f"run's n_buckets={prior.get('n_buckets')} for {output_dir}; "
+                "use the original value or a fresh output dir"
+            )
+    with open(run_manifest, "w") as f:
+        json.dump({"n_buckets": n_buckets}, f)
     done = completed_buckets(output_dir) if resume else set()
     if not resume:
         # a fresh run invalidates any previous partial state
@@ -91,7 +105,11 @@ def run_extraction(
 
     def write_bucket(group: pa.Table) -> pa.Table:
         result = assembler(group)
-        bucket = int(result["bucket"][0].as_py()) if result.num_rows else 0
+        if result.num_rows == 0:
+            # never guess a bucket id for an empty group — writing a default
+            # would clobber a real bucket's data with an empty file
+            return pa.Table.from_pylist([], schema=PARTITION_METRICS_SCHEMA)
+        bucket = int(result["bucket"][0].as_py())
         bucket_dir = os.path.join(output_dir, f"bucket={bucket}")
         os.makedirs(bucket_dir, exist_ok=True)
         tmp = os.path.join(bucket_dir, ".data.parquet.tmp")
@@ -202,6 +220,17 @@ def run_extraction_sharded(
               "shards_skipped_resume": 0}
     for i, shard_files in enumerate(shards):
         if resume and os.path.exists(shard_manifest(i)):
+            with open(shard_manifest(i)) as f:
+                recorded = json.load(f).get("input_files")
+            if recorded != shard_files:
+                # shard indices are positional: a changed file list or
+                # files_per_shard shifts them, so skipping by index alone
+                # would silently drop/duplicate documents
+                raise ValueError(
+                    f"shard {i} manifest was written for input files "
+                    f"{recorded} but this run assigns {shard_files}; the "
+                    "input list/sharding changed — use a fresh output dir"
+                )
             totals["shards_skipped_resume"] += 1
             continue
         ds = ray.data.read_parquet(shard_files).map_batches(
