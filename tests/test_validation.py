@@ -88,3 +88,25 @@ def test_default_extraction_pipeline(ray_session):
     pipe = default_extraction_pipeline(n_buckets=4)
     out = pipe.run(ray.data.from_arrow(generate_corpus(5)))
     assert out.count() == 5 and not pipe.errors
+
+
+def test_run_reference_pipeline(ray_session, tmp_path):
+    import os
+
+    from pdf_parser_ray.pipelines.reference_flow import run_reference_pipeline
+    from pdf_parser_ray.synthgen import generate_corpus
+
+    corpus = ray.data.from_arrow(generate_corpus(10))
+    result = run_reference_pipeline(corpus, str(tmp_path / "out"), n_buckets=8)
+    s = result["summary"]
+    assert s["n_docs"] == 10 and s["parse_failures"] == 0
+    for name in ("toc", "spec", "metadata", "extraction", "pages"):
+        assert os.path.exists(result["paths"][name]), name
+    assert os.path.exists(result["paths"]["report"])
+    # toc JSONL rows match the extraction's count column
+    back = ray.data.read_parquet(result["paths"]["extraction"])
+    from pdf_parser_ray.sources.jsonl_compat import read_jsonl_tolerant
+
+    assert read_jsonl_tolerant(result["paths"]["toc"]).count() == int(
+        back.to_pandas()["n_toc_entries"].sum()
+    )
