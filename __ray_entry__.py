@@ -394,7 +394,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars, "
             "CAST(LENGTH(text) - LENGTH(REPLACE(text, chr(10), '')) + 1 AS BIGINT) AS n_lines, "
             r"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens, "
-            "CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha, "
+            "CAST(len(regexp_extract_all(text, "
+            r"$$'(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+$$"
+            ")) AS BIGINT) AS n_bpe_tokens "
             "FROM documents"
         ),
         "exact_dedup": (

@@ -28,10 +28,17 @@ _LANG_STOPWORDS: dict[str, frozenset[str]] = {
 }
 
 
-def doc_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
-    """Per-doc counting stats: chars, lines, whitespace tokens, alpha chars.
+# GPT2-style pre-tokenizer shape: contraction suffixes, letter runs, digit
+# runs, punctuation runs (RE2 \p classes — identical semantics in Arrow's
+# count_substring_regex and DuckDB's regexp_extract_all, so SQL-oracle-able)
+_BPE_TOKEN_RE = r"'(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
 
-    All four counters are single Arrow kernels over the batch.
+
+def doc_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Per-doc counting stats: chars, lines, whitespace tokens, alpha chars,
+    BPE-ish subword-boundary tokens.
+
+    All five counters are single Arrow kernels over the batch.
     """
 
     def stats(batch: pa.Table) -> pa.Table:
@@ -40,6 +47,7 @@ def doc_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
         n_lines = pc.add(pc.count_substring(text, "\n"), 1)
         n_tokens = pc.count_substring_regex(text, _TOKEN_RE)
         n_alpha = pc.count_substring_regex(text, "[A-Za-z]")
+        n_bpe = pc.count_substring_regex(text, _BPE_TOKEN_RE)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -47,6 +55,7 @@ def doc_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
                 "n_lines": pc.cast(n_lines, pa.int64()),
                 "n_tokens": pc.cast(n_tokens, pa.int64()),
                 "n_alpha": pc.cast(n_alpha, pa.int64()),
+                "n_bpe_tokens": pc.cast(n_bpe, pa.int64()),
             }
         )
 
