@@ -106,7 +106,20 @@ def run_headline() -> dict:
     giant = extract(ray.data.read_parquet(f"{corpus_path}/giant"), n_buckets=n_buckets)
     small.union(giant).write_parquet(os.path.join(OUT_DIR, "extraction"))
     dt = time.time() - t0
-    return {"sec": dt, "n_docs": n_docs, "docs_per_sec": n_docs / dt if dt else 0.0}
+
+    # untimed: volume metrics from the written output (cheap column scan)
+    from ray.data.aggregate import Sum
+
+    agg = ray.data.read_parquet(
+        os.path.join(OUT_DIR, "extraction"), columns=["total_pages", "n_spans"]
+    ).aggregate(Sum("total_pages", alias_name="p"), Sum("n_spans", alias_name="s"))
+    return {
+        "sec": dt,
+        "n_docs": n_docs,
+        "docs_per_sec": n_docs / dt if dt else 0.0,
+        "pages_per_sec": (agg["p"] or 0) / dt if dt else 0.0,
+        "spans_per_sec": (agg["s"] or 0) / dt if dt else 0.0,
+    }
 
 
 def run_secondary() -> dict[str, float]:
@@ -179,6 +192,8 @@ def main() -> None:
                 "num_cpus": NUM_CPUS,
                 "n_docs": head["n_docs"],
                 "docs_per_sec": round(head["docs_per_sec"], 2),
+                "pages_per_sec": round(head["pages_per_sec"], 2),
+                "spans_per_sec": round(head["spans_per_sec"], 2),
             }
         )
     )

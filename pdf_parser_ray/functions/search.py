@@ -37,14 +37,20 @@ def term_search(
     Per batch: a single vectorized regex prefilter drops documents without
     any hit; only surviving docs pay the per-line scan.
     """
-    regex = rf"(?i)\b{re.escape(term)}\b"
     out_schema = pa.schema(
         [("doc_id", pa.string()), ("line_idx", pa.int32()), ("line", pa.string())]
     )
 
     def scan(batch: pa.Table) -> pa.Table:
         text = pc.cast(batch[text_col], pa.string())
-        hits = pc.greater(pc.count_substring_regex(text, regex), 0)
+        # conservative plain-substring prefilter (case-insensitive): a
+        # superset of word-boundary matches regardless of regex dialect —
+        # RE2's ASCII \b disagrees with Python's Unicode \b on non-ASCII
+        # terms, so the boundary decision stays with the per-line Python
+        # regex that defines the op's semantics
+        hits = pc.greater(
+            pc.count_substring(text, term, ignore_case=True), 0
+        )
         survivors = batch.filter(hits)
         rows = []
         pat = _term_pattern(term)

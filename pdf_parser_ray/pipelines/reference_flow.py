@@ -40,21 +40,51 @@ def run_reference_pipeline(
     write_pages: bool = True,
 ) -> dict[str, Any]:
     """Run the full five-step flow; returns the validation summary dict
-    (the reference's report row) plus the output paths."""
+    (the reference's report row) plus the output paths.
+
+    Reruns with the same ``output_dir`` overwrite (each step's directory is
+    cleared first) — the reference's mode-'w' JSONL semantics; Ray sinks
+    otherwise ACCUMULATE part files across runs."""
+    import shutil
+
     os.makedirs(output_dir, exist_ok=True)
 
-    extraction_dir = os.path.join(output_dir, "extraction")
+    def fresh(name: str) -> str:
+        p = os.path.join(output_dir, name)
+        shutil.rmtree(p, ignore_errors=True)
+        return p
+
+    extraction_dir = fresh("extraction")
     results = extract(corpus_ds, n_buckets, strip_boilerplate)
     results.write_parquet(extraction_dir)
 
+    if not os.path.isdir(extraction_dir):
+        # empty corpus: write_parquet creates nothing; degrade like the
+        # reference's empty-input steps instead of crashing the read-back
+        summary = {"n_docs": 0, "total_pages": 0, "parse_failures": 0}
+        report_path = write_validation_report(
+            summary, os.path.join(output_dir, "validation_report.xlsx")
+        )
+        return {"summary": summary, "paths": {"report": report_path}}
+
+    for name in ("toc", "spec", "metadata"):
+        fresh(name)
     back = ray.data.read_parquet(extraction_dir)
     paths = write_reference_outputs(back, output_dir)
     paths["extraction"] = extraction_dir
 
     if write_pages:
-        pages_dir = os.path.join(output_dir, "pages")
-        page_rows(corpus_ds, n_buckets).drop_columns(
-            ["nontext_spans"]
+        pages_dir = fresh("pages")
+
+        def real_pages(batch):
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.greater_equal(batch["page"], 0)).drop_columns(
+                ["nontext_spans", "bucket", "parse_failure"]
+            )
+
+        page_rows(corpus_ds, n_buckets).map_batches(
+            real_pages, batch_format="pyarrow"
         ).write_parquet(pages_dir)
         paths["pages"] = pages_dir
 

@@ -41,19 +41,33 @@ class StagePipeline:
         return self
 
     def run(
-        self, ds: ray.data.Dataset, fail_fast: bool = False
+        self,
+        ds: ray.data.Dataset,
+        fail_fast: bool = False,
+        checkpoint_steps: bool = False,
     ) -> ray.data.Dataset:
         """Apply steps in order. On a step error: raise when ``fail_fast``,
         else record it in ``errors`` and continue with the previous dataset
-        (the reference's per-step try/except, main.py:104-126)."""
+        (the reference's per-step try/except, main.py:104-126).
+
+        Dataset steps are LAZY: a UDF that raises during execution surfaces
+        when the result is consumed, not here — by default only
+        plan-construction errors are caught. ``checkpoint_steps=True``
+        materializes after every step so execution errors are attributed to
+        their step and the degrade-and-continue contract covers them too
+        (at the cost of pinning each step's output in the object store)."""
         self.errors = {}
         for name, fn in self.steps:
+            prev = ds
             try:
                 ds = fn(ds)
+                if checkpoint_steps:
+                    ds = ds.materialize()
             except Exception as exc:
                 if fail_fast:
                     raise
                 self.errors[name] = f"{type(exc).__name__}: {exc}"
+                ds = prev
         return ds
 
 

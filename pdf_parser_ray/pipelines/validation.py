@@ -11,7 +11,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import ray.data
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count, Sum
 
 
 def _safe_pct(numerator: float, denominator: float) -> float:
@@ -44,7 +44,6 @@ def validation_summary(doc_results: ray.data.Dataset) -> dict[str, Any]:
         Sum("n_spans", alias_name="spans"),
         Sum("toc_covered_pages", alias_name="toc_covered_pages"),
         Sum("parse_failure", alias_name="parse_failures"),
-        Mean("page_coverage_pct", alias_name="mean_page_coverage_pct"),
     )
     total_pages = agg["total_pages"] or 0
     coverage = {
@@ -91,7 +90,9 @@ def write_validation_report(
         pd.DataFrame([flat]).to_excel(output_path, index=False)
         return output_path
     except Exception:
-        fallback = output_path.rsplit(".", 1)[0] + ".json"
+        import os
+
+        fallback = os.path.splitext(output_path)[0] + ".json"
         with open(fallback, "w") as f:
             json.dump(summary, f, indent=2)
         return fallback

@@ -29,6 +29,10 @@ PAGE_ROW_SCHEMA = pa.schema(
         ("doc_id", pa.string()),
         ("bucket", pa.int32()),
         ("page", pa.int32()),
+        # position of the page within its source row's span order: the sort
+        # tiebreak that keeps duplicate page numbers deterministic across
+        # the shuffle (the oracle's stable sort preserves offset order)
+        ("page_order", pa.int32()),
         ("text", pa.string()),
         ("rendered", pa.string()),
         ("nontext_spans", pa.list_(NONTEXT_SPAN_STRUCT)),

@@ -124,9 +124,12 @@ class BucketAssembler:
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return pa.Table.from_pylist([], schema=DOC_RESULT_SCHEMA)
-        order = pa.compute.sort_indices(
-            group, sort_keys=[("doc_id", "ascending"), ("page", "ascending")]
-        )
+        # page_order breaks ties between duplicate page numbers the same way
+        # the oracle's stable sort over offset-ordered pages does
+        sort_keys = [("doc_id", "ascending"), ("page", "ascending")]
+        if "page_order" in group.column_names:
+            sort_keys.append(("page_order", "ascending"))
+        order = pa.compute.sort_indices(group, sort_keys=sort_keys)
         group = group.take(order)
         doc_ids = group["doc_id"].to_pylist()
         out = []

@@ -37,6 +37,7 @@ def _empty_doc_row(doc_id: str, bucket: int, failure: bool) -> dict[str, Any]:
         "doc_id": doc_id,
         "bucket": bucket,
         "page": -1,
+        "page_order": 0,
         "text": "",
         "rendered": "",
         "nontext_spans": [],
@@ -67,10 +68,11 @@ def render_pages(batch: pa.Table, n_buckets: int = 64) -> pa.Table:
         bucket = bucket_of(doc_id, n_buckets)
         try:
             pages = render.spans_to_pages(spans or [])
-            for page in pages:
+            for order, page in enumerate(pages):
                 row = page_row_from_record(page)
                 row["doc_id"] = doc_id
                 row["bucket"] = bucket
+                row["page_order"] = order
                 row["parse_failure"] = False
                 out_rows.append(row)
             if not pages:

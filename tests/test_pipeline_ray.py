@@ -239,3 +239,42 @@ def test_sharded_all_giant_shard(ray_session, tmp_path):
     assert s["shards_completed_now"] == 1 and s["docs_parsed"] == 0
     assert s["giant"]["docs_parsed"] == 6
     assert read_sharded_extraction(out).count() == 6
+
+
+def test_full_record_equality_vs_oracle(ray_session, corpus_table, oracle):
+    """Beyond span sequences and counts: every TOC entry field and every
+    section record must match the oracle byte-for-byte across the shuffle."""
+    def norm(record):
+        # pandas renders Arrow list columns as numpy arrays; compare as lists
+        return {
+            k: (list(v) if hasattr(v, "__len__") and not isinstance(v, str) else v)
+            for k, v in dict(record).items()
+        }
+
+    results = extract(ray.data.from_arrow(corpus_table).repartition(6), n_buckets=8)
+    rows = results.to_pandas().set_index("doc_id")
+    for doc_id, o in oracle.items():
+        row = rows.loc[doc_id]
+        got_toc = [norm(e) for e in row["toc"]]
+        want_toc = [norm({k: v for k, v in e.items() if k != "doc_id"}) for e in o["toc"]]
+        assert got_toc == want_toc, f"toc mismatch for {doc_id}"
+        got_sec = [norm(s) for s in row["sections"]]
+        want_sec = [norm(s) for s in o["sections"]]
+        assert got_sec == want_sec, f"sections mismatch for {doc_id}"
+
+
+def test_duplicate_page_numbers_deterministic(ray_session):
+    """Two pages sharing a page number keep their span-offset order through
+    the shuffle (page_order tiebreak) — matching the oracle's stable sort."""
+    spans = [
+        {"kind": "page_break", "text": "5", "media_ref": "", "offset": 0},
+        {"kind": "text", "text": "first five alpha", "media_ref": "", "offset": 1},
+        {"kind": "page_break", "text": "5", "media_ref": "", "offset": 2},
+        {"kind": "text", "text": "second five beta", "media_ref": "", "offset": 3},
+    ]
+    want = run_document("dup", spans)
+    for trial in range(3):
+        ds = ray.data.from_items([{"doc_id": "dup", "spans": spans}]).repartition(2)
+        got = extract(ds, n_buckets=4).to_pandas().iloc[0]
+        assert spans_key(got["spans"]) == spans_key(want["spans"])
+        assert [dict(s) for s in got["sections"]] == want["sections"]

@@ -33,14 +33,15 @@ def documents(draw):
     return spans
 
 
-@given(documents())
+@given(documents(), st.randoms(use_true_random=False))
 @settings(max_examples=60, deadline=None)
-def test_span_order_invariance(spans):
+def test_span_order_invariance(spans, rnd):
     """Input span ORDER carries no information beyond `offset`: any
     permutation of the span list yields the identical document result —
     the property that makes chunked/parallel rendering safe."""
     base = run_document("d", spans)
-    shuffled = list(reversed(spans))
+    shuffled = list(spans)
+    rnd.shuffle(shuffled)
     again = run_document("d", shuffled)
     assert base["spans"] == again["spans"]
     assert base["toc"] == again["toc"]

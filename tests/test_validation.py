@@ -110,3 +110,31 @@ def test_run_reference_pipeline(ray_session, tmp_path):
     assert read_jsonl_tolerant(result["paths"]["toc"]).count() == int(
         back.to_pandas()["n_toc_entries"].sum()
     )
+
+
+def test_stage_pipeline_lazy_step_error(ray_session):
+    """checkpoint_steps=True surfaces lazy UDF failures at the failing step
+    and falls back to the previous dataset."""
+    from pdf_parser_ray.pipelines.steps import StagePipeline
+
+    def bad_udf(batch):
+        raise RuntimeError("lazy boom")
+
+    pipe = StagePipeline()
+    pipe.add_step("lazy_bad", lambda ds: ds.map_batches(bad_udf))
+    ds = ray.data.from_items([{"x": 1}])
+    out = pipe.run(ds, checkpoint_steps=True)
+    assert "lazy_bad" in pipe.errors
+    assert out.to_pandas().x.iloc[0] == 1  # fell back to the input
+
+
+def test_rerun_reference_pipeline_overwrites(ray_session, tmp_path):
+    from pdf_parser_ray.pipelines.reference_flow import run_reference_pipeline
+    from pdf_parser_ray.synthgen import generate_corpus
+
+    corpus = ray.data.from_arrow(generate_corpus(6))
+    out = str(tmp_path / "out")
+    r1 = run_reference_pipeline(corpus, out, n_buckets=4)
+    r2 = run_reference_pipeline(corpus, out, n_buckets=4)
+    # second run must not double-count (Ray sinks otherwise accumulate files)
+    assert r2["summary"]["n_docs"] == r1["summary"]["n_docs"] == 6
