@@ -331,6 +331,46 @@ def _q_validation_summary(sf_dir: str):
     return pd.DataFrame([flat])
 
 
+def _q_docs_by_lang(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+    return (
+        ds.groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+        .sort(["lang", "source"])
+    )
+
+
+def _q_events_json(sf_dir: str):
+    """JSON scalar extraction from the events props column: parse in a
+    vectorized pandas stage, aggregate per event_type."""
+    import json as _json
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def parse(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["k"] = batch["props"].map(lambda s: _json.loads(s or "{}").get("k", 0))
+        return batch[["event_type", "k"]]
+
+    return (
+        ds.map_batches(parse, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+        .sort("event_type")
+    )
+
+
 def _q_media_features(sf_dir: str):
     from pdf_parser_ray.ops.multimodal import media_features, media_inventory
     from pdf_parser_ray.pipelines import extract_fused
@@ -370,6 +410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_size": _q_top_parts,
         "events_window_agg": _q_events_window,
         "sessionize": _q_sessionize,
+        "docs_by_lang": _q_docs_by_lang,
+        "events_json": _q_events_json,
         "supplier_balance_stats": _q_supplier_stats,
         "customers_without_orders": _q_customers_without_orders,
         "parts_in_lineitem": _q_parts_in_lineitem,
@@ -477,6 +519,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_partkey, p_name FROM part p WHERE EXISTS "
             "(SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey) "
             "ORDER BY p_partkey"
+        ),
+        "docs_by_lang": (
+            "SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents GROUP BY lang, source ORDER BY lang, source"
+        ),
+        "events_json": (
+            "SELECT event_type, COUNT(*) AS n, "
+            "CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "distinct_counts": (
             "SELECT COUNT(DISTINCT o_custkey) AS n_distinct_custkeys, "
