@@ -226,6 +226,27 @@ def _q_minhash_dedup(sf_dir: str):
     return minhash_dedup(ds, jaccard_threshold=0.8).select_columns(["doc_id"])
 
 
+def _q_minhash_clusters(sf_dir: str):
+    """Near-dup clusters via the distributed min-label path: cluster sizes."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from pdf_parser_ray.ops.dedup import (
+        connected_components_distributed,
+        minhash_candidate_pairs,
+        verify_pairs_jaccard,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = verify_pairs_jaccard(minhash_candidate_pairs(ds), ds, threshold=0.8)
+    clusters = connected_components_distributed(
+        pairs.select_columns(["doc_a", "doc_b"])
+    )
+    return (
+        clusters.groupby("cluster").aggregate(Count(alias_name="size")).sort("cluster")
+    )
+
+
 def _q_sessionize(sf_dir: str):
     from pdf_parser_ray.ops.streaming import sessionize
 
@@ -400,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "embedding_near_dup": _q_embedding_near_dup,
         "minhash_dedup": _q_minhash_dedup,
+        "minhash_clusters": _q_minhash_clusters,
         # similarity search
         "knn_bruteforce": _q_knn,
         "knn_ivf": _q_knn_ivf,

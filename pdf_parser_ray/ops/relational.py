@@ -295,10 +295,22 @@ def order_priority_revenue(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
+
+    # shrink the join's left side BEFORE the exchange: per-batch partial
+    # aggregation by order key (~4 items/order -> ~4x fewer joined rows);
+    # duplicate keys across batches are fine because the final aggregate
+    # re-combines by priority after the join
+    def pre_agg(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["rev"] = batch.l_extendedprice * (1 - batch.l_discount)
+        return batch.groupby("l_orderkey", as_index=False).agg(
+            revenue=("rev", "sum"), n_items=("rev", "size")
+        )
+
+    partials = lineitem.map_batches(pre_agg, batch_format="pandas")
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
-    joined = lineitem.join(
+    joined = partials.join(
         orders,
         join_type="inner",
         num_partitions=16,
@@ -306,14 +318,13 @@ def order_priority_revenue(sf_dir: str) -> ray.data.Dataset:
         right_on=("o_orderkey",),
     )
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["rev"] = batch.l_extendedprice * (1 - batch.l_discount)
+    def by_priority(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.groupby("o_orderpriority", as_index=False).agg(
-            revenue=("rev", "sum"), n_items=("rev", "size")
+            revenue=("revenue", "sum"), n_items=("n_items", "sum")
         )
 
     return (
-        joined.map_batches(partial, batch_format="pandas")
+        joined.map_batches(by_priority, batch_format="pandas")
         .groupby("o_orderpriority")
         .aggregate(
             Sum("revenue", alias_name="revenue"), Sum("n_items", alias_name="n_items")
