@@ -474,14 +474,19 @@ def oracle_sql() -> dict[str, str]:
             "  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)"
             r") WHERE regexp_matches(line, '(?i)\bmerge\b')"
         ),
+        # CAST to DOUBLE[] so DuckDB computes cosine in float64 like numpy —
+        # float32 accumulation differs by ~1e-7, within reach of the
+        # 6-decimal rounding boundary
         "knn_bruteforce": (
-            "SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding, q.embedding), 6) AS cosine "
+            "SELECT e.vec_id, ROUND(list_cosine_similarity("
+            "CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cosine "
             "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
             "ORDER BY cosine DESC, e.vec_id LIMIT 10"
         ),
         # n_probe == n_centroids makes IVF exhaustive -> exact same answer
         "knn_ivf": (
-            "SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding, q.embedding), 6) AS cosine "
+            "SELECT e.vec_id, ROUND(list_cosine_similarity("
+            "CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cosine "
             "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
             "ORDER BY cosine DESC, e.vec_id LIMIT 10"
         ),

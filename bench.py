@@ -47,8 +47,6 @@ def _prepare_corpus() -> tuple[str, int]:
     """Materialize the lifted span corpus to /tmp parquet, PARTITIONED by
     size class (small/ giant/) so each extraction branch prunes at the read
     — input prep, untimed, cached across runs keyed on sf+mult."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
     import ray.data
 
     from pdf_parser_ray.sources import corpus_from_documents
@@ -63,26 +61,20 @@ def _prepare_corpus() -> tuple[str, int]:
         shutil.rmtree(path, ignore_errors=True)
         # ONE lift pass: materialize the corpus once, filter twice from the
         # object store instead of recomputing the lift per size class
+        from pdf_parser_ray.pipelines.extract import split_by_span_count
+
         corpus = corpus_from_documents(
             SF_DIR, heavy_tail=True, mult=MULT
         ).materialize()
-
-        def keep(batch: pa.Table, giant: bool) -> pa.Table:
-            n = pc.list_value_length(batch["spans"])
-            mask = (
-                pc.greater(n, GIANT_SPAN_THRESHOLD)
-                if giant
-                else pc.less_equal(n, GIANT_SPAN_THRESHOLD)
-            )
-            return batch.filter(mask)
-
-        corpus.map_batches(keep, fn_kwargs={"giant": False}, batch_format="pyarrow").write_parquet(f"{path}/small")
-        corpus.map_batches(keep, fn_kwargs={"giant": True}, batch_format="pyarrow").write_parquet(f"{path}/giant")
+        split_by_span_count(corpus, GIANT_SPAN_THRESHOLD, giant=False).write_parquet(f"{path}/small")
+        split_by_span_count(corpus, GIANT_SPAN_THRESHOLD, giant=True).write_parquet(f"{path}/giant")
         open(marker, "w").close()
-    n_docs = (
-        ray.data.read_parquet(f"{path}/small").count()
-        + ray.data.read_parquet(f"{path}/giant").count()
-    )
+    # an all-small (or all-giant) corpus writes nothing for the other
+    # class — write_parquet of an empty dataset creates no directory
+    n_docs = 0
+    for part in ("small", "giant"):
+        if os.path.isdir(f"{path}/{part}"):
+            n_docs += ray.data.read_parquet(f"{path}/{part}").count()
     return path, n_docs
 
 
@@ -102,9 +94,17 @@ def run_headline() -> dict:
 
     n_buckets = max(NUM_CPUS * 4, 32)
     t0 = time.time()
-    small = extract_fused(ray.data.read_parquet(f"{corpus_path}/small"))
-    giant = extract(ray.data.read_parquet(f"{corpus_path}/giant"), n_buckets=n_buckets)
-    small.union(giant).write_parquet(os.path.join(OUT_DIR, "extraction"))
+    branches = []
+    if os.path.isdir(f"{corpus_path}/small"):
+        branches.append(extract_fused(ray.data.read_parquet(f"{corpus_path}/small")))
+    if os.path.isdir(f"{corpus_path}/giant"):
+        branches.append(
+            extract(ray.data.read_parquet(f"{corpus_path}/giant"), n_buckets=n_buckets)
+        )
+    combined = branches[0]
+    for b in branches[1:]:
+        combined = combined.union(b)
+    combined.write_parquet(os.path.join(OUT_DIR, "extraction"))
     dt = time.time() - t0
 
     # untimed: volume metrics from the written output (cheap column scan)

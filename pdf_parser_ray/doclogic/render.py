@@ -52,8 +52,12 @@ def spans_to_pages(spans: list[dict[str, Any]]) -> list[dict[str, Any]]:
         text = span.get("text", "") or ""
         if kind == "page_break":
             # isdecimal, not isdigit: superscript/vulgar digits pass
-            # isdigit() but crash int() — those fall back to sequential
-            number = int(text) if text.isdecimal() else (len(pages) + 1 if current is None else current["page"] + 1)
+            # isdigit() but crash int(); numbers beyond int32 would crash
+            # the Arrow page-row schema mid-task — both fall back to
+            # sequential numbering (shared code, so oracle == distributed)
+            number = int(text) if text.isdecimal() else -1
+            if not (0 <= number <= 2**31 - 1):
+                number = len(pages) + 1 if current is None else current["page"] + 1
             if current is not None:
                 pages.append(current)
             current = new_page(number)

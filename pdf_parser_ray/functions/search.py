@@ -29,13 +29,30 @@ def search_term_in_line(line: str, term: str) -> bool:
     return bool(_term_pattern(term).search(line or ""))
 
 
+_ASCII_TERM_CACHE: dict[str, re.Pattern] = {}
+
+
+def _ascii_term_pattern(term: str) -> re.Pattern:
+    pat = _ASCII_TERM_CACHE.get(term)
+    if pat is None:
+        pat = re.compile(rf"\b{re.escape(term)}\b", re.IGNORECASE | re.ASCII)
+        _ASCII_TERM_CACHE[term] = pat
+    return pat
+
+
 def term_search(
     ds: ray.data.Dataset, term: str, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
     """All matching lines across a documents table.
 
-    Per batch: a single vectorized regex prefilter drops documents without
-    any hit; only surviving docs pay the per-line scan.
+    Per batch: a single vectorized substring prefilter drops documents
+    without any hit; only surviving docs pay the per-line scan.
+
+    Word boundaries are ASCII (``re.ASCII``) by definition for this
+    corpus-level op, so results agree exactly with SQL engines' RE2 ``\\b``
+    (the DuckDB oracle). The scalar :func:`search_term_in_line` keeps the
+    reference's Unicode ``\\b`` (utils/text_utils.py:59-66) — the two
+    dialects differ only for terms with non-ASCII word characters.
     """
     out_schema = pa.schema(
         [("doc_id", pa.string()), ("line_idx", pa.int32()), ("line", pa.string())]
@@ -53,7 +70,7 @@ def term_search(
         )
         survivors = batch.filter(hits)
         rows = []
-        pat = _term_pattern(term)
+        pat = _ascii_term_pattern(term)
         for doc_id, doc_text in zip(
             survivors[id_col].to_pylist(), pc.cast(survivors[text_col], pa.string()).to_pylist()
         ):

@@ -229,16 +229,38 @@ def verify_pairs_jaccard(
     threshold: float = 0.8,
     n: int = 5,
 ) -> ray.data.Dataset:
-    """Filter candidate pairs by true Jaccard. The text lookup is a
-    broadcast (ray.put of an id->text dict) — correct while the candidate
-    universe's docs fit in memory; at corpus scale swap for a bucketed join
-    on doc_id."""
+    """Filter candidate pairs by true Jaccard.
+
+    Only documents REFERENCED BY A CANDIDATE PAIR are pulled for the text
+    lookup: the candidate id set (small — only LSH collisions survive) is
+    collected first, then one filtered pass over the corpus builds the
+    broadcast dict. The full corpus never lands on the driver; at scales
+    where even the candidate universe outgrows a broadcast, swap the lookup
+    for a bucketed join on doc_id."""
     import ray
 
-    texts = {}
-    for batch in docs_ds.select_columns(["doc_id", "text"]).iter_batches(
+    candidate_ids: set[str] = set()
+    for batch in pairs_ds.select_columns(["doc_a", "doc_b"]).iter_batches(
         batch_format="pyarrow"
     ):
+        candidate_ids.update(str(d) for d in batch["doc_a"].to_pylist())
+        candidate_ids.update(str(d) for d in batch["doc_b"].to_pylist())
+
+    if candidate_ids:
+        wanted = pa.array(sorted(candidate_ids), pa.string())
+
+        def keep_candidates(batch: pa.Table) -> pa.Table:
+            ids = pc.cast(batch["doc_id"], pa.string())
+            return batch.filter(pc.is_in(ids, value_set=wanted))
+
+        filtered = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+            keep_candidates, batch_format="pyarrow"
+        )
+    else:
+        filtered = docs_ds.select_columns(["doc_id", "text"]).limit(0)
+
+    texts = {}
+    for batch in filtered.iter_batches(batch_format="pyarrow"):
         for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             texts[str(d)] = t or ""
     ref = ray.put(texts)

@@ -53,8 +53,14 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
 
 
 def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
-    """Broadcast-join pipeline: customer->nation lookup shipped once via
-    ray.put, revenue aggregated from orders."""
+    """Broadcast-join pipeline: the customer->nation lookup ships once via
+    ray.put as a compact Arrow table (object-store shared, zero-copy to
+    each actor), revenue aggregated from orders.
+
+    The broadcast side is DIMENSION-SIZED (|customer| rows of two narrow
+    columns) — the op's stated assumption. When the dimension outgrows a
+    broadcast, use the partitioned hash-join path
+    (:func:`order_priority_revenue`'s shape) instead."""
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
     customer = pd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
@@ -64,15 +70,17 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
         left_on="c_nationkey",
         right_on="n_nationkey",
     )[["c_custkey", "n_name"]]
-    lookup_ref = ray.put(dict(zip(cust_nation.c_custkey, cust_nation.n_name)))
+    lookup_ref = ray.put(pa.Table.from_pandas(cust_nation, preserve_index=False))
 
     class JoinNation:
         def __init__(self, ref):
-            self.lookup = ray.get(ref)
+            self.lookup = ray.get(ref).to_pandas()
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            batch["n_name"] = batch["o_custkey"].map(self.lookup)
-            g = batch.groupby("n_name", as_index=False).agg(
+            merged = batch.merge(
+                self.lookup, left_on="o_custkey", right_on="c_custkey", how="left"
+            )
+            g = merged.groupby("n_name", as_index=False).agg(
                 revenue=("o_totalprice", "sum"), n_orders=("o_orderkey", "size")
             )
             return g
@@ -195,23 +203,46 @@ def broadcast_key_filter(
     )
 
 
+def _distinct_keys(ds: ray.data.Dataset, column: str) -> pa.Array:
+    """Distributed distinct over a key column: per-batch dedup -> one
+    groupby to co-locate keys -> only the DISTINCT set reaches the driver.
+    The semi/anti-join premise is that this distinct set fits a broadcast;
+    the raw column (which can be corpus-sized) never lands on the driver."""
+    from ray.data.aggregate import Count
+
+    def local_unique(batch: pa.Table) -> pa.Table:
+        return pa.table({column: pc.unique(batch[column])})
+
+    distinct = (
+        ds.select_columns([column])
+        .map_batches(local_unique, batch_format="pyarrow")
+        .groupby(column)
+        .aggregate(Count(alias_name="_c"))
+        .select_columns([column])
+        .take_all()
+    )
+    return pa.array([r[column] for r in distinct])
+
+
 def customers_without_orders(
     sf_dir: str, since: str = "1998-01-01"
 ) -> ray.data.Dataset:
     """Anti-join: customers with no orders on/after ``since``. Probe side =
-    distinct recent o_custkey (predicate pushed to the parquet read,
-    deduped in Arrow before leaving the driver)."""
-    import datetime
+    distinct recent o_custkey, computed distributed with the date predicate
+    pushed to the read."""
+    import pyarrow.dataset  # noqa: F401  (ensures dataset filters available)
 
-    import pyarrow.parquet as pq
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
 
-    cutoff = datetime.datetime.fromisoformat(since)
-    keys = pc.unique(
-        pq.read_table(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_custkey"],
-            filters=[("o_orderdate", ">=", cutoff)],
-        ).column("o_custkey")
+    def recent(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(since).cast(pa.timestamp("us")))
+        )
+
+    keys = _distinct_keys(
+        orders.map_batches(recent, batch_format="pyarrow"), "o_custkey"
     )
     ds = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
@@ -220,42 +251,45 @@ def customers_without_orders(
 
 
 def parts_in_lineitem(sf_dir: str) -> ray.data.Dataset:
-    """Semi-join: parts referenced by any lineitem (distinct probe keys)."""
-    import pyarrow.parquet as pq
-
-    keys = pc.unique(
-        pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"]).column(
-            "l_partkey"
-        )
-    )
+    """Semi-join: parts referenced by any lineitem (distinct probe keys,
+    computed distributed)."""
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    keys = _distinct_keys(li, "l_partkey")
     ds = ray.data.read_parquet(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
     )
     return broadcast_key_filter(ds, "p_partkey", keys, keep=True).sort("p_partkey")
 
 
-def distinct_counts(sf_dir: str) -> ray.data.Dataset:
-    """Exact distinct counts via per-batch set partials merged in one tiny
-    reduce — the pre-aggregate pattern applied to COUNT(DISTINCT)."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+def _distinct_count(path: str, column: str) -> int:
+    """Fully-distributed exact COUNT(DISTINCT): per-batch local dedup
+    shrinks the shuffle input, one groupby co-locates keys, and only the
+    final COUNT crosses to the driver — no key ever materializes there."""
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(path, columns=[column])
+
+    def local_unique(batch: pa.Table) -> pa.Table:
+        return pa.table({column: pc.unique(batch[column])})
+
+    return (
+        ds.map_batches(local_unique, batch_format="pyarrow")
+        .groupby(column)
+        .aggregate(Count(alias_name="_c"))
+        .count()
     )
 
-    def partial(batch: pa.Table) -> pa.Table:
-        custs = pc.unique(batch["o_custkey"])
-        prios = pc.unique(batch["o_orderpriority"])
-        return pa.table(
-            {
-                "custkeys": pa.array([custs.to_pylist()]),
-                "priorities": pa.array([prios.to_pylist()]),
-            }
-        )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    n_cust = len({k for row in parts for k in row["custkeys"]})
-    n_prio = len({p for row in parts for p in row["priorities"]})
+def distinct_counts(sf_dir: str) -> ray.data.Dataset:
+    """Exact distinct counts, computed distributed (see _distinct_count)."""
+    path = f"{sf_dir}/orders.parquet"
     return ray.data.from_items(
-        [{"n_distinct_custkeys": n_cust, "n_distinct_priorities": n_prio}]
+        [
+            {
+                "n_distinct_custkeys": _distinct_count(path, "o_custkey"),
+                "n_distinct_priorities": _distinct_count(path, "o_orderpriority"),
+            }
+        ]
     )
 
 
@@ -310,10 +344,17 @@ def order_priority_revenue(sf_dir: str) -> ray.data.Dataset:
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
+    # join partitions scale with the session (each partition must fit a
+    # worker's heap — a fixed count would grow partitions linearly with
+    # input at corpus scale)
+    try:
+        n_parts = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    except Exception:
+        n_parts = 16
     joined = partials.join(
         orders,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=n_parts,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )

@@ -38,6 +38,25 @@ from pdf_parser_ray.stages.render_stage import PageRenderer, bucket_of, render_p
 DEFAULT_N_BUCKETS = 64
 
 
+def split_by_span_count(
+    ds: ray.data.Dataset, threshold: int, giant: bool
+) -> ray.data.Dataset:
+    """The size-class predicate shared by extract_hybrid, the sharded
+    checkpoint runner and bench's corpus partitioning: keep docs whose span
+    count is above (``giant=True``) / at-or-below the threshold."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        n = pa.compute.list_value_length(batch["spans"])
+        mask = (
+            pa.compute.greater(n, threshold)
+            if giant
+            else pa.compute.less_equal(n, threshold)
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def page_rows(
     corpus_ds: ray.data.Dataset,
     n_buckets: int = DEFAULT_N_BUCKETS,
@@ -78,8 +97,10 @@ def extract(
     merges all fragments of a doc_id before assembly, so a document larger
     than a storage block splits cleanly upstream
     (tests/test_pipeline_ray.py::test_doc_split_across_corpus_rows).
-    ``extract_fused`` / the small branch of ``extract_hybrid`` require
-    whole-doc rows."""
+    Precondition on fragments: page-aligned splits carrying global page
+    numbers, with no page number repeated ACROSS fragments (within one
+    fragment duplicates are ordered by page_order). ``extract_fused`` /
+    the small branch of ``extract_hybrid`` require whole-doc rows."""
     pages = page_rows(corpus_ds, n_buckets, batch_size, concurrency)
     assembler = BucketAssembler(strip_boilerplate)
 
@@ -154,29 +175,15 @@ def extract_hybrid(
     def make():
         return corpus_factory() if callable(corpus_factory) else corpus_factory
 
-    def keep_small(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pa.compute.less_equal(
-                pa.compute.list_value_length(batch["spans"]), giant_span_threshold
-            )
-        )
-
-    def keep_giant(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pa.compute.greater(
-                pa.compute.list_value_length(batch["spans"]), giant_span_threshold
-            )
-        )
-
     small = extract_fused(
-        make().map_batches(keep_small, batch_format="pyarrow"),
+        split_by_span_count(make(), giant_span_threshold, giant=False),
         n_buckets,
         strip_boilerplate,
         batch_size,
         concurrency,
     )
     giant = extract(
-        make().map_batches(keep_giant, batch_format="pyarrow"),
+        split_by_span_count(make(), giant_span_threshold, giant=True),
         n_buckets,
         strip_boilerplate,
         batch_size,

@@ -98,11 +98,12 @@ def corpus_from_documents(
     if limit is not None:
         ds = ds.limit(limit)
         n_rows = min(n_rows, limit) if n_rows else limit
-    # fixed ~32-task granularity: full parallelism up to 32 CPUs while the
+    # ~32-task granularity: full parallelism up to 32 CPUs while the
     # AllToAll's per-block coordination cost stays constant across session
-    # sizes (tasks queue at lower CPU counts)
+    # sizes (tasks queue at lower CPU counts). Capped so per-task heap
+    # (each doc's span dicts) stays bounded as the corpus grows.
     if n_rows:
-        batch = max(16, n_rows // 32)
+        batch = min(max(16, n_rows // 32), 4096)
     else:
         batch = 128
     return ds.map_batches(lift, batch_format="pyarrow", batch_size=batch)

@@ -196,9 +196,7 @@ def run_extraction_sharded(
     document in different rows would assemble independently on the map-only
     path — fragmented corpora go through ``run_extraction``.
     """
-    import pyarrow.compute as pc
-
-    from pdf_parser_ray.pipelines.extract import extract_fused
+    from pdf_parser_ray.pipelines.extract import extract_fused, split_by_span_count
 
     os.makedirs(os.path.join(output_dir, MANIFEST_DIR), exist_ok=True)
     shards = _shard_groups(sorted(input_files), files_per_shard)
@@ -233,8 +231,8 @@ def run_extraction_sharded(
                 )
             totals["shards_skipped_resume"] += 1
             continue
-        ds = ray.data.read_parquet(shard_files).map_batches(
-            keep, fn_kwargs={"giant": False}, batch_format="pyarrow"
+        ds = split_by_span_count(
+            ray.data.read_parquet(shard_files), giant_span_threshold, giant=False
         )
         from ray.data.aggregate import Count, Sum
 
@@ -271,8 +269,8 @@ def run_extraction_sharded(
         totals["parse_failures"] += manifest["parse_failures"]
         totals["pages_processed"] += manifest["pages_processed"]
 
-    giant_ds = ray.data.read_parquet(sorted(input_files)).map_batches(
-        keep, fn_kwargs={"giant": True}, batch_format="pyarrow"
+    giant_ds = split_by_span_count(
+        ray.data.read_parquet(sorted(input_files)), giant_span_threshold, giant=True
     )
     giant_summary = run_extraction(
         giant_ds,
