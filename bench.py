@@ -89,8 +89,14 @@ def run_headline() -> dict:
     shutil.rmtree(OUT_DIR, ignore_errors=True)
     corpus_path, n_docs = _prepare_corpus()
 
-    # untimed warm-up: page cache, worker imports
-    extract_fused(ray.data.read_parquet(f"{corpus_path}/small").limit(64)).count()
+    # untimed warm-up: page cache, worker imports (either size class may
+    # be absent — an empty write creates no directory)
+    for part in ("small", "giant"):
+        if os.path.isdir(f"{corpus_path}/{part}"):
+            extract_fused(
+                ray.data.read_parquet(f"{corpus_path}/{part}").limit(64)
+            ).count()
+            break
 
     n_buckets = max(NUM_CPUS * 4, 32)
     t0 = time.time()
@@ -101,6 +107,8 @@ def run_headline() -> dict:
         branches.append(
             extract(ray.data.read_parquet(f"{corpus_path}/giant"), n_buckets=n_buckets)
         )
+    if not branches:
+        raise SystemExit(f"no corpus partitions under {corpus_path}")
     combined = branches[0]
     for b in branches[1:]:
         combined = combined.union(b)

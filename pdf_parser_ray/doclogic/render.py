@@ -58,6 +58,10 @@ def spans_to_pages(spans: list[dict[str, Any]]) -> list[dict[str, Any]]:
             number = int(text) if text.isdecimal() else -1
             if not (0 <= number <= 2**31 - 1):
                 number = len(pages) + 1 if current is None else current["page"] + 1
+                # the sequential fallback itself can overflow right after a
+                # page numbered 2^31-1 — cap it (page_order keeps duplicate
+                # capped pages deterministic)
+                number = min(number, 2**31 - 1)
             if current is not None:
                 pages.append(current)
             current = new_page(number)

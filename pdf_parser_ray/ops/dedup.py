@@ -239,6 +239,10 @@ def verify_pairs_jaccard(
     for a bucketed join on doc_id."""
     import ray
 
+    # pin the candidate pairs: the id-collection pass below and the returned
+    # verify stage would otherwise each re-execute the full LSH pipeline
+    pairs_ds = pairs_ds.materialize()
+
     candidate_ids: set[str] = set()
     for batch in pairs_ds.select_columns(["doc_a", "doc_b"]).iter_batches(
         batch_format="pyarrow"

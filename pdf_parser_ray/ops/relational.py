@@ -229,21 +229,16 @@ def customers_without_orders(
 ) -> ray.data.Dataset:
     """Anti-join: customers with no orders on/after ``since``. Probe side =
     distinct recent o_custkey, computed distributed with the date predicate
-    pushed to the read."""
-    import pyarrow.dataset  # noqa: F401  (ensures dataset filters available)
+    pushed to the parquet read (row-group pruning)."""
+    import datetime
 
+    cutoff = datetime.datetime.fromisoformat(since)
     orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pc.field("o_orderdate") >= pa.scalar(cutoff),
     )
-
-    def recent(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pc.greater_equal(batch["o_orderdate"], pa.scalar(since).cast(pa.timestamp("us")))
-        )
-
-    keys = _distinct_keys(
-        orders.map_batches(recent, batch_format="pyarrow"), "o_custkey"
-    )
+    keys = _distinct_keys(orders, "o_custkey")
     ds = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )

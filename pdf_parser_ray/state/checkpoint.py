@@ -204,15 +204,6 @@ def run_extraction_sharded(
     def shard_manifest(i: int) -> str:
         return os.path.join(output_dir, MANIFEST_DIR, f"shard_{i}.json")
 
-    def keep(batch: pa.Table, giant: bool) -> pa.Table:
-        n = pc.list_value_length(batch["spans"])
-        mask = (
-            pc.greater(n, giant_span_threshold)
-            if giant
-            else pc.less_equal(n, giant_span_threshold)
-        )
-        return batch.filter(mask)
-
     totals = {"docs_parsed": 0, "spans_emitted": 0, "parse_failures": 0,
               "pages_processed": 0, "shards_completed_now": 0,
               "shards_skipped_resume": 0}
