@@ -352,6 +352,12 @@ def _q_validation_summary(sf_dir: str):
     return pd.DataFrame([flat])
 
 
+def _q_deterministic_sample(sf_dir: str):
+    from pdf_parser_ray.ops.relational import deterministic_sample
+
+    return deterministic_sample(sf_dir, modulus=10, keep_below=3)
+
+
 def _q_docs_by_lang(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
@@ -433,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_agg": _q_events_window,
         "sessionize": _q_sessionize,
         "docs_by_lang": _q_docs_by_lang,
+        "deterministic_sample": _q_deterministic_sample,
         "events_json": _q_events_json,
         "supplier_balance_stats": _q_supplier_stats,
         "customers_without_orders": _q_customers_without_orders,
@@ -550,6 +557,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_by_lang": (
             "SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY lang, source ORDER BY lang, source"
+        ),
+        "deterministic_sample": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE doc_id % 10 < 3 ORDER BY doc_id"
         ),
         "events_json": (
             "SELECT event_type, COUNT(*) AS n, "

@@ -368,3 +368,37 @@ def order_priority_revenue(sf_dir: str) -> ray.data.Dataset:
         )
         .sort("o_orderpriority")
     )
+
+
+def deterministic_sample(
+    sf_dir: str, modulus: int = 10, keep_below: int = 3
+) -> ray.data.Dataset:
+    """Deterministic corpus sampling: keep rows where ``doc_id % modulus <
+    keep_below`` — the reproducible alternative to random_sample for
+    train/eval splits (same split every run, on every cluster, and
+    expressible in SQL for the oracle gate). For seeded pseudo-random
+    sampling use ``Dataset.random_sample(frac, seed=...)``."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        sel = pc.less(
+            pc.cast(
+                pc.subtract(
+                    batch["doc_id"],
+                    pc.multiply(
+                        pc.cast(
+                            pc.floor(pc.divide(pc.cast(batch["doc_id"], pa.float64()), modulus)),
+                            pa.int64(),
+                        ),
+                        modulus,
+                    ),
+                ),
+                pa.int64(),
+            ),
+            keep_below,
+        )
+        return batch.filter(sel)
+
+    return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
