@@ -223,25 +223,146 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 5) -> float:
     return len(ga & gb) / len(ga | gb)
 
 
+_VERIFIED_SCHEMA = pa.schema(
+    [("doc_a", pa.string()), ("doc_b", pa.string()), ("jaccard", pa.float64())]
+)
+
+
+def _verify_pairs_join(
+    pairs_ds: ray.data.Dataset,
+    docs_ds: ray.data.Dataset,
+    threshold: float,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Scale path of :func:`verify_pairs_jaccard`: a bucketed hash join of
+    pair rows with the docs table, no driver-side candidate dict.
+
+    Shape: each pair emits two message rows (one per side) keyed by the
+    referenced doc id; corpus rows carry their text under the same key.
+    One coarse groupby on hash(doc id) attaches text to each side, a second
+    on hash(pair) reunites the two sides and scores the Jaccard. Text moves
+    through the shuffle once per referencing pair side — never the whole
+    corpus dict to the driver."""
+
+    side_schema = pa.schema(
+        [
+            ("doc", pa.string()),
+            ("side", pa.int8()),  # 0 = pair's doc_a, 1 = doc_b, 2 = corpus text
+            ("doc_a", pa.string()),
+            ("doc_b", pa.string()),
+            ("text", pa.string()),
+            ("_b", pa.int64()),
+        ]
+    )
+
+    def pair_msgs(batch: pa.Table) -> pa.Table:
+        a = pc.cast(batch["doc_a"], pa.string()).to_pylist()
+        b = pc.cast(batch["doc_b"], pa.string()).to_pylist()
+        doc = a + b
+        return pa.table(
+            {
+                "doc": pa.array(doc, pa.string()),
+                "side": pa.array([0] * len(a) + [1] * len(b), pa.int8()),
+                "doc_a": pa.array(a + a, pa.string()),
+                "doc_b": pa.array(b + b, pa.string()),
+                "text": pa.array([None] * len(doc), pa.string()),
+                "_b": pa.array(
+                    [h % _DEDUP_BUCKETS for h in _md5_64(doc)], pa.int64()
+                ),
+            }
+        ).cast(side_schema)
+
+    def corpus_rows(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch[id_col], pa.string()).to_pylist()
+        return pa.table(
+            {
+                "doc": pa.array(ids, pa.string()),
+                "side": pa.array([2] * len(ids), pa.int8()),
+                "doc_a": pa.array([None] * len(ids), pa.string()),
+                "doc_b": pa.array([None] * len(ids), pa.string()),
+                "text": pc.cast(batch[text_col], pa.string()),
+                "_b": pa.array(
+                    [h % _DEDUP_BUCKETS for h in _md5_64(ids)], pa.int64()
+                ),
+            }
+        ).cast(side_schema)
+
+    msgs = pairs_ds.map_batches(pair_msgs, batch_format="pyarrow")
+    corpus = docs_ds.select_columns([id_col, text_col]).map_batches(
+        corpus_rows, batch_format="pyarrow"
+    )
+
+    def attach_text(group: pd.DataFrame) -> pd.DataFrame:
+        texts = group[group["side"] == 2][["doc", "text"]].drop_duplicates("doc")
+        sides = group[group["side"] != 2][["doc", "side", "doc_a", "doc_b"]]
+        m = sides.merge(texts, on="doc", how="left")
+        m["text"] = m["text"].fillna("")
+        m["_pb"] = [
+            h % _DEDUP_BUCKETS
+            for h in _md5_64(
+                [f"{a}|{b}" for a, b in zip(m["doc_a"], m["doc_b"])]
+            )
+        ]
+        return m[["doc_a", "doc_b", "side", "text", "_pb"]]
+
+    def score(group: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for (a, b), g in group.groupby(["doc_a", "doc_b"], sort=False):
+            ta = g.loc[g["side"] == 0, "text"]
+            tb = g.loc[g["side"] == 1, "text"]
+            j = ngram_jaccard(
+                ta.iloc[0] if len(ta) else "", tb.iloc[0] if len(tb) else "", n
+            )
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(round(j, 6))
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})
+
+    def fix_schema(batch: pa.Table) -> pa.Table:
+        return batch.cast(_VERIFIED_SCHEMA)
+
+    return (
+        msgs.union(corpus)
+        .groupby("_b")
+        .map_groups(attach_text, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(score, batch_format="pandas")
+        .map_batches(fix_schema, batch_format="pyarrow")
+    )
+
+
 def verify_pairs_jaccard(
     pairs_ds: ray.data.Dataset,
     docs_ds: ray.data.Dataset,
     threshold: float = 0.8,
     n: int = 5,
+    broadcast_max_ids: int = 2_000_000,
+    use_join: Optional[bool] = None,
 ) -> ray.data.Dataset:
     """Filter candidate pairs by true Jaccard.
 
-    Only documents REFERENCED BY A CANDIDATE PAIR are pulled for the text
-    lookup: the candidate id set (small — only LSH collisions survive) is
-    collected first, then one filtered pass over the corpus builds the
-    broadcast dict. The full corpus never lands on the driver; at scales
-    where even the candidate universe outgrows a broadcast, swap the lookup
-    for a bucketed join on doc_id."""
+    Fast path (candidate universe fits a broadcast): only documents
+    REFERENCED BY A CANDIDATE PAIR are pulled for the text lookup — the
+    candidate id set is collected first, then one filtered pass over the
+    corpus builds a ray.put broadcast dict. Scale path (more than
+    ``broadcast_max_ids`` candidate ids, or ``use_join=True``): a bucketed
+    hash join of pairs with the docs table (:func:`_verify_pairs_join`) —
+    no driver-side text dict at any size. ``use_join=False`` forces the
+    broadcast path."""
     import ray
 
     # pin the candidate pairs: the id-collection pass below and the returned
     # verify stage would otherwise each re-execute the full LSH pipeline
     pairs_ds = pairs_ds.materialize()
+
+    if use_join is None:
+        # each pair references 2 ids — a cheap upper bound on the id set
+        use_join = 2 * pairs_ds.count() > broadcast_max_ids
+    if use_join:
+        return _verify_pairs_join(pairs_ds, docs_ds, threshold, n)
 
     candidate_ids: set[str] = set()
     for batch in pairs_ds.select_columns(["doc_a", "doc_b"]).iter_batches(
@@ -393,20 +514,40 @@ def embedding_near_dup(
 # ---- near-dup clustering + representative keep ----------------------------
 
 
-def connected_components(pairs: list[tuple[str, str]]) -> dict[str, str]:
+def _id_order_key(numeric: bool):
+    """Representative ordering: numeric min when the source id column is
+    integral (consistent with exact_dedup's MIN(doc_id)), else lexicographic
+    over the stringified ids."""
+    return (lambda x: int(x)) if numeric else (lambda x: x)
+
+
+def _ids_are_integer(ds: ray.data.Dataset, id_col: str) -> bool:
+    try:
+        return pa.types.is_integer(ds.schema().base_schema.field(id_col).type)
+    except Exception:
+        return False
+
+
+def connected_components(
+    pairs: list[tuple[str, str]], numeric: bool = False
+) -> dict[str, str]:
     """Union-find over candidate-duplicate pairs -> node -> cluster
-    representative (the minimum id in the component).
+    representative (the minimum id in the component; numeric minimum when
+    ``numeric`` — pass it when the source id column is integral, otherwise
+    '10' < '9' lexicographically and the kept doc diverges from
+    exact_dedup's MIN(doc_id) semantics).
 
     Driver-side by design: the LSH candidate-pair set is orders of magnitude
     smaller than the corpus (only colliding bands survive). Guarded — for a
-    pathological pair explosion switch to iterative min-label propagation
-    (groupby rounds) instead of raising the limit.
+    pathological pair explosion ``minhash_dedup`` routes through
+    :func:`connected_components_distributed` instead of raising the limit.
     """
     if len(pairs) > 5_000_000:
         raise ValueError(
             "candidate pair set too large for driver-side union-find; "
-            "use iterative min-label propagation"
+            "use connected_components_distributed"
         )
+    key = _id_order_key(numeric)
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -420,9 +561,67 @@ def connected_components(pairs: list[tuple[str, str]]) -> dict[str, str]:
     for a, b in pairs:
         ra, rb = find(a), find(b)
         if ra != rb:
-            lo, hi = sorted((ra, rb))
+            lo, hi = sorted((ra, rb), key=key)
             parent[hi] = lo
     return {node: find(node) for node in parent}
+
+
+def filter_out_ids(
+    ds: ray.data.Dataset, drop_ds: ray.data.Dataset, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Distributed anti-join: drop ``ds`` rows whose ``id_col`` appears in
+    ``drop_ds`` (a (doc_id) dataset) — the scale path when the drop-id set
+    outgrows a broadcast. Both sides bucket on hash(id); one coarse groupby
+    filters per bucket. Moves the data rows through one shuffle (at scale
+    you are writing the filtered corpus back out anyway)."""
+    data_schema = ds.schema().base_schema
+    cols = list(data_schema.names)
+    union_schema = pa.schema(
+        [("_key", pa.string()), ("_is_drop", pa.bool_()), ("_b", pa.int64())]
+        + [(f.name, f.type) for f in data_schema]
+    )
+
+    def data_rows(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(batch[id_col], pa.string()).to_pylist()
+        t = pa.table(
+            {
+                "_key": pa.array(keys, pa.string()),
+                "_is_drop": pa.array([False] * len(keys), pa.bool_()),
+                "_b": pa.array([h % _DEDUP_BUCKETS for h in _md5_64(keys)], pa.int64()),
+            }
+        )
+        for name in cols:
+            t = t.append_column(name, batch[name])
+        return t.cast(union_schema)
+
+    def drop_rows(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(batch[id_col], pa.string()).to_pylist()
+        t = pa.table(
+            {
+                "_key": pa.array(keys, pa.string()),
+                "_is_drop": pa.array([True] * len(keys), pa.bool_()),
+                "_b": pa.array([h % _DEDUP_BUCKETS for h in _md5_64(keys)], pa.int64()),
+            }
+        )
+        for f in data_schema:
+            t = t.append_column(f.name, pa.nulls(len(keys), f.type))
+        return t.cast(union_schema)
+
+    tagged = ds.map_batches(data_rows, batch_format="pyarrow").union(
+        drop_ds.select_columns([id_col]).map_batches(drop_rows, batch_format="pyarrow")
+    )
+
+    def anti(group: pa.Table) -> pa.Table:
+        dropped = group.filter(group["_is_drop"])
+        kept = group.filter(pc.invert(group["_is_drop"]))
+        if dropped.num_rows:
+            mask = pc.invert(
+                pc.is_in(kept["_key"], value_set=pc.unique(dropped["_key"]))
+            )
+            kept = kept.filter(mask)
+        return kept.select(cols)
+
+    return tagged.groupby("_b").map_groups(anti, batch_format="pyarrow")
 
 
 def minhash_dedup(
@@ -431,31 +630,66 @@ def minhash_dedup(
     num_perm: int = 64,
     band_size: int = 4,
     shingle_size: int = 5,
+    driver_cc_max_pairs: int = 1_000_000,
+    broadcast_max_drop_ids: int = 5_000_000,
 ) -> ray.data.Dataset:
     """End-to-end near-dedup: LSH candidates -> verified Jaccard -> connected
-    components -> keep each component's minimum doc_id. Returns the
-    deduplicated documents dataset.
+    components -> keep each component's minimum doc_id (numeric minimum for
+    integral id columns). Returns the deduplicated documents dataset.
 
-    The cluster map (small) is broadcast via ray.put; the corpus itself
-    streams through a single filter."""
+    Scale routing — no unguarded driver materialization at any size:
+
+    * <= ``driver_cc_max_pairs`` verified pairs: driver union-find (pairs
+      are already materialized and bounded), drop set broadcast via ray.put.
+    * above it: :func:`connected_components_distributed` (co-partitioned
+      min-label propagation); the resulting drop-ID table is broadcast when
+      it fits ``broadcast_max_drop_ids``, else the corpus is filtered with
+      the :func:`filter_out_ids` bucketed anti-join."""
     import ray as _ray
 
+    numeric = _ids_are_integer(ds, "doc_id")
     candidates = minhash_candidate_pairs(ds, num_perm, band_size, shingle_size)
-    verified = verify_pairs_jaccard(candidates, ds, jaccard_threshold, shingle_size)
-    pair_rows = verified.select_columns(["doc_a", "doc_b"]).take_all()
-    clusters = connected_components(
-        [(str(r["doc_a"]), str(r["doc_b"])) for r in pair_rows]
+    verified = (
+        verify_pairs_jaccard(candidates, ds, jaccard_threshold, shingle_size)
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()  # pair rows only — never text
     )
-    drop = {node for node, rep in clusters.items() if node != rep}
-    drop_ref = _ray.put(drop)
+    n_pairs = verified.count()
+
+    if n_pairs <= driver_cc_max_pairs:
+        pair_rows = verified.take_all()
+        clusters = connected_components(
+            [(str(r["doc_a"]), str(r["doc_b"])) for r in pair_rows], numeric=numeric
+        )
+        drop_ids = [node for node, rep in clusters.items() if node != rep]
+    else:
+        cc = connected_components_distributed(verified, numeric_ids=numeric)
+
+        def nonrep(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.not_equal(batch["doc_id"], batch["cluster"])
+            ).select(["doc_id"])
+
+        drop_ds = cc.map_batches(nonrep, batch_format="pyarrow").materialize()
+        if drop_ds.count() > broadcast_max_drop_ids:
+            return filter_out_ids(ds, drop_ds, id_col="doc_id")
+        drop_ids = [
+            str(v)
+            for batch in drop_ds.iter_batches(batch_format="pyarrow")
+            for v in batch["doc_id"].to_pylist()
+        ]
+
+    drop_ref = _ray.put(pa.array(sorted(set(drop_ids)), pa.string()))
 
     class KeepRepresentatives:
         def __init__(self, ref):
             self.drop = _ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keep = [str(d) not in self.drop for d in batch["doc_id"].to_pylist()]
-            return batch.filter(pa.array(keep))
+            ids = pc.cast(batch["doc_id"], pa.string())
+            return batch.filter(
+                pc.invert(pc.is_in(ids, value_set=self.drop))
+            )
 
     return ds.map_batches(
         KeepRepresentatives,
@@ -466,7 +700,7 @@ def minhash_dedup(
 
 
 def connected_components_distributed(
-    pairs_ds: ray.data.Dataset, max_rounds: int = 50
+    pairs_ds: ray.data.Dataset, max_rounds: int = 50, numeric_ids: bool = False
 ) -> ray.data.Dataset:
     """Distributed connected components over candidate pairs via iterative
     min-label propagation — the scale path when the pair set outgrows the
@@ -479,11 +713,23 @@ def connected_components_distributed(
     convergence), with ``max_rounds`` only as a runaway cap; convergence
     takes O(component diameter) rounds. Returns (doc_id, cluster) with
     cluster = component-minimum id.
+
+    ``numeric_ids=True`` (for integral, non-negative source id columns)
+    makes "minimum" the NUMERIC minimum, matching exact_dedup's
+    MIN(doc_id): ids are zero-padded to 20 digits internally so the
+    lexicographic min-label propagation orders them numerically, and
+    decoded at finalize.
     """
 
+    def enc(x: str) -> str:
+        return f"{int(x):020d}" if numeric_ids else str(x)
+
+    def dec(x: str) -> str:
+        return str(int(x)) if numeric_ids else x
+
     def to_directed(batch: pa.Table) -> pa.Table:
-        a = batch["doc_a"].to_pylist()
-        b = batch["doc_b"].to_pylist()
+        a = [enc(x) for x in batch["doc_a"].to_pylist()]
+        b = [enc(x) for x in batch["doc_b"].to_pylist()]
         keys = a + b
         return pa.table(
             {
@@ -547,7 +793,10 @@ def connected_components_distributed(
             vals = _md5_64(
                 [f"{k}|{v}" for k, v in zip(batch["key"].to_pylist(), batch["label"].to_pylist())]
             )
-            return pa.table({"d": pa.array([sum(vals) & 0x7FFFFFFFFFFFFFFF], pa.int64())})
+            # 40-bit per-batch digest: the cross-batch Sum stays inside
+            # int64 for < 2^23 batches (unmasked sums overflowed Arrow's
+            # int64 and fell back to pickled-object blocks)
+            return pa.table({"d": pa.array([sum(vals) & 0xFFFFFFFFFF], pa.int64())})
 
         agg = labels_ds.map_batches(digest, batch_format="pyarrow").aggregate(
             Sum("d", alias_name="d")
@@ -574,6 +823,15 @@ def connected_components_distributed(
         prev = cur
 
     def finalize(batch: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": batch["key"], "cluster": batch["label"]})
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [dec(k) for k in batch["key"].to_pylist()], pa.string()
+                ),
+                "cluster": pa.array(
+                    [dec(v) for v in batch["label"].to_pylist()], pa.string()
+                ),
+            }
+        )
 
     return labels.map_batches(finalize, batch_format="pyarrow")

@@ -383,22 +383,11 @@ def deterministic_sample(
     )
 
     def keep(batch: pa.Table) -> pa.Table:
-        sel = pc.less(
-            pc.cast(
-                pc.subtract(
-                    batch["doc_id"],
-                    pc.multiply(
-                        pc.cast(
-                            pc.floor(pc.divide(pc.cast(batch["doc_id"], pa.float64()), modulus)),
-                            pa.int64(),
-                        ),
-                        modulus,
-                    ),
-                ),
-                pa.int64(),
-            ),
-            keep_below,
-        )
-        return batch.filter(sel)
+        # pure int64 arithmetic: Arrow integer divide truncates toward zero,
+        # matching SQL `%` exactly at all magnitudes (a float64 round-trip
+        # loses exactness above 2^53 and floors instead of truncating)
+        x = pc.cast(batch["doc_id"], pa.int64())
+        rem = pc.subtract(x, pc.multiply(pc.divide(x, modulus), modulus))
+        return batch.filter(pc.less(rem, keep_below))
 
     return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")

@@ -46,7 +46,10 @@ def split_by_span_count(
     count is above (``giant=True``) / at-or-below the threshold."""
 
     def keep(batch: pa.Table) -> pa.Table:
-        n = pa.compute.list_value_length(batch["spans"])
+        # fill_null: a null `spans` cell must land in the small branch (and
+        # produce an empty/failure row downstream), not vanish from both —
+        # Table.filter drops null-mask rows.
+        n = pa.compute.list_value_length(batch["spans"]).fill_null(0)
         mask = (
             pa.compute.greater(n, threshold)
             if giant

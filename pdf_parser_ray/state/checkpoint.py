@@ -39,6 +39,16 @@ def _manifest_path(output_dir: str, bucket: int) -> str:
     return os.path.join(output_dir, MANIFEST_DIR, f"bucket_{bucket}.json")
 
 
+def _write_json_atomic(path: str, payload: dict[str, Any]) -> None:
+    """tmp + os.replace, mirroring the data.parquet write: a manifest's
+    existence marks its partition complete, so a crash mid-write must not
+    leave a truncated JSON that poisons resume/read_metrics."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
 def completed_buckets(output_dir: str) -> set[int]:
     """Bucket ids whose manifest exists (complete partitions)."""
     mdir = os.path.join(output_dir, MANIFEST_DIR)
@@ -78,8 +88,7 @@ def run_extraction(
                 f"run's n_buckets={prior.get('n_buckets')} for {output_dir}; "
                 "use the original value or a fresh output dir"
             )
-    with open(run_manifest, "w") as f:
-        json.dump({"n_buckets": n_buckets}, f)
+    _write_json_atomic(run_manifest, {"n_buckets": n_buckets})
     done = completed_buckets(output_dir) if resume else set()
     if not resume:
         # a fresh run invalidates any previous partial state
@@ -124,8 +133,7 @@ def run_extraction(
             ),
             "pages_processed": int(pa.compute.sum(result["total_pages"]).as_py() or 0),
         }
-        with open(_manifest_path(output_dir, bucket), "w") as f:
-            json.dump(metrics, f)
+        _write_json_atomic(_manifest_path(output_dir, bucket), metrics)
         return pa.Table.from_pylist([metrics], schema=PARTITION_METRICS_SCHEMA)
 
     metrics_ds = pages.groupby("bucket").map_groups(
@@ -252,8 +260,7 @@ def run_extraction_sharded(
             "parse_failures": int(stats.get("parse_failures") or 0),
             "pages_processed": int(stats.get("total_pages") or 0),
         }
-        with open(shard_manifest(i), "w") as f:
-            json.dump(manifest, f)
+        _write_json_atomic(shard_manifest(i), manifest)
         totals["shards_completed_now"] += 1
         totals["docs_parsed"] += manifest["docs_parsed"]
         totals["spans_emitted"] += manifest["spans_emitted"]

@@ -253,3 +253,54 @@ def test_connected_components_distributed_matches_unionfind(ray_session):
     for node in got_map:
         assert got_map[node] == want.get(node, node), (node, got_map[node])
     assert got_map["d"] == "a" and got_map["y"] == "x" and got_map["r"] == "p"
+
+
+def test_verify_pairs_join_path_matches_broadcast(docs_with_dups):
+    pairs = dedup.minhash_candidate_pairs(docs_with_dups, num_perm=64, band_size=4)
+    vb = (
+        dedup.verify_pairs_jaccard(pairs, docs_with_dups, threshold=0.5, use_join=False)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    vj = (
+        dedup.verify_pairs_jaccard(pairs, docs_with_dups, threshold=0.5, use_join=True)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    assert len(vb) > 0
+    pd.testing.assert_frame_equal(vb, vj)
+
+
+def test_minhash_dedup_distributed_route_matches_driver(docs_with_dups):
+    d_driver = sorted(dedup.minhash_dedup(docs_with_dups, jaccard_threshold=0.5).to_pandas().doc_id)
+    # driver_cc_max_pairs=0 forces connected_components_distributed
+    d_dist = sorted(
+        dedup.minhash_dedup(
+            docs_with_dups, jaccard_threshold=0.5, driver_cc_max_pairs=0
+        ).to_pandas().doc_id
+    )
+    # broadcast_max_drop_ids=0 additionally forces the bucketed anti-join
+    d_anti = sorted(
+        dedup.minhash_dedup(
+            docs_with_dups, jaccard_threshold=0.5, driver_cc_max_pairs=0,
+            broadcast_max_drop_ids=0,
+        ).to_pandas().doc_id
+    )
+    assert d_driver == d_dist == d_anti
+
+
+def test_filter_out_ids_anti_join(ray_session):
+    data = ray.data.from_items(
+        [{"doc_id": i, "text": f"t{i}"} for i in range(20)]
+    )
+    drop = ray.data.from_items([{"doc_id": i} for i in (3, 7, 11, 99)])
+    out = dedup.filter_out_ids(data, drop).to_pandas().sort_values("doc_id")
+    assert list(out.doc_id) == [i for i in range(20) if i not in (3, 7, 11)]
+    assert list(out.columns) == ["doc_id", "text"]
+
+
+def test_numeric_representative_selection(ray_session):
+    # '10' < '9' lexicographically: numeric ordering must keep 9, not 10
+    comp = dedup.connected_components([("10", "9"), ("10", "100")], numeric=True)
+    assert comp["10"] == "9" and comp["100"] == "9"
+    ds = ray.data.from_items([{"doc_a": "10", "doc_b": "9"}, {"doc_a": "10", "doc_b": "100"}])
+    got = dedup.connected_components_distributed(ds, numeric_ids=True).to_pandas()
+    assert dict(zip(got.doc_id, got.cluster)) == {"9": "9", "10": "9", "100": "9"}
