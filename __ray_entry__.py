@@ -183,6 +183,21 @@ def _q_simhash(sf_dir: str):
 
 
 def _q_embedding_near_dup(sf_dir: str):
+    """Exact all-pairs cosine near-dup (recall-1.0 baseline, SQL-oracled);
+    threshold 0.45 sits inside the synthetic embeddings' similarity range
+    so the gate verifies real pair values, not an empty set."""
+    import ray.data
+
+    from pdf_parser_ray.ops.dedup import embedding_near_dup_exact
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_exact(ds, threshold=0.45)
+
+
+def _q_embedding_near_dup_lsh(sf_dir: str):
+    """Sign-LSH bucketed near-dup — the sub-quadratic scale path (approximate
+    recall: pairs straddling every hyperplane split are missed, so no SQL
+    oracle; tests/test_ops.py pins planted-dup recall and exact-subset)."""
     import ray.data
 
     from pdf_parser_ray.ops.dedup import embedding_near_dup
@@ -215,6 +230,22 @@ def _q_knn_ivf(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     return knn_ivf(ds, _query_vector(sf_dir), k=10, n_centroids=16, n_probe=16)
+
+
+def _q_knn_ivf_indexed(sf_dir: str):
+    """Persisted-IVF query path: one-time partitioned index build, then a
+    pruned read of the probed lists. n_probe == n_centroids keeps it exact
+    (same oracle as knn); the pruned-IO property is pinned in pytest."""
+    import tempfile
+
+    import ray.data
+
+    from pdf_parser_ray.ops.similarity import build_ivf_index, knn_ivf_index
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+    build_ivf_index(ds, index_dir, n_centroids=16)
+    return knn_ivf_index(index_dir, _query_vector(sf_dir), k=10, n_probe=16)
 
 
 def _q_minhash_dedup(sf_dir: str):
@@ -426,11 +457,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_clusters": _q_minhash_clusters,
         # similarity search
         "knn_bruteforce": _q_knn,
         "knn_ivf": _q_knn_ivf,
+        "knn_ivf_indexed": _q_knn_ivf_indexed,
         # relational engine surface
         "pricing_summary": _q_pricing,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -496,6 +529,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cosine "
             "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
             "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+        "knn_ivf_indexed": (
+            "SELECT e.vec_id, ROUND(list_cosine_similarity("
+            "CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cosine "
+            "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
+            "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+        # exact all-pairs near-dup: compare on the ROUNDED cosine so the
+        # >= cut can never straddle a 6th-decimal boundary differently
+        "embedding_near_dup": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) >= 0.45"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, "

@@ -511,6 +511,71 @@ def embedding_near_dup(
     )
 
 
+def embedding_near_dup_exact(
+    ds: ray.data.Dataset,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """EXACT near-duplicate vector pairs: all pairs with cosine >= threshold
+    (compared on the 6-decimal-rounded similarity, so the cut matches a SQL
+    ``ROUND(cos, 6) >= t`` oracle bit-for-bit).
+
+    Brute-force baseline: the full (id, unit-vector) matrix is broadcast
+    once via ray.put and every batch does one numpy matmul against it —
+    O(n^2) similarity math distributed over batches, no shuffle. This is
+    the recall-1.0 reference for :func:`embedding_near_dup` (the sign-LSH
+    scale path, whose buckets bound the quadratic work but can miss pairs
+    straddling a hyperplane)."""
+    import ray as _ray
+
+    ids: list = []
+    vecs: list = []
+    # embeddings are the small side (corpus of vectors, not documents);
+    # collected once — the per-batch work stays distributed
+    for batch in ds.select_columns([id_col, vec_col]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        ids.extend(batch[id_col].to_pylist())
+        vecs.extend(batch[vec_col].to_pylist())
+    mat = np.asarray(vecs, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    ref = _ray.put((np.asarray(ids), mat / norms))
+
+    class AllPairs:
+        def __init__(self, ref, threshold: float):
+            self.all_ids, self.unit = _ray.get(ref)
+            self.threshold = threshold
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bvecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            bids = np.asarray(batch[id_col].to_pylist())
+            bn = np.linalg.norm(bvecs, axis=1, keepdims=True)
+            bn[bn == 0] = 1.0
+            sims = np.round((bvecs / bn) @ self.unit.T, 6)
+            # keep strictly-ordered pairs once: batch id < corpus id
+            keep = (sims >= self.threshold) & (
+                bids[:, None] < self.all_ids[None, :]
+            )
+            bi, ci = np.nonzero(keep)
+            return pa.table(
+                {
+                    "id_a": pa.array(bids[bi]),
+                    "id_b": pa.array(self.all_ids[ci]),
+                    "cosine": pa.array(sims[bi, ci], pa.float64()),
+                }
+            )
+
+    return ds.map_batches(
+        AllPairs,
+        fn_constructor_kwargs={"ref": ref, "threshold": threshold},
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 8),
+    )
+
+
 # ---- near-dup clustering + representative keep ----------------------------
 
 

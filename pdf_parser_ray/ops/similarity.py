@@ -75,9 +75,23 @@ def deterministic_centroids(
 ) -> np.ndarray:
     """Coarse centroids without an iterative fit: the unit vectors of the
     ``n_centroids`` smallest ids (deterministic, cheap; a k-means refinement
-    can swap in without changing the query path)."""
+    can swap in without changing the query path).
+
+    Shape mirrors knn_bruteforce's local-top-k merge: each batch emits only
+    its ``n_centroids`` smallest ids, so the final sort orders
+    n_centroids x n_batches candidate rows — never a full-corpus sort for a
+    dimension-sized result."""
+
+    def local_min_k(batch: pa.Table) -> pa.Table:
+        t = batch.select([id_col, vec_col])
+        order = pa.compute.sort_indices(t, sort_keys=[(id_col, "ascending")])
+        return t.take(order[:n_centroids])
+
     rows = (
-        ds.sort(id_col).limit(n_centroids).select_columns([vec_col]).take_all()
+        ds.map_batches(local_min_k, batch_format="pyarrow", batch_size=4096)
+        .sort(id_col)
+        .limit(n_centroids)
+        .take_all()
     )
     return _unit(np.asarray([r[vec_col] for r in rows], dtype=np.float64))
 
@@ -131,3 +145,110 @@ def knn_ivf(
         concurrency=(1, 8),
     )
     return candidates.sort(["cosine", id_col], descending=[True, False]).limit(k)
+
+
+# ---- persisted IVF index --------------------------------------------------
+
+
+def build_ivf_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """One-time IVF index build: assign every vector to its nearest centroid
+    and write the corpus as ``list_id``-partitioned parquet plus the centroid
+    matrix. Queries then read ONLY the probed partitions
+    (:func:`knn_ivf_index`) — centroid assignment is never recomputed per
+    query and query IO is corpus_size * n_probe / n_centroids.
+
+    Returns the centroid matrix (also persisted to ``centroids.npy``)."""
+    import json
+    import os
+
+    if centroids is None:
+        centroids = deterministic_centroids(ds, n_centroids, id_col, vec_col)
+    c_ref = ray.put(centroids)
+
+    class Assign:
+        def __init__(self, c_ref):
+            self.centroids = ray.get(c_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            assign = np.argmax(_unit(vecs) @ self.centroids.T, axis=1)
+            return batch.append_column(
+                "list_id", pa.array(assign.astype(np.int32))
+            )
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(
+        Assign,
+        fn_constructor_kwargs={"c_ref": c_ref},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    ).write_parquet(os.path.join(index_dir, "lists"), partition_cols=["list_id"])
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"n_centroids": int(centroids.shape[0]), "id_col": id_col, "vec_col": vec_col}, f)
+    return centroids
+
+
+def knn_ivf_index(
+    index_dir: str,
+    query: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """ANN query against a persisted IVF index: load the (tiny) centroid
+    matrix, pick the ``n_probe`` nearest inverted lists, and read ONLY those
+    parquet partitions — the pruned read is the point of the index. Exact
+    cosine + (rounded-sim, id) ordering inside the probed lists, same as
+    knn_bruteforce."""
+    import glob
+    import os
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _unit(np.asarray(query, dtype=np.float64))
+    probe = np.argsort(-(centroids @ q))[:n_probe].tolist()
+    # read_parquet accepts one directory or a list of FILES — glob each
+    # probed partition (empty lists write no dir and contribute nothing)
+    paths = [
+        f
+        for p in probe
+        for f in sorted(
+            glob.glob(os.path.join(index_dir, "lists", f"list_id={int(p)}", "*.parquet"))
+        )
+    ]
+    if not paths:
+        return ray.data.from_items([])
+    ds = ray.data.read_parquet(paths, columns=[id_col, vec_col])
+    q_ref = ray.put(q)
+
+    class Score:
+        def __init__(self, q_ref, k: int):
+            self.q = ray.get(q_ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            ids = np.asarray(batch[id_col].to_pylist())
+            sims = np.round(_unit(vecs) @ self.q, 6)
+            order = np.lexsort((ids, -sims))[: self.k]
+            return pa.table(
+                {id_col: pa.array(ids[order]), "cosine": pa.array(sims[order])}
+            )
+
+    partials = ds.map_batches(
+        Score,
+        fn_constructor_kwargs={"q_ref": q_ref, "k": k},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    return partials.sort(["cosine", id_col], descending=[True, False]).limit(k)

