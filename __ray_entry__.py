@@ -80,10 +80,31 @@ def _q_extract_doc_pages(sf_dir: str):
 
 
 def _q_extract_stats(sf_dir: str):
+    """Per-doc extraction stats, projected to the lift-derivable columns so
+    the full pipeline run is hash-verified against closed-form SQL
+    (strip_boilerplate=False keeps n_spans closed-form: the boiler-line
+    threshold math is pinned by pytest instead — doclogic/render.py:284).
+    The TOC/section counts stay on the full stats_table op and its tests."""
     from pdf_parser_ray.pipelines import extract_fused, stats_table
     from pdf_parser_ray.sources import corpus_from_documents
 
-    return _int_doc_id(stats_table(extract_fused(corpus_from_documents(sf_dir))))
+    st = stats_table(
+        extract_fused(corpus_from_documents(sf_dir), strip_boilerplate=False)
+    ).select_columns(
+        [
+            "doc_id",
+            "total_pages",
+            "pages_with_text",
+            "pages_with_tables",
+            "pages_with_images",
+            "pages_with_annotations",
+            "pages_with_layout",
+            "n_spans",
+            "page_coverage_pct",
+            "parse_failure",
+        ]
+    )
+    return _int_doc_id(st)
 
 
 def _q_extract_span_kinds(sf_dir: str):
@@ -91,7 +112,9 @@ def _q_extract_span_kinds(sf_dir: str):
     from pdf_parser_ray.sources import corpus_from_documents
     from ray.data.aggregate import Count
 
-    spans = flat_spans(extract_fused(corpus_from_documents(sf_dir)))
+    spans = flat_spans(
+        extract_fused(corpus_from_documents(sf_dir), strip_boilerplate=False)
+    )
     return spans.groupby("kind").aggregate(Count(alias_name="n")).sort("kind")
 
 
@@ -114,14 +137,15 @@ def _q_quality(sf_dir: str):
 
 
 def _q_classify_blocks(sf_dir: str):
+    """Per-LINE class rows (not just the class histogram) so the oracle
+    hash verifies every line's assigned class."""
     import ray.data
 
     from pdf_parser_ray.ops.blocks import classify_blocks
-    from ray.data.aggregate import Count
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return (
-        classify_blocks(ds).groupby("block_class").aggregate(Count(alias_name="n")).sort("block_class")
+    return _int_doc_id(
+        classify_blocks(ds).select_columns(["doc_id", "line_idx", "block_class"])
     )
 
 
@@ -487,6 +511,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# FNV-1a 32-bit over the stringified doc_id — the synthgen page-media hash
+# (synthgen.py _stable_hash), computed in pure SQL via list_reduce
+_FNV_SQL = (
+    "list_reduce(list_prepend(2166136261::BIGINT, "
+    "list_transform(string_split(CAST(doc_id AS VARCHAR), ''), c -> ord(c)::BIGINT)), "
+    "(h,c) -> (xor(h,c) * 16777619) % 4294967296)"
+)
+
+# closed-form lift math shared by the extract_stats / extract_span_kinds
+# oracles: pages = ceil(max(ceil(len/80),1)/30); a table on pages where
+# (h+p)%3==0, an image where (h+p)%4==0 (synthgen.doc_text_to_spans)
+_EXTRACT_BASE_SQL = (
+    "WITH d AS ("
+    "  SELECT doc_id, CAST(CEIL(GREATEST(CEIL(LENGTH(text)/80.0),1)/30.0) AS INT) AS p, "
+    f"  {_FNV_SQL} AS h"
+    "  FROM documents"
+    "), pages AS ("
+    "  SELECT doc_id, p, h, unnest(range(1, p+1)) AS pg FROM d"
+    "), m AS ("
+    "  SELECT doc_id, "
+    "    SUM(CASE WHEN (h+pg)%3=0 THEN 1 ELSE 0 END) AS t, "
+    "    SUM(CASE WHEN (h+pg)%4=0 THEN 1 ELSE 0 END) AS i "
+    "  FROM pages GROUP BY doc_id"
+    ")"
+)
+
+# the np.select line-classification cascade (ops/blocks.py classify_lines),
+# rule-for-rule in SQL; shared by the classify_blocks / main_content oracles
+_BLOCK_CLS_SQL = r"""
+WITH lines AS (
+  SELECT doc_id, CAST(unnest(range(len(ls))) AS INT) AS line_idx, unnest(ls) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)
+), f AS (
+  SELECT doc_id, line_idx, line,
+    trim(line, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) AS st,
+    LENGTH(line) - LENGTH(ltrim(line, ' ' || chr(9) || chr(13) || chr(11) || chr(12))) AS indent
+  FROM lines
+), g AS (
+  SELECT doc_id, line_idx, line, st, indent,
+    LENGTH(st) AS n,
+    len(regexp_extract_all(st, '\S+')) AS nw,
+    regexp_matches(st, '^(?:[\-\*•▪·]|\d+[.)])\s+') AS bullet,
+    len(regexp_extract_all(st, '\s\|\s')) AS pipeish,
+    len(regexp_extract_all(st, '\s*[|·/>]\s*')) AS navsep,
+    len(regexp_extract_all(st, '(https?://|www\.|\[\d+\])')) AS linkish,
+    len(regexp_extract_all(st, '[A-Z]'))::DOUBLE / GREATEST(len(regexp_extract_all(st, '[A-Za-z]')), 1) AS upper_ratio,
+    regexp_matches(st, '^.*[.!?:;]$') AS endpunct,
+    regexp_matches(st, '^(def |class |import |from |#include|\{|\}|</?\w+[ >])') AS codeish
+  FROM f
+), cls AS (
+  SELECT doc_id, line_idx, line,
+    CASE
+      WHEN n = 0 THEN 'blank'
+      WHEN codeish OR (indent >= 4 AND nw <= 12) THEN 'code'
+      WHEN bullet THEN 'list_item'
+      WHEN pipeish >= 1 THEN 'table_row'
+      WHEN (navsep >= 2 AND nw <= 12) OR linkish >= 2 THEN 'nav'
+      WHEN nw <= 6 AND upper_ratio > 0.6 AND n >= 4 THEN 'heading'
+      WHEN nw >= 2 AND nw <= 12 AND NOT endpunct AND upper_ratio > 0.1 THEN 'heading'
+      WHEN nw >= 5 THEN 'paragraph'
+      ELSE 'short'
+    END AS block_class
+  FROM g
+)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # pages = ceil(max(ceil(len/80),1)/30): doc_text_to_spans line/page math
@@ -506,6 +597,114 @@ def oracle_sql() -> dict[str, str]:
         ),
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text"
+        ),
+        "extract_stats": _EXTRACT_BASE_SQL + (
+            " SELECT d.doc_id, d.p AS total_pages, d.p AS pages_with_text, "
+            "CAST(COALESCE(m.t,0) AS INT) AS pages_with_tables, "
+            "CAST(COALESCE(m.i,0) AS INT) AS pages_with_images, "
+            "0 AS pages_with_annotations, 0 AS pages_with_layout, "
+            "CAST(d.p + COALESCE(m.t,0) + COALESCE(m.i,0) AS INT) AS n_spans, "
+            "100.0 AS page_coverage_pct, FALSE AS parse_failure "
+            "FROM d LEFT JOIN m ON d.doc_id = m.doc_id"
+        ),
+        "extract_span_kinds": _EXTRACT_BASE_SQL + (
+            ", sums AS ("
+            "  SELECT SUM(d.p) AS np_, SUM(COALESCE(m.t,0)) AS nt, "
+            "         SUM(COALESCE(m.i,0)) AS ni "
+            "  FROM d LEFT JOIN m ON d.doc_id = m.doc_id"
+            ") SELECT kind, CAST(n AS BIGINT) AS n FROM ("
+            "  SELECT 'image' AS kind, ni AS n FROM sums"
+            "  UNION ALL SELECT 'table', nt FROM sums"
+            "  UNION ALL SELECT 'text', np_ FROM sums"
+            ") WHERE n > 0 ORDER BY kind"
+        ),
+        "quality_score": (
+            r"WITH c AS ("
+            r"  SELECT doc_id, LENGTH(text)::DOUBLE AS n_chars, "
+            r"    len(regexp_extract_all(text, '\S+'))::DOUBLE AS nt, "
+            r"    len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE AS np_, "
+            r"    len(regexp_extract_all(lower(text), "
+            r"'\b(?:the|and|of|to|a|in|is|it|that|for)\b'))::DOUBLE AS ns "
+            r"  FROM documents"
+            r"), r AS ("
+            r"  SELECT doc_id, nt, n_chars, "
+            r"    np_/GREATEST(nt,1.0) AS punct_ratio, "
+            r"    ns/GREATEST(nt,1.0) AS stop_ratio, "
+            r"    CASE WHEN nt > 0 THEN (n_chars-(nt-1.0))/GREATEST(nt,1.0) "
+            r"    ELSE 0.0 END AS mwl"
+            r"  FROM c"
+            r") SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, "
+            r"ROUND(punct_ratio,6) AS punct_ratio, ROUND(stop_ratio,6) AS stop_ratio, "
+            r"ROUND(LEAST(GREATEST(nt/100.0,0.0),1.0)*0.4 "
+            r"+ LEAST(GREATEST(stop_ratio/0.3,0.0),1.0)*0.3 "
+            r"+ LEAST(GREATEST(punct_ratio/0.1,0.0),1.0)*0.2 "
+            r"+ CASE WHEN mwl >= 3 AND mwl <= 10 THEN 0.1 ELSE 0.0 END, 6) AS quality "
+            r"FROM r"
+        ),
+        "lang_id": (
+            "WITH toks AS ("
+            "  SELECT doc_id, regexp_extract_all(substr(lower(text),1,4000), "
+            "'[a-z'']+') AS ts FROM documents"
+            "), hits AS ("
+            "  SELECT doc_id, len(ts)::DOUBLE AS n, "
+            "    len(list_filter(ts, t -> t IN ('the','and','of','to','a','in','is','it','you','that','was','for','on','are','with','as')))::DOUBLE AS en, "
+            "    len(list_filter(ts, t -> t IN ('el','la','de','que','y','a','en','un','ser','se','no','haber','por','con','su')))::DOUBLE AS es, "
+            "    len(list_filter(ts, t -> t IN ('le','la','de','et','les','des','en','un','du','une','que','est','pour','qui','dans')))::DOUBLE AS fr, "
+            "    len(list_filter(ts, t -> t IN ('der','die','und','in','den','von','zu','das','mit','sich','des','auf','ist','nicht')))::DOUBLE AS de "
+            "  FROM toks"
+            "), sc AS ("
+            "  SELECT doc_id, n, en/n AS en_r, es/n AS es_r, fr/n AS fr_r, de/n AS de_r, "
+            "    GREATEST(en/n, es/n, fr/n, de/n) AS best "
+            "  FROM hits WHERE n > 0"
+            ") SELECT d.doc_id, "
+            "CASE WHEN sc.doc_id IS NULL OR sc.best <= 0.02 THEN 'und' "
+            "     WHEN sc.en_r = sc.best THEN 'en' WHEN sc.es_r = sc.best THEN 'es' "
+            "     WHEN sc.fr_r = sc.best THEN 'fr' ELSE 'de' END AS lang_pred, "
+            "CASE WHEN sc.doc_id IS NULL THEN 0.0 ELSE ROUND(sc.best, 6) END AS lang_score "
+            "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"
+        ),
+        "fingerprint": (
+            r"WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS ts "
+            r"FROM documents), "
+            r"base AS (SELECT doc_id, "
+            r"CAST(('0x'||substr(md5(text),1,16))::UBIGINT >> 1 AS BIGINT) AS fingerprint, ts "
+            r"FROM t), "
+            r"grams AS (SELECT doc_id, array_to_string(list_slice(ts, i, i+3), ' ') AS g "
+            r"FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-2)) AS i FROM base "
+            r"WHERE len(ts) >= 4)), "
+            r"roll AS (SELECT doc_id, "
+            r"MIN(CAST(('0x'||substr(md5(g),1,16))::UBIGINT >> 1 AS BIGINT)) AS rolling_min "
+            r"FROM grams GROUP BY doc_id) "
+            r"SELECT b.doc_id, b.fingerprint, "
+            r"COALESCE(r.rolling_min, b.fingerprint) AS rolling_min "
+            r"FROM base b LEFT JOIN roll r ON b.doc_id = r.doc_id"
+        ),
+        "simhash": (
+            r"WITH toks AS (SELECT doc_id, "
+            r"unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents), "
+            r"th AS (SELECT doc_id, ('0x'||substr(md5(tok),1,16))::UBIGINT AS h FROM toks), "
+            r"bits AS (SELECT doc_id, b, "
+            r"SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+            r"FROM th, (SELECT unnest(range(63)) AS b) bs GROUP BY doc_id, b), "
+            r"sh AS (SELECT doc_id, "
+            r"CAST(SUM(CASE WHEN s > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS BIGINT) AS simhash "
+            r"FROM bits GROUP BY doc_id) "
+            r"SELECT d.doc_id, COALESCE(sh.simhash, 0) AS simhash, "
+            r"CAST((COALESCE(sh.simhash,0) >> 0) & 65535 AS INT) AS band_0, "
+            r"CAST((COALESCE(sh.simhash,0) >> 16) & 65535 AS INT) AS band_1, "
+            r"CAST((COALESCE(sh.simhash,0) >> 32) & 65535 AS INT) AS band_2, "
+            r"CAST((COALESCE(sh.simhash,0) >> 48) & 65535 AS INT) AS band_3 "
+            r"FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id"
+        ),
+        "classify_blocks": _BLOCK_CLS_SQL
+        + "SELECT doc_id, line_idx, block_class FROM cls",
+        "main_content": _BLOCK_CLS_SQL
+        + (
+            "SELECT doc_id, "
+            "CAST(SUM(CASE WHEN block_class IN ('heading','paragraph','list_item') "
+            "THEN 1 ELSE 0 END) AS INT) AS n_lines_kept, "
+            "CAST(COUNT(*) AS INT) AS n_lines_total "
+            "FROM cls GROUP BY doc_id"
         ),
         "term_search": (
             "SELECT doc_id, line_idx, line FROM ("
@@ -634,8 +833,9 @@ def oracle_sql() -> dict[str, str]:
             "    ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders"
             ") WHERE rn <= 3"
         ),
-        # extract_stats / extract_span_kinds / quality_score / lang_id /
-        # fingerprint / minhash_pairs / simhash / embedding_near_dup /
-        # knn_ivf / media_features: not SQL-expressible (stateful heuristics,
-        # hashing, LSH, stubbed decode) -> rows-only checks.
+        # minhash_pairs / minhash_dedup / minhash_clusters /
+        # embedding_near_dup_lsh: approximate LSH recall — not
+        # SQL-reproducible (rows-only; exact counterparts ARE oracled).
+        # media_features / validation_summary: stubbed decode / dict-shaped
+        # report -> rows-only.
     }
