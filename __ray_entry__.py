@@ -454,12 +454,17 @@ def _q_events_json(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
+    """REAL decode path: deterministic synthesized PPM payloads per image
+    ref, decoded by the pure-numpy PNM parser — dimensions and byte counts
+    hash-verified against the closed-form SQL oracle."""
     from pdf_parser_ray.ops.multimodal import media_features, media_inventory
     from pdf_parser_ray.pipelines import extract_fused
     from pdf_parser_ray.sources import corpus_from_documents
 
-    media = media_inventory(extract_fused(corpus_from_documents(sf_dir)))
-    return media_features(media, fake=True).drop_columns(["feature"])
+    media = media_inventory(
+        extract_fused(corpus_from_documents(sf_dir)), synth_payloads=True
+    )
+    return _int_doc_id(media_features(media, fake=False).drop_columns(["feature"]))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -695,6 +700,22 @@ def oracle_sql() -> dict[str, str]:
             r"CAST((COALESCE(sh.simhash,0) >> 32) & 65535 AS INT) AS band_2, "
             r"CAST((COALESCE(sh.simhash,0) >> 48) & 65535 AS INT) AS band_3 "
             r"FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id"
+        ),
+        # one image span on pages where (h+p)%4==0; PPM dims/bytes are
+        # closed-form from md5(media_ref) (ops/multimodal.py synthesize_ppm)
+        "media_features": _EXTRACT_BASE_SQL + (
+            ", imgs AS ("
+            "  SELECT doc_id, 'img://' || CAST(doc_id AS VARCHAR) || '/p' || pg || '/0' AS media_ref"
+            "  FROM pages WHERE (h+pg)%4=0"
+            "), dims AS ("
+            "  SELECT doc_id, media_ref, "
+            "    4 + ('0x'||substr(md5(media_ref),1,2))::INT % 32 AS width, "
+            "    4 + ('0x'||substr(md5(media_ref),3,2))::INT % 32 AS height "
+            "  FROM imgs"
+            ") SELECT doc_id, media_ref, 'image' AS media_type, width, height, "
+            "CAST(LENGTH('P6' || chr(10) || width || ' ' || height || chr(10) || '255' || chr(10)) "
+            "+ 3*width*height AS BIGINT) AS n_bytes, TRUE AS decode_ok "
+            "FROM dims"
         ),
         "classify_blocks": _BLOCK_CLS_SQL
         + "SELECT doc_id, line_idx, block_class FROM cls",

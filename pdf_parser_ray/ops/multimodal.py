@@ -1,12 +1,14 @@
 """Multimodal column plumbing: opaque binary/media columns with typed
 metadata, decoded by an actor-pool stage.
 
-The sandbox has no image/audio codecs, so the decode kernel is STUBBED: by
-default :class:`MediaDecoder` raises ``NotImplementedError`` at first use;
-with ``fake=True`` it produces deterministic fake features (seeded on the
-media_ref) so the Ray-side plumbing — schema, batch sizing, actor signature,
-output layout — is real and tested. Swapping in PIL/ffmpeg is a one-method
-change inside the actor.
+The decode kernel is REAL for header-parseable formats that need no codec
+library — binary PPM/PGM (P6/P5) and uncompressed BMP are decoded with
+pure struct/numpy (dimensions + an intensity-histogram feature).
+Codec-dependent formats (JPEG/PNG magic) raise ``NotImplementedError``
+(PIL is not in this sandbox); unrecognized payloads degrade to a
+``decode_ok=False`` row rather than failing the task. ``fake=True`` keeps
+the deterministic ref-hash stub for plumbing tests. Swapping in PIL/ffmpeg
+is a one-method change inside the actor.
 
 Memory shape: media payloads are large binary cells, so the stage runs with
 a small ``batch_size`` and Arrow batches end-to-end (binary columns do not
@@ -44,11 +46,56 @@ MEDIA_FEATURES_SCHEMA = pa.schema(
 )
 
 
+def synthesize_ppm(media_ref: str) -> bytes:
+    """Deterministic binary-PPM payload seeded on the media ref: dimensions
+    from the first two md5 digest bytes (4..35 px per side), pixels the
+    digest tiled to 3*w*h. The closed form (header length + 3*w*h bytes,
+    width = 4 + digest[0] % 32) is mirrored by the media_features SQL
+    oracle, so the REAL decode path is hash-verified end-to-end."""
+    digest = hashlib.md5((media_ref or "").encode()).digest()
+    w = 4 + digest[0] % 32
+    h = 4 + digest[1] % 32
+    header = f"P6\n{w} {h}\n255\n".encode()
+    pixels = np.resize(np.frombuffer(digest, dtype=np.uint8), 3 * w * h)
+    return header + pixels.tobytes()
+
+
+def _parse_pnm_header(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, pixel-data offset) from a P6/P5 header: magic, then
+    whitespace-separated width/height/maxval with '#' comments skipped."""
+    tokens: list[int] = []
+    i = 2  # past magic
+    n = len(payload)
+    start = None
+    while i <= n and len(tokens) < 3:
+        ch = payload[i : i + 1]
+        if ch == b"#" and start is None:
+            while i < n and payload[i : i + 1] != b"\n":
+                i += 1
+        elif ch.isspace() or ch == b"":
+            if start is not None:
+                tokens.append(int(payload[start:i]))
+                start = None
+            if ch == b"":
+                break
+        elif ch.isdigit():
+            if start is None:
+                start = i
+        else:
+            raise ValueError("malformed PNM header")
+        i += 1
+    if len(tokens) < 3:
+        raise ValueError("truncated PNM header")
+    return tokens[0], tokens[1], i + 1  # one whitespace byte after maxval
+
+
 class MediaDecoder:
     """Actor-pool decode/feature-extract stage over MEDIA_SCHEMA batches.
 
     ``__init__`` is where a real deployment loads codecs/models once per
-    actor; here it just checks availability.
+    actor; here it checks codec availability once. The real path decodes
+    PPM/PGM/BMP with struct/numpy; the feature is a ``feature_dim``-bin
+    normalized intensity histogram over the pixel bytes.
     """
 
     def __init__(self, fake: bool = False, feature_dim: int = 8):
@@ -60,6 +107,12 @@ class MediaDecoder:
             self.has_pil = True
         except ImportError:
             self.has_pil = False
+
+    def _histogram(self, pixels: np.ndarray) -> list[float]:
+        if pixels.size == 0:
+            return [0.0] * self.feature_dim
+        hist = np.histogram(pixels, bins=self.feature_dim, range=(0, 256))[0]
+        return (hist.astype(np.float32) / np.float32(pixels.size)).tolist()
 
     def _decode(self, media_ref: str, payload: bytes) -> dict:
         if self.fake:
@@ -75,13 +128,47 @@ class MediaDecoder:
                 "feature": feature.tolist(),
                 "decode_ok": True,
             }
-        if not self.has_pil:
-            raise NotImplementedError(
-                "media decode requires an image codec (PIL) which is not "
-                "available in this environment; construct MediaDecoder with "
-                "fake=True for the deterministic stub"
+        magic = payload[:2]
+        if magic in (b"P6", b"P5"):
+            w, h, off = _parse_pnm_header(payload)
+            channels = 3 if magic == b"P6" else 1
+            pixels = np.frombuffer(
+                payload, dtype=np.uint8, count=min(channels * w * h, len(payload) - off), offset=off
             )
-        raise NotImplementedError("real decode path not implemented in sandbox")
+            return {
+                "width": w,
+                "height": h,
+                "feature": self._histogram(pixels),
+                "decode_ok": True,
+            }
+        if magic == b"BM" and len(payload) >= 30:
+            import struct
+
+            data_off = struct.unpack_from("<I", payload, 10)[0]
+            w = struct.unpack_from("<i", payload, 18)[0]
+            h = abs(struct.unpack_from("<i", payload, 22)[0])
+            pixels = np.frombuffer(payload, dtype=np.uint8, offset=min(data_off, len(payload)))
+            return {
+                "width": w,
+                "height": h,
+                "feature": self._histogram(pixels),
+                "decode_ok": True,
+            }
+        if magic in (b"\xff\xd8", b"\x89P"):
+            # a real codec format we cannot decode without PIL
+            if not self.has_pil:
+                raise NotImplementedError(
+                    "JPEG/PNG decode requires an image codec (PIL) which is "
+                    "not available in this environment"
+                )
+            raise NotImplementedError("codec decode path not implemented in sandbox")
+        # unrecognized/empty payload: degrade, don't fail the task
+        return {
+            "width": 0,
+            "height": 0,
+            "feature": [0.0] * self.feature_dim,
+            "decode_ok": False,
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
@@ -121,9 +208,14 @@ def media_features(
     )
 
 
-def media_inventory(doc_results: ray.data.Dataset) -> ray.data.Dataset:
-    """Media table from flagship extraction output: one row per image span
-    with an empty payload (refs only in this corpus)."""
+def media_inventory(
+    doc_results: ray.data.Dataset, synth_payloads: bool = False
+) -> ray.data.Dataset:
+    """Media table from flagship extraction output: one row per image span.
+    This corpus carries refs only, so payloads are empty by default;
+    ``synth_payloads=True`` fills each with :func:`synthesize_ppm` so the
+    REAL decode path can be driven (and oracle-checked) without external
+    media files."""
 
     def explode(batch: pa.Table) -> pa.Table:
         rows = []
@@ -132,12 +224,13 @@ def media_inventory(doc_results: ray.data.Dataset) -> ray.data.Dataset:
         ):
             for span in spans or []:
                 if span["kind"] == "image":
+                    ref = span["media_ref"]
                     rows.append(
                         {
                             "doc_id": doc_id,
-                            "media_ref": span["media_ref"],
+                            "media_ref": ref,
                             "media_type": "image",
-                            "payload": b"",
+                            "payload": synthesize_ppm(ref) if synth_payloads else b"",
                         }
                     )
         return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)

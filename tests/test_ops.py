@@ -145,10 +145,47 @@ def test_media_decoder_stub(ray_session):
     assert out.decode_ok.iloc[0]
     assert out.n_bytes.iloc[0] == 2
     assert len(out.feature.iloc[0]) == 8
-    # real decode path raises NotImplementedError (no codecs in sandbox)
+    # codec formats raise NotImplementedError (no PIL in sandbox);
+    # unrecognized payloads degrade to decode_ok=False
     dec = multimodal.MediaDecoder(fake=False)
     with pytest.raises(NotImplementedError):
-        dec._decode("x", b"")
+        dec._decode("x", b"\x89PNG\r\n\x1a\n")
+    bad = dec._decode("x", b"")
+    assert not bad["decode_ok"] and bad["width"] == 0
+
+
+def test_media_real_ppm_decode(ray_session):
+    # synthesized PPM payload -> real decode recovers the synthesized dims
+    ref = "img://42/p3/0"
+    payload = multimodal.synthesize_ppm(ref)
+    import hashlib as _h
+
+    digest = _h.md5(ref.encode()).digest()
+    w, h = 4 + digest[0] % 32, 4 + digest[1] % 32
+    dec = multimodal.MediaDecoder(fake=False)
+    out = dec._decode(ref, payload)
+    assert (out["width"], out["height"], out["decode_ok"]) == (w, h, True)
+    assert abs(sum(out["feature"]) - 1.0) < 1e-5  # normalized histogram
+    # PNM comment lines and PGM (single-channel) parse too
+    pgm = b"P5\n# comment\n3 2\n255\n" + bytes(6)
+    out = dec._decode("y", pgm)
+    assert (out["width"], out["height"]) == (3, 2)
+    assert out["feature"][0] == 1.0  # all-zero pixels -> first bin
+    # uncompressed BMP header parse
+    import struct
+
+    bmp = b"BM" + bytes(8) + struct.pack("<I", 26) + struct.pack("<I", 12) + struct.pack("<ii", 7, 5) + bytes(4) + bytes(16)
+    out = dec._decode("z", bmp)
+    assert (out["width"], out["height"], out["decode_ok"]) == (7, 5, True)
+    # end-to-end through the actor-pool stage
+    media = ray.data.from_arrow(
+        pa.Table.from_pylist(
+            [{"doc_id": "42", "media_ref": ref, "media_type": "image", "payload": payload}],
+            schema=multimodal.MEDIA_SCHEMA,
+        )
+    )
+    df = multimodal.media_features(media, fake=False, concurrency=1).to_pandas()
+    assert df.width.iloc[0] == w and df.height.iloc[0] == h and df.decode_ok.iloc[0]
 
 
 def test_connected_components():
