@@ -125,8 +125,12 @@ class MinHasher:
                 continue
             bands = sig.reshape(self.n_bands, self.band_size)
             for band_id in range(self.n_bands):
+                # hash the decimal-joined band (not raw bytes): identical
+                # LSH collision structure, and reproducible in the SQL
+                # oracle (DuckDB md5 takes VARCHAR only)
+                band_key = "|".join(str(int(v)) for v in bands[band_id])
                 band_hash = int.from_bytes(
-                    hashlib.md5(bands[band_id].tobytes()).digest()[:8], "big"
+                    hashlib.md5(band_key.encode()).digest()[:8], "big"
                 ) >> 1
                 out_doc.append(doc_id)
                 out_band.append(band_id)
