@@ -172,14 +172,16 @@ def main() -> None:
 
     import ray
 
+    from pdf_parser_ray.pipelines.steps import configure_context, worker_quiet_logging
+
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        runtime_env={"worker_process_setup_hook": worker_quiet_logging},
     )
-    from pdf_parser_ray.pipelines.steps import configure_context
 
     # push-based sort shuffle: measurably lower driver-side coordination
     # cost for the reassembly groupby in this Ray build

@@ -123,6 +123,17 @@ def extract_fused(
     """No-shuffle fast path: whole-document rows processed in one stage."""
 
     def fused(batch: pa.Table) -> pa.Table:
+        ids = [str(d) for d in batch["doc_id"].to_pylist()]
+        if len(set(ids)) != len(ids):
+            seen: set = set()
+            dup = next(d for d in ids if d in seen or seen.add(d))
+            raise ValueError(
+                f"extract_fused requires whole-document rows; doc_id {dup!r} "
+                "appears in multiple corpus rows (fragmented corpus) — use "
+                "extract(), whose groupby merges fragments. This block-level "
+                "check catches adjacent fragments; use "
+                "assert_whole_doc_rows() for a corpus-wide guarantee."
+            )
         out = []
         for doc_id, spans in zip(
             batch["doc_id"].to_pylist(), batch["spans"].to_pylist()
@@ -146,6 +157,57 @@ def extract_fused(
     )
 
 
+def assert_whole_doc_rows(ds: ray.data.Dataset, id_col: str = "doc_id") -> None:
+    """Corpus-wide fragmentation guard for the fused/hybrid paths: raise if
+    any doc_id spans multiple corpus rows.
+
+    Cost shape: per-batch partial id-counts, then one coarse-bucket groupby
+    over (id, n) rows — ids and small ints shuffle, never span payloads.
+    The free block-level check inside extract_fused catches adjacent
+    fragments; this pass is the opt-in exact guarantee
+    (``extract_hybrid(..., strict_fragment_check=True)``)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = pa.compute.cast(batch[id_col], pa.string())
+        counts = pa.compute.value_counts(ids)
+        vals = counts.field("values")
+        hashes = [
+            int.from_bytes(
+                __import__("hashlib").md5(str(v).encode()).digest()[:8], "big"
+            )
+            % 64
+            for v in vals.to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": vals,
+                "n": pa.compute.cast(counts.field("counts"), pa.int64()),
+                "_b": pa.array(hashes, pa.int64()),
+            }
+        )
+
+    def dups(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("doc_id", as_index=False)["n"].sum()
+        return agg[agg["n"] > 1][["doc_id", "n"]]
+
+    offenders = (
+        ds.select_columns([id_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(dups, batch_format="pandas")
+        .limit(5)
+        .take_all()
+    )
+    if offenders:
+        sample = ", ".join(f"{r['doc_id']}×{r['n']}" for r in offenders)
+        raise ValueError(
+            "fragmented corpus: doc_ids appear in multiple rows "
+            f"(e.g. {sample}); extract_fused/extract_hybrid require "
+            "whole-document rows — use extract() for fragmented corpora"
+        )
+
+
 def extract_hybrid(
     corpus_factory,
     n_buckets: int = DEFAULT_N_BUCKETS,
@@ -153,6 +215,7 @@ def extract_hybrid(
     giant_span_threshold: int = 512,
     batch_size: int = 16,
     concurrency: Optional[Any] = None,
+    strict_fragment_check: bool = False,
 ) -> ray.data.Dataset:
     """Skew-aware flagship: shuffle ONLY what must move.
 
@@ -172,11 +235,19 @@ def extract_hybrid(
     REQUIRES whole-document rows: the size filter classifies per ROW, so a
     document fragmented across corpus rows would have its fragments
     assembled independently (duplicate doc_id results). Fragmented corpora
-    must use :func:`extract`, whose groupby merges fragments.
+    must use :func:`extract`, whose groupby merges fragments. Enforcement:
+    extract_fused always raises on a duplicate doc_id within a batch (free,
+    catches adjacent fragments, the common writer pattern);
+    ``strict_fragment_check=True`` additionally runs
+    :func:`assert_whole_doc_rows`, an exact distributed id-count pass that
+    raises before any wrong row is produced.
     """
 
     def make():
         return corpus_factory() if callable(corpus_factory) else corpus_factory
+
+    if strict_fragment_check:
+        assert_whole_doc_rows(make())
 
     small = extract_fused(
         split_by_span_count(make(), giant_span_threshold, giant=False),

@@ -12,14 +12,58 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
 
+import pyarrow as pa
 import ray.data
 
 StepFn = Callable[[ray.data.Dataset], ray.data.Dataset]
 
 
+class SchemaMismatchError(ValueError):
+    """A step's declared schema_in/schema_out contract is violated."""
+
+
+def _schema_fields(schema: pa.Schema) -> dict[str, pa.DataType]:
+    return {f.name: f.type for f in schema}
+
+
+def _check_compatible(
+    declared: pa.Schema, actual: pa.Schema, step: str, boundary: str
+) -> None:
+    """Order-insensitive name+type equality between a declared and an
+    actual/adjacent schema."""
+    want, got = _schema_fields(declared), _schema_fields(actual)
+    if want != got:
+        missing = sorted(set(want) - set(got))
+        extra = sorted(set(got) - set(want))
+        changed = sorted(
+            n for n in set(want) & set(got) if want[n] != got[n]
+        )
+        raise SchemaMismatchError(
+            f"step '{step}' {boundary} schema mismatch: "
+            f"missing={missing} extra={extra} type_changed={changed}"
+        )
+
+
+@dataclass
+class _Step:
+    name: str
+    fn: StepFn
+    schema_in: Optional[pa.Schema] = None
+    schema_out: Optional[pa.Schema] = None
+
+
 @dataclass
 class StagePipeline:
     """Ordered, pluggable Dataset-stage pipeline.
+
+    Steps may declare ``schema_in``/``schema_out`` (SURVEY §2.9's stage
+    contracts — the reference's ABC layer, core/interfaces.py:13-177,
+    declares the same boundary implicitly via method signatures). Adjacent
+    declarations are checked at ADD time (plan-level composition), and at
+    run time each declared boundary is validated against the Dataset's
+    known schema where laziness permits. A schema violation always raises
+    (it is a wiring bug), unlike step execution errors which follow the
+    degrade-and-continue contract.
 
     >>> pipe = StagePipeline()
     >>> pipe.add_step("render", lambda ds: page_rows(ds))
@@ -27,17 +71,39 @@ class StagePipeline:
     >>> result = pipe.run(corpus_ds)
     """
 
-    steps: list[tuple[str, StepFn]] = field(default_factory=list)
+    steps: list[_Step] = field(default_factory=list)
     errors: dict[str, str] = field(default_factory=dict)
 
-    def add_step(self, name: str, fn: StepFn) -> "StagePipeline":
+    def add_step(
+        self,
+        name: str,
+        fn: StepFn,
+        schema_in: Optional[pa.Schema] = None,
+        schema_out: Optional[pa.Schema] = None,
+    ) -> "StagePipeline":
         if not callable(fn):
             raise TypeError("step must be callable (Dataset -> Dataset)")
-        self.steps.append((name, fn))
+        step = _Step(name, fn, schema_in, schema_out)
+        if (
+            self.steps
+            and self.steps[-1].schema_out is not None
+            and schema_in is not None
+        ):
+            _check_compatible(
+                schema_in, self.steps[-1].schema_out, name, "declared input"
+            )
+        self.steps.append(step)
         return self
 
-    def insert_step(self, index: int, name: str, fn: StepFn) -> "StagePipeline":
-        self.steps.insert(index, (name, fn))
+    def insert_step(
+        self,
+        index: int,
+        name: str,
+        fn: StepFn,
+        schema_in: Optional[pa.Schema] = None,
+        schema_out: Optional[pa.Schema] = None,
+    ) -> "StagePipeline":
+        self.steps.insert(index, _Step(name, fn, schema_in, schema_out))
         return self
 
     def run(
@@ -57,17 +123,34 @@ class StagePipeline:
         their step and the degrade-and-continue contract covers them too
         (at the cost of pinning each step's output in the object store)."""
         self.errors = {}
-        for name, fn in self.steps:
+        for step in self.steps:
             prev = ds
+            if step.schema_in is not None:
+                actual = ds.schema(fetch_if_missing=False)
+                if actual is not None:
+                    _check_compatible(
+                        step.schema_in, pa.schema(list(zip(actual.names, actual.types))),
+                        step.name, "input",
+                    )
             try:
-                ds = fn(ds)
+                ds = step.fn(ds)
                 if checkpoint_steps:
                     ds = ds.materialize()
+            except SchemaMismatchError:
+                raise  # wiring bug, never degrade-and-continue
             except Exception as exc:
                 if fail_fast:
                     raise
-                self.errors[name] = f"{type(exc).__name__}: {exc}"
+                self.errors[step.name] = f"{type(exc).__name__}: {exc}"
                 ds = prev
+                continue
+            if step.schema_out is not None:
+                actual = ds.schema(fetch_if_missing=False)
+                if actual is not None:
+                    _check_compatible(
+                        step.schema_out, pa.schema(list(zip(actual.names, actual.types))),
+                        step.name, "output",
+                    )
         return ds
 
 
@@ -82,6 +165,18 @@ def default_extraction_pipeline(
         "extract", lambda ds: extract(ds, n_buckets, strip_boilerplate)
     )
     return pipe
+
+
+def worker_quiet_logging() -> None:
+    """``runtime_env={"worker_process_setup_hook": worker_quiet_logging}``:
+    the schema-hash warning (see configure_context) is emitted by WORKER
+    processes too — the driver-side logger setting does not propagate, so
+    bench/CLI sessions install this hook at ray.init."""
+    import logging
+
+    logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").setLevel(
+        logging.ERROR
+    )
 
 
 def configure_context(

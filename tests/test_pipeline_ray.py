@@ -278,3 +278,40 @@ def test_duplicate_page_numbers_deterministic(ray_session):
         got = extract(ds, n_buckets=4).to_pandas().iloc[0]
         assert spans_key(got["spans"]) == spans_key(want["spans"])
         assert [dict(s) for s in got["sections"]] == want["sections"]
+
+
+def test_extract_hybrid_rejects_fragmented_corpus(ray_session):
+    """A doc split across corpus rows must raise cleanly in the hybrid/fused
+    path (never silent duplicate rows); extract() handles it correctly."""
+    import pytest as _pytest
+    import ray.data
+
+    from pdf_parser_ray.pipelines.extract import (
+        assert_whole_doc_rows,
+        extract_hybrid,
+    )
+    from pdf_parser_ray.synthgen import doc_text_to_spans
+
+    whole = doc_text_to_spans("frag", "x" * 2400 * 3)  # 3 pages
+    spans = whole["spans"]
+    # page-aligned split into two fragments of the same doc
+    cut = next(
+        i for i, s in enumerate(spans) if s["kind"] == "page_break" and s["text"] == "3"
+    )
+    rows = [
+        {"doc_id": "frag", "spans": spans[:cut]},
+        {"doc_id": "frag", "spans": spans[cut:]},
+    ]
+    frag_ds = ray.data.from_items(rows)
+
+    # strict pre-check raises on the driver before execution
+    with _pytest.raises(ValueError, match="fragmented corpus"):
+        extract_hybrid(lambda: frag_ds, n_buckets=4, strict_fragment_check=True)
+
+    # block-level check raises during execution (fragments land in one batch)
+    with _pytest.raises(Exception, match="whole-document rows"):
+        extract_hybrid(lambda: frag_ds, n_buckets=4).to_pandas()
+
+    # clean corpus passes the strict check
+    ok = ray.data.from_items([{"doc_id": "a", "spans": spans}])
+    assert_whole_doc_rows(ok)

@@ -138,3 +138,48 @@ def test_rerun_reference_pipeline_overwrites(ray_session, tmp_path):
     r2 = run_reference_pipeline(corpus, out, n_buckets=4)
     # second run must not double-count (Ray sinks otherwise accumulate files)
     assert r2["summary"]["n_docs"] == r1["summary"]["n_docs"] == 6
+
+
+def test_schema_declarations_plan_time_mismatch(ray_session):
+    import pyarrow as pa
+
+    from pdf_parser_ray.pipelines.steps import SchemaMismatchError, StagePipeline
+
+    s_ab = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    s_ac = pa.schema([("a", pa.int64()), ("c", pa.string())])
+    pipe = StagePipeline()
+    pipe.add_step("one", lambda ds: ds, schema_out=s_ab)
+    # adjacent declared schemas disagree -> raises at ADD time (plan level)
+    import pytest as _pytest
+
+    with _pytest.raises(SchemaMismatchError):
+        pipe.add_step("two", lambda ds: ds, schema_in=s_ac)
+    # compatible declaration is accepted
+    pipe.add_step("two", lambda ds: ds, schema_in=s_ab)
+
+
+def test_schema_declarations_runtime_check(ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data
+
+    from pdf_parser_ray.pipelines.steps import SchemaMismatchError, StagePipeline
+
+    ds = ray.data.from_arrow(pa.table({"a": [1, 2], "b": ["x", "y"]}))
+    good = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    bad = pa.schema([("a", pa.int64()), ("b", pa.int64())])  # wrong type
+
+    pipe = StagePipeline()
+    pipe.add_step("ok", lambda d: d, schema_in=good)
+    pipe.run(ds)  # known input schema validates cleanly
+
+    pipe2 = StagePipeline()
+    pipe2.add_step("typed", lambda d: d, schema_in=bad)
+    with _pytest.raises(SchemaMismatchError, match="type_changed=\\['b'\\]"):
+        pipe2.run(ds)
+    # schema violations raise even without fail_fast: wiring bugs never
+    # degrade-and-continue
+    pipe3 = StagePipeline()
+    pipe3.add_step("out_decl", lambda d: d, schema_out=bad)
+    with _pytest.raises(SchemaMismatchError):
+        pipe3.run(ds)
