@@ -172,7 +172,13 @@ def main() -> None:
 
     import ray
 
-    from pdf_parser_ray.pipelines.steps import configure_context, worker_quiet_logging
+    from pdf_parser_ray.pipelines.steps import configure_context, quiet_data_logging_env
+
+    # silence worker-side per-block schema-hash warnings: must be in the
+    # environment BEFORE ray.init so forked workers inherit it (a logger
+    # setLevel in a setup hook gets reset by Ray Data's dictConfig)
+    env = quiet_data_logging_env()
+    os.environ.update(env)
 
     ray.init(
         address="local",
@@ -180,7 +186,7 @@ def main() -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
-        runtime_env={"worker_process_setup_hook": worker_quiet_logging},
+        runtime_env={"env_vars": env},
     )
 
     # push-based sort shuffle: measurably lower driver-side coordination

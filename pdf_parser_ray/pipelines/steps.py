@@ -167,16 +167,24 @@ def default_extraction_pipeline(
     return pipe
 
 
-def worker_quiet_logging() -> None:
-    """``runtime_env={"worker_process_setup_hook": worker_quiet_logging}``:
-    the schema-hash warning (see configure_context) is emitted by WORKER
-    processes too — the driver-side logger setting does not propagate, so
-    bench/CLI sessions install this hook at ray.init."""
-    import logging
+def quiet_data_logging_env() -> dict[str, str]:
+    """Env vars that silence the worker-side per-block schema-hash warning.
 
-    logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").setLevel(
-        logging.ERROR
+    A ``worker_process_setup_hook`` calling ``logger.setLevel`` does NOT
+    work: Ray Data re-runs ``logging.config.dictConfig`` on every worker,
+    and dictConfig resets existing child loggers of a configured logger to
+    NOTSET. The durable mechanism is RAY_DATA_LOGGING_CONFIG pointing at a
+    config that names the logger (conf/ray_data_logging.yaml). Call BEFORE
+    ray.init (local workers inherit the driver's env) and/or pass as
+    ``runtime_env={"env_vars": ...}``."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "conf",
+        "ray_data_logging.yaml",
     )
+    return {"RAY_DATA_LOGGING_CONFIG": path}
 
 
 def configure_context(
