@@ -453,6 +453,44 @@ def _q_events_json(sf_dir: str):
     )
 
 
+def _q_scrub_pii(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.curation import scrub_pii
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return scrub_pii(ds)
+
+
+def _q_repetition_score(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.curation import repetition_score
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return repetition_score(ds)
+
+
+def _q_top_ngrams(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.curation import top_ngrams
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return top_ngrams(ds, n=2, k=20)
+
+
+def _q_stratified_sample(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.curation import stratified_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return stratified_sample(ds, pct=10, pct_by_stratum={"en": 20})
+
+
 def _q_media_features(sf_dir: str):
     """REAL decode path: deterministic synthesized PPM payloads per image
     ref, decoded by the pure-numpy PNM parser — dimensions and byte counts
@@ -509,7 +547,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_counts": _q_distinct_counts,
         "top_orders_per_priority": _q_top_orders_per_priority,
         "order_priority_revenue": _q_order_priority_revenue,
-        # multimodal plumbing (stubbed decode)
+        # corpus curation
+        "scrub_pii": _q_scrub_pii,
+        "repetition_score": _q_repetition_score,
+        "top_ngrams": _q_top_ngrams,
+        "stratified_sample": _q_stratified_sample,
+        # multimodal (real PPM decode over synthesized payloads)
         "media_features": _q_media_features,
         # corpus-level validation report (reference step 5)
         "validation_summary": _q_validation_summary,
@@ -919,6 +962,50 @@ def oracle_sql() -> dict[str, str]:
         + (
             "SELECT CAST(lab AS VARCHAR) AS cluster, COUNT(*) AS size "
             "FROM comps GROUP BY lab ORDER BY cluster"
+        ),
+        # curation ops (pyarrow.compute and DuckDB share the RE2 engine, so
+        # the scrub regexes match byte-for-byte)
+        "scrub_pii": (
+            r"WITH s1 AS ("
+            r"  SELECT doc_id, "
+            r"    len(regexp_extract_all(text, 'https?://[^\s]+'))::BIGINT AS n_urls, "
+            r"    regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS t1"
+            r"  FROM documents"
+            r"), s2 AS ("
+            r"  SELECT doc_id, n_urls, "
+            r"    len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails, "
+            r"    regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2"
+            r"  FROM s1"
+            r") SELECT doc_id, "
+            r"regexp_replace(t2, '\+?\d[\d\-\s]{7,}\d', '<PHONE>', 'g') AS clean_text, "
+            r"n_urls, n_emails, "
+            r"len(regexp_extract_all(t2, '\+?\d[\d\-\s]{7,}\d'))::BIGINT AS n_phones "
+            r"FROM s2"
+        ),
+        "repetition_score": (
+            "WITH lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line "
+            "FROM documents), "
+            "cl AS (SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY doc_id, line), "
+            "per AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines, "
+            "CAST(COUNT(*) AS BIGINT) AS n_distinct, MAX(c) AS top_freq "
+            "FROM cl GROUP BY doc_id) "
+            "SELECT doc_id, n_lines, n_distinct AS n_distinct_lines, "
+            "ROUND(1.0 - n_distinct/(n_lines::DOUBLE), 6) AS dup_line_ratio, "
+            "ROUND(top_freq/(n_lines::DOUBLE), 6) AS top_line_share FROM per"
+        ),
+        "top_ngrams": (
+            r"WITH toks AS (SELECT regexp_extract_all(lower(text),'\S+') AS tk "
+            r"FROM documents), "
+            r"grams AS (SELECT unnest(list_transform(range(len(tk)-1), "
+            r"i -> array_to_string(list_slice(tk,i+1,i+2),' '))) AS ngram "
+            r"FROM toks WHERE len(tk) >= 2) "
+            r"SELECT ngram, COUNT(*)::BIGINT AS n FROM grams "
+            r"GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,16))::UBIGINT >> 1) % 100 "
+            "< CASE WHEN lang='en' THEN 20 ELSE 10 END ORDER BY doc_id"
         ),
         # rows-only remainder: embedding_near_dup_lsh (random-hyperplane
         # recall is seed-dependent through numpy's generator — the exact

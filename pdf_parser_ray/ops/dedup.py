@@ -248,7 +248,11 @@ def _verify_pairs_join(
     One coarse groupby on hash(doc id) attaches text to each side, a second
     on hash(pair) reunites the two sides and scores the Jaccard. Text moves
     through the shuffle once per referencing pair side — never the whole
-    corpus dict to the driver."""
+    corpus dict to the driver.
+
+    Assumes candidate pairs are distinct (minhash_candidate_pairs dedups)
+    and corpus doc ids unique: a duplicated pair row collapses to one
+    output row here (the broadcast path would emit it twice)."""
 
     side_schema = pa.schema(
         [

@@ -130,11 +130,19 @@ class MediaDecoder:
             }
         magic = payload[:2]
         if magic in (b"P6", b"P5"):
-            w, h, off = _parse_pnm_header(payload)
-            channels = 3 if magic == b"P6" else 1
-            pixels = np.frombuffer(
-                payload, dtype=np.uint8, count=min(channels * w * h, len(payload) - off), offset=off
-            )
+            try:
+                w, h, off = _parse_pnm_header(payload)
+                channels = 3 if magic == b"P6" else 1
+                count = max(0, min(channels * w * h, len(payload) - off))
+                pixels = np.frombuffer(payload, dtype=np.uint8, count=count, offset=off)
+            except (ValueError, IndexError):
+                # malformed/truncated header: degrade, don't crash the task
+                return {
+                    "width": 0,
+                    "height": 0,
+                    "feature": [0.0] * self.feature_dim,
+                    "decode_ok": False,
+                }
             return {
                 "width": w,
                 "height": h,

@@ -392,3 +392,75 @@ def test_ivf_index_pruned_read(ray_session, tmp_path):
     # pruned result is drawn from the probed lists only
     got = probed.to_pandas()
     assert len(got) == 5
+
+
+def test_media_decoder_malformed_payloads_degrade(ray_session):
+    dec = multimodal.MediaDecoder(fake=False)
+    for bad in (b"P6\n", b"P6\nxx yy\n", b"P6\n5 5\n", b"P5 3", b"BM" + bytes(10)):
+        out = dec._decode("m", bad)
+        assert out["decode_ok"] is False or out["width"] >= 0  # never raises
+    assert dec._decode("m", b"P6\nxx yy\n255\n")["decode_ok"] is False
+
+
+def test_scrub_pii_planted(ray_session):
+    from pdf_parser_ray.ops import curation
+
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "mail me at bob@example.com or visit https://x.io/a?b=1 now"},
+            {"doc_id": 2, "text": "call +1 555-123-4567 twice: 555-123-4567"},
+            {"doc_id": 3, "text": "clean text, nothing to scrub"},
+        ]
+    )
+    out = curation.scrub_pii(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_emails"] == 1 and out.loc[1, "n_urls"] == 1
+    assert "<EMAIL>" in out.loc[1, "clean_text"] and "<URL>" in out.loc[1, "clean_text"]
+    assert "bob@example.com" not in out.loc[1, "clean_text"]
+    assert out.loc[2, "n_phones"] == 2
+    assert out.loc[2, "clean_text"].count("<PHONE>") == 2
+    assert out.loc[3, "clean_text"] == "clean text, nothing to scrub"
+    assert out.loc[3, ["n_urls", "n_emails", "n_phones"]].sum() == 0
+
+
+def test_repetition_score_planted(ray_session):
+    from pdf_parser_ray.ops import curation
+
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "a\nb\na\na"},  # 4 lines, 2 distinct, 'a' x3
+            {"doc_id": 2, "text": "x\ny\nz"},
+        ]
+    )
+    out = curation.repetition_score(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_lines"] == 4 and out.loc[1, "n_distinct_lines"] == 2
+    assert out.loc[1, "dup_line_ratio"] == 0.5
+    assert out.loc[1, "top_line_share"] == 0.75
+    assert out.loc[2, "dup_line_ratio"] == 0.0
+
+
+def test_top_ngrams_planted(ray_session):
+    from pdf_parser_ray.ops import curation
+
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "the cat sat on the cat"},
+            {"doc_id": 2, "text": "the cat ran"},
+        ]
+    )
+    out = curation.top_ngrams(ds, n=2, k=3).to_pandas()
+    assert list(out.ngram)[0] == "the cat" and list(out.n)[0] == 3
+    assert len(out) == 3
+
+
+def test_stratified_sample_deterministic(ray_session):
+    from pdf_parser_ray.ops import curation
+
+    rows = [{"doc_id": i, "lang": "en" if i % 2 else "de"} for i in range(200)]
+    ds = ray.data.from_items(rows)
+    a = curation.stratified_sample(ds, pct=10, pct_by_stratum={"en": 50}).to_pandas()
+    b = curation.stratified_sample(ds, pct=10, pct_by_stratum={"en": 50}).to_pandas()
+    assert a.equals(b)  # same split every run
+    en_rate = (a.lang == "en").sum() / 100
+    de_rate = (a.lang == "de").sum() / 100
+    assert en_rate > de_rate  # per-stratum rates honored (50% vs 10%)
+    assert 0.3 < en_rate < 0.7 and de_rate < 0.25
