@@ -453,6 +453,19 @@ def _q_events_json(sf_dir: str):
     )
 
 
+def _q_heading_strategies(sf_dir: str):
+    """Reference ST3 (per-strategy match counters) as a distributed
+    aggregate over the lifted corpus page texts."""
+    from pdf_parser_ray.ops.text_analysis import heading_strategy_stats
+    from pdf_parser_ray.pipelines.extract import page_rows
+    from pdf_parser_ray.sources import corpus_from_documents
+
+    pages = page_rows(corpus_from_documents(sf_dir), n_buckets=32).select_columns(
+        ["text"]
+    )
+    return heading_strategy_stats(pages)
+
+
 def _q_scrub_pii(sf_dir: str):
     import ray.data
 
@@ -547,6 +560,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_counts": _q_distinct_counts,
         "top_orders_per_priority": _q_top_orders_per_priority,
         "order_priority_revenue": _q_order_priority_revenue,
+        # heading-strategy counters (reference ST3) over lifted page texts
+        "heading_strategies": _q_heading_strategies,
         # corpus curation
         "scrub_pii": _q_scrub_pii,
         "repetition_score": _q_repetition_score,
@@ -962,6 +977,50 @@ def oracle_sql() -> dict[str, str]:
         + (
             "SELECT CAST(lab AS VARCHAR) AS cluster, COUNT(*) AS size "
             "FROM comps GROUP BY lab ORDER BY cluster"
+        ),
+        # heading-strategy counters: the three confidence formulas
+        # (doclogic/headings.py) mirrored per line of the lifted page texts;
+        # page text = boiler header + the doc's 80-char slices, so lines =
+        # header x total_pages + every slice (closed form, no pipeline run)
+        "heading_strategies": (
+            r"WITH d AS ("
+            r"  SELECT doc_id, text, "
+            r"  CAST(CEIL(GREATEST(CEIL(LENGTH(text)/80.0),1)/30.0) AS BIGINT) AS p, "
+            r"  CAST(GREATEST(CEIL(LENGTH(text)/80.0),1) AS BIGINT) AS nl "
+            r"  FROM documents"
+            r"), lines AS ("
+            r"  SELECT 'Example Corp Confidential - Internal Distribution Only' AS raw, "
+            r"         SUM(p) AS mult FROM d"
+            r"  UNION ALL"
+            r"  SELECT substr(text, CAST(i*80+1 AS BIGINT), 80) AS raw, 1 AS mult"
+            r"  FROM (SELECT text, unnest(range(nl)) AS i FROM d)"
+            r"), f AS ("
+            r"  SELECT trim(raw, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) AS st, mult FROM lines"
+            r"), g AS ("
+            r"  SELECT st, mult, "
+            r"    CASE WHEN regexp_matches(st, '^\d+(\.\d+)*\s+\S+') "
+            r"         THEN LEAST(1.0, 0.6 + 0.2*len(regexp_extract_all(st, '\.'))) ELSE 0.0 END AS c_num, "
+            r"    CASE WHEN regexp_matches(st, '^[A-Z0-9\s\-\(\/]{4,}$') "
+            r"          AND len(regexp_extract_all(st, '[A-Z]')) >= 2 "
+            r"          AND len(regexp_extract_all(st, '[A-Za-z]')) > 0 "
+            r"         THEN LEAST(1.0, len(regexp_extract_all(st, '[A-Z]'))::DOUBLE / len(regexp_extract_all(st, '[A-Za-z]'))) "
+            r"         ELSE 0.0 END AS c_caps, "
+            r"    CASE WHEN len(regexp_extract_all(st, '\S+')) >= 2 "
+            r"          AND len(list_filter(regexp_extract_all(st, '\S+'), w -> regexp_matches(w, '^[A-Z0-9]'))) "
+            r"              >= GREATEST(1, len(regexp_extract_all(st, '\S+'))//2) "
+            r"         THEN len(list_filter(regexp_extract_all(st, '\S+'), w -> regexp_matches(w, '^[A-Z0-9]')))::DOUBLE "
+            r"              / len(regexp_extract_all(st, '\S+')) "
+            r"         ELSE 0.0 END AS c_mix "
+            r"  FROM f"
+            r"), w AS ("
+            r"  SELECT mult, CASE "
+            r"    WHEN GREATEST(c_num, c_caps, c_mix) <= 0 THEN NULL "
+            r"    WHEN c_num = GREATEST(c_num, c_caps, c_mix) THEN 'numbered_heading_confidence' "
+            r"    WHEN c_caps = GREATEST(c_num, c_caps, c_mix) THEN 'allcaps_heading_confidence' "
+            r"    ELSE 'mixedcap_heading_confidence' END AS strategy "
+            r"  FROM g"
+            r") SELECT strategy, CAST(SUM(mult) AS BIGINT) AS n_lines FROM w "
+            r"WHERE strategy IS NOT NULL GROUP BY strategy ORDER BY strategy"
         ),
         # curation ops (pyarrow.compute and DuckDB share the RE2 engine, so
         # the scrub regexes match byte-for-byte)

@@ -95,3 +95,25 @@ def detect_heading(
         if confidence > best:
             best = confidence
     return clean_line if best > 0 else None
+
+
+def winning_strategy(
+    line: Optional[str], strategies: tuple[HeadingStrategy, ...] = DEFAULT_STRATEGIES
+) -> Optional[str]:
+    """Name of the strategy that wins :func:`detect_heading`'s strict-max
+    contest for this line, or None when no strategy fires.
+
+    This is the reference's per-strategy match counter surface
+    (heading_strategies.py:26-52) re-expressed as a pure attribution
+    function — counts become a distributed groupby over winners
+    (ops/text_analysis.heading_strategy_stats) instead of actor-local
+    mutable state."""
+    if not line:
+        return None
+    clean_line = line.strip()
+    best, name = 0.0, None
+    for strategy in strategies:
+        confidence = strategy(clean_line)
+        if confidence > best:
+            best, name = confidence, getattr(strategy, "__name__", str(strategy))
+    return name if best > 0 else None

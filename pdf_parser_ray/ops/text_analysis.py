@@ -175,3 +175,38 @@ def fingerprint(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datase
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def heading_strategy_stats(
+    ds: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Corpus-wide heading-strategy match counts (the reference's Strategy
+    counters, heading_strategies.py:26-52, as a distributed aggregate):
+    explode lines, attribute each detected heading to its winning strategy
+    (doclogic.headings.winning_strategy), pre-aggregate per batch, one tiny
+    groupby over <=3 strategy keys."""
+    from ray.data.aggregate import Sum
+
+    from pdf_parser_ray.doclogic.headings import winning_strategy
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in pc.cast(batch[text_col], pa.string()).to_pylist():
+            for line in (text or "").split("\n"):
+                name = winning_strategy(line)
+                if name:
+                    counts[name] = counts.get(name, 0) + 1
+        return pa.table(
+            {
+                "strategy": pa.array(list(counts), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("strategy")
+        .aggregate(Sum("n", alias_name="n_lines"))
+        .sort("strategy")
+    )

@@ -36,3 +36,33 @@ def test_detect_heading():
     assert detect_heading("") is None
     assert detect_heading(None) is None
     assert detect_heading("all lowercase words") is None
+
+
+def test_winning_strategy_attribution():
+    from pdf_parser_ray.doclogic.headings import winning_strategy
+
+    assert winning_strategy("1.2.3 Overview of Things") == "numbered_heading_confidence"
+    assert winning_strategy("SYSTEM ARCHITECTURE") == "allcaps_heading_confidence"
+    assert winning_strategy("Getting Started Guide") == "mixedcap_heading_confidence"
+    assert winning_strategy("plain lowercase sentence here") is None
+    assert winning_strategy("") is None
+    assert winning_strategy(None) is None
+
+
+def test_heading_strategy_stats_counts(ray_session):
+    import ray.data
+
+    from pdf_parser_ray.ops.text_analysis import heading_strategy_stats
+
+    ds = ray.data.from_items(
+        [
+            # numbered wins only when mixedcap's capitalized-word ratio
+            # stays under its confidence (mostly-lowercase tail words)
+            {"text": "1.2 intro section about the engine\nSYSTEM DESIGN\nplain words only here"},
+            {"text": "Getting Started\n4.1 overview of the storage layer"},
+        ]
+    )
+    out = heading_strategy_stats(ds).to_pandas().set_index("strategy")
+    assert out.loc["numbered_heading_confidence", "n_lines"] == 2
+    assert out.loc["allcaps_heading_confidence", "n_lines"] == 1
+    assert out.loc["mixedcap_heading_confidence", "n_lines"] == 1
