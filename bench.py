@@ -170,15 +170,21 @@ def main() -> None:
         run_scaling()
         return
 
+    # silence per-block schema-hash warnings in driver AND workers: the env
+    # var must be set BEFORE any `import ray.data` (the driver configures
+    # its logging at import) and before ray.init (workers inherit it). Path
+    # built directly — importing steps would import ray.data first.
+    env = {
+        "RAY_DATA_LOGGING_CONFIG": os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "pdf_parser_ray", "conf", "ray_data_logging.yaml",
+        )
+    }
+    os.environ.update(env)
+
     import ray
 
-    from pdf_parser_ray.pipelines.steps import configure_context, quiet_data_logging_env
-
-    # silence worker-side per-block schema-hash warnings: must be in the
-    # environment BEFORE ray.init so forked workers inherit it (a logger
-    # setLevel in a setup hook gets reset by Ray Data's dictConfig)
-    env = quiet_data_logging_env()
-    os.environ.update(env)
+    from pdf_parser_ray.pipelines.steps import configure_context
 
     ray.init(
         address="local",

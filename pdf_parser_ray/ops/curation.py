@@ -10,12 +10,12 @@ uses, so the SQL oracles match byte-for-byte.
 
 from __future__ import annotations
 
-import hashlib
-
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+
+from pdf_parser_ray.functions.hashing import md5_bucket
 
 # order matters: URLs first (emails can appear inside URLs), then emails,
 # then phone-ish number runs on the already-redacted text
@@ -115,8 +115,9 @@ def top_ngrams(
 ) -> ray.data.Dataset:
     """Corpus-wide top-k word n-grams (lowercased, whitespace tokens).
 
-    Scale shape: per-batch partial counts (vectorized shift-join bigram
-    construction + value_counts), ONE groupby over hash(ngram) buckets
+    Scale shape: per-batch partial counts (dict accumulation — measured
+    faster than the pandas equivalent, see inline note), ONE groupby over
+    hash(ngram) buckets
     (every partial of an ngram lands in one bucket, so per-bucket sums are
     exact totals and the per-bucket top-k is safe), then a global merge of
     buckets x k rows. Ties break by ngram ascending."""
@@ -141,12 +142,7 @@ def top_ngrams(
                 "ngram": pa.array(grams, pa.string()),
                 "n": pa.array([counts[g] for g in grams], pa.int64()),
                 "_b": pa.array(
-                    [
-                        int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
-                        % _NGRAM_BUCKETS
-                        for g in grams
-                    ],
-                    pa.int64(),
+                    [md5_bucket(g, _NGRAM_BUCKETS) for g in grams], pa.int64()
                 ),
             }
         )
@@ -181,10 +177,7 @@ def stratified_sample(
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = pc.cast(batch[id_col], pa.string()).to_pylist()
-        buckets = [
-            (int.from_bytes(hashlib.md5(i.encode()).digest()[:8], "big") >> 1) % 100
-            for i in ids
-        ]
+        buckets = [md5_bucket(i, 100) for i in ids]
         strata = batch[stratum_col].to_pylist()
         limits = [
             (pct_by_stratum or {}).get(s, pct) for s in strata

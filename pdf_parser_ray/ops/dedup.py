@@ -28,6 +28,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from pdf_parser_ray.functions.hashing import md5_64
+
 _MERSENNE = (1 << 61) - 1
 
 # coarse shuffle-key cardinality: group work lands in ~this many map_groups
@@ -37,10 +39,7 @@ _DEDUP_BUCKETS = 256
 
 
 def _md5_64(texts: list[str]) -> list[int]:
-    return [
-        int.from_bytes(hashlib.md5((t or "").encode()).digest()[:8], "big") >> 1
-        for t in texts
-    ]
+    return [md5_64(t or "") for t in texts]
 
 
 def exact_dedup(

@@ -86,7 +86,9 @@ def _parse_pnm_header(payload: bytes) -> tuple[int, int, int]:
         i += 1
     if len(tokens) < 3:
         raise ValueError("truncated PNM header")
-    return tokens[0], tokens[1], i + 1  # one whitespace byte after maxval
+    # `i` was already advanced past the single whitespace byte terminating
+    # maxval by the loop's increment — it IS the pixel-data offset
+    return tokens[0], tokens[1], i
 
 
 class MediaDecoder:
@@ -153,8 +155,31 @@ class MediaDecoder:
             import struct
 
             data_off = struct.unpack_from("<I", payload, 10)[0]
-            w = struct.unpack_from("<i", payload, 18)[0]
-            h = abs(struct.unpack_from("<i", payload, 22)[0])
+            dib_size = struct.unpack_from("<I", payload, 14)[0]
+            if dib_size == 12:
+                # BITMAPCOREHEADER: uint16 dims, never compressed
+                w = struct.unpack_from("<H", payload, 18)[0]
+                h = struct.unpack_from("<H", payload, 20)[0]
+                compression = 0
+            else:
+                # BITMAPINFOHEADER and later: int32 dims (negative height =
+                # top-down row order), compression dword at offset 30
+                w = struct.unpack_from("<i", payload, 18)[0]
+                h = abs(struct.unpack_from("<i", payload, 22)[0])
+                compression = (
+                    struct.unpack_from("<I", payload, 30)[0]
+                    if len(payload) >= 34
+                    else 0
+                )
+            if w <= 0 or h <= 0 or compression != 0:
+                # invalid dims or RLE/bitfields-compressed stream: the raw
+                # bytes are not pixels — degrade rather than histogram them
+                return {
+                    "width": 0,
+                    "height": 0,
+                    "feature": [0.0] * self.feature_dim,
+                    "decode_ok": False,
+                }
             pixels = np.frombuffer(payload, dtype=np.uint8, offset=min(data_off, len(payload)))
             return {
                 "width": w,

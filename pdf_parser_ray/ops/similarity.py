@@ -183,14 +183,22 @@ def build_ivf_index(
                 "list_id", pa.array(assign.astype(np.int32))
             )
 
+    import shutil
+
     os.makedirs(index_dir, exist_ok=True)
+    lists_dir = os.path.join(index_dir, "lists")
+    # a rebuild must not leave stale partition files from a previous build:
+    # write_parquet adds uniquely-named files, and the query path globs
+    # every *.parquet in a probed partition
+    if os.path.isdir(lists_dir):
+        shutil.rmtree(lists_dir)
     ds.map_batches(
         Assign,
         fn_constructor_kwargs={"c_ref": c_ref},
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 8),
-    ).write_parquet(os.path.join(index_dir, "lists"), partition_cols=["list_id"])
+    ).write_parquet(lists_dir, partition_cols=["list_id"])
     np.save(os.path.join(index_dir, "centroids.npy"), centroids)
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump({"n_centroids": int(centroids.shape[0]), "id_col": id_col, "vec_col": vec_col}, f)

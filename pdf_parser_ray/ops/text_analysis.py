@@ -146,12 +146,10 @@ def fingerprint(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datase
     """64-bit FNV-1a document fingerprint plus a rolling-window min-hash of
     token 4-grams (a cheap content fingerprint stable under small shifts)."""
 
-    import hashlib
+    from pdf_parser_ray.functions.hashing import md5_64 as h64
 
-    def h64(s: str) -> int:
-        # C-speed 64-bit content hash (md5 prefix) — a per-character Python
-        # FNV loop over whole documents was the hot cost of this op
-        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 1
+    # C-speed 64-bit content hash (md5 prefix) — a per-character Python
+    # FNV loop over whole documents was the hot cost of this op
 
     def fp(batch: pa.Table) -> pa.Table:
         texts = pc.cast(batch[text_col], pa.string()).to_pylist()

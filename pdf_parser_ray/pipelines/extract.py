@@ -172,13 +172,9 @@ def assert_whole_doc_rows(ds: ray.data.Dataset, id_col: str = "doc_id") -> None:
         ids = pa.compute.cast(batch[id_col], pa.string())
         counts = pa.compute.value_counts(ids)
         vals = counts.field("values")
-        hashes = [
-            int.from_bytes(
-                __import__("hashlib").md5(str(v).encode()).digest()[:8], "big"
-            )
-            % 64
-            for v in vals.to_pylist()
-        ]
+        from pdf_parser_ray.functions.hashing import md5_bucket
+
+        hashes = [md5_bucket(str(v), 64) for v in vals.to_pylist()]
         return pa.table(
             {
                 "doc_id": vals,

@@ -128,10 +128,25 @@ class StagePipeline:
             if step.schema_in is not None:
                 actual = ds.schema(fetch_if_missing=False)
                 if actual is not None:
-                    _check_compatible(
-                        step.schema_in, pa.schema(list(zip(actual.names, actual.types))),
-                        step.name, "input",
-                    )
+                    try:
+                        _check_compatible(
+                            step.schema_in,
+                            pa.schema(list(zip(actual.names, actual.types))),
+                            step.name, "input",
+                        )
+                    except SchemaMismatchError:
+                        if not self.errors or fail_fast:
+                            raise  # genuine wiring bug
+                        # an upstream step already degraded (ds reverted to
+                        # its input), so this mismatch is the CONSEQUENCE of
+                        # that recorded failure, not a new wiring bug —
+                        # skip the step under the degrade-and-continue
+                        # contract instead of hard-failing the pipeline
+                        self.errors[step.name] = (
+                            "skipped: input schema unavailable after upstream "
+                            f"step failure ({', '.join(self.errors)})"
+                        )
+                        continue
             try:
                 ds = step.fn(ds)
                 if checkpoint_steps:

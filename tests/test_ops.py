@@ -171,12 +171,29 @@ def test_media_real_ppm_decode(ray_session):
     out = dec._decode("y", pgm)
     assert (out["width"], out["height"]) == (3, 2)
     assert out["feature"][0] == 1.0  # all-zero pixels -> first bin
-    # uncompressed BMP header parse
+    # uncompressed BMP header parse: BITMAPCOREHEADER (uint16 dims) and
+    # BITMAPINFOHEADER (int32 dims); compressed streams degrade
     import struct
 
-    bmp = b"BM" + bytes(8) + struct.pack("<I", 26) + struct.pack("<I", 12) + struct.pack("<ii", 7, 5) + bytes(4) + bytes(16)
-    out = dec._decode("z", bmp)
+    core = (
+        b"BM" + bytes(8) + struct.pack("<I", 26) + struct.pack("<I", 12)
+        + struct.pack("<HH", 7, 5) + bytes(4) + bytes(105)
+    )
+    out = dec._decode("z", core)
     assert (out["width"], out["height"], out["decode_ok"]) == (7, 5, True)
+    info = (
+        b"BM" + bytes(8) + struct.pack("<I", 54) + struct.pack("<I", 40)
+        + struct.pack("<ii", 7, -5) + struct.pack("<HH", 1, 24)
+        + struct.pack("<I", 0) + bytes(20) + bytes(105)
+    )
+    out = dec._decode("z", info)
+    assert (out["width"], out["height"], out["decode_ok"]) == (7, 5, True)
+    rle = (
+        b"BM" + bytes(8) + struct.pack("<I", 54) + struct.pack("<I", 40)
+        + struct.pack("<ii", 7, 5) + struct.pack("<HH", 1, 8)
+        + struct.pack("<I", 1) + bytes(20) + bytes(40)  # BI_RLE8
+    )
+    assert dec._decode("z", rle)["decode_ok"] is False
     # end-to-end through the actor-pool stage
     media = ray.data.from_arrow(
         pa.Table.from_pylist(
@@ -397,9 +414,20 @@ def test_ivf_index_pruned_read(ray_session, tmp_path):
 def test_media_decoder_malformed_payloads_degrade(ray_session):
     dec = multimodal.MediaDecoder(fake=False)
     for bad in (b"P6\n", b"P6\nxx yy\n", b"P6\n5 5\n", b"P5 3", b"BM" + bytes(10)):
-        out = dec._decode("m", bad)
-        assert out["decode_ok"] is False or out["width"] >= 0  # never raises
+        assert dec._decode("m", bad)["decode_ok"] is False, bad
     assert dec._decode("m", b"P6\nxx yy\n255\n")["decode_ok"] is False
+
+
+def test_pnm_offset_exact(ray_session):
+    # the parsed pixel offset must point AT the first pixel byte: the
+    # synthesized payload carries exactly 3*w*h pixel bytes after the header
+    ref = "img://7/p1/0"
+    payload = multimodal.synthesize_ppm(ref)
+    w, h, off = multimodal._parse_pnm_header(payload)
+    assert len(payload) - off == 3 * w * h
+    # known pixels -> exact histogram: 6 zero bytes, 8-bin histogram
+    out = multimodal.MediaDecoder(fake=False)._decode("y", b"P5\n3 2\n255\n" + bytes(6))
+    assert out["feature"] == [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
 
 
 def test_scrub_pii_planted(ray_session):
@@ -464,3 +492,19 @@ def test_stratified_sample_deterministic(ray_session):
     de_rate = (a.lang == "de").sum() / 100
     assert en_rate > de_rate  # per-stratum rates honored (50% vs 10%)
     assert 0.3 < en_rate < 0.7 and de_rate < 0.25
+
+
+def test_ivf_index_rebuild_clears_stale_partitions(ray_session, tmp_path):
+    rng = np.random.RandomState(5)
+    a = ray.data.from_items(
+        [{"vec_id": i, "embedding": rng.standard_normal(8).tolist()} for i in range(60)]
+    )
+    b = ray.data.from_items(
+        [{"vec_id": i + 1000, "embedding": rng.standard_normal(8).tolist()} for i in range(60)]
+    )
+    index_dir = str(tmp_path / "ivf")
+    similarity.build_ivf_index(a, index_dir, n_centroids=4)
+    similarity.build_ivf_index(b, index_dir, n_centroids=4)
+    got = similarity.knn_ivf_index(index_dir, rng.standard_normal(8), k=60, n_probe=4).to_pandas()
+    # only corpus B survives the rebuild — no stale corpus-A rows
+    assert got.vec_id.min() >= 1000

@@ -183,3 +183,27 @@ def test_schema_declarations_runtime_check(ray_session):
     pipe3.add_step("out_decl", lambda d: d, schema_out=bad)
     with _pytest.raises(SchemaMismatchError):
         pipe3.run(ds)
+
+
+def test_schema_check_respects_degrade_contract(ray_session):
+    """After an upstream step degrades, a declared schema_in mismatch on the
+    next step is the CONSEQUENCE of that failure — it must be recorded and
+    skipped, not raised as a wiring bug."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_parser_ray.pipelines.steps import StagePipeline
+
+    ds = ray.data.from_arrow(pa.table({"a": [1, 2]}))
+    with_c = pa.schema([("a", pa.int64()), ("c", pa.string())])
+
+    def add_c_but_fail(d):
+        raise RuntimeError("transient")
+
+    pipe = StagePipeline()
+    pipe.add_step("enrich", add_c_but_fail, schema_out=with_c)
+    pipe.add_step("consume", lambda d: d, schema_in=with_c)
+    out = pipe.run(ds, fail_fast=False)
+    assert "enrich" in pipe.errors
+    assert "consume" in pipe.errors and "skipped" in pipe.errors["consume"]
+    assert out.to_pandas().a.tolist() == [1, 2]  # input passed through
