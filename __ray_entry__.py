@@ -206,6 +206,15 @@ def _q_simhash(sf_dir: str):
     return simhash_table(ds)
 
 
+def _q_simhash_pairs(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.dedup import simhash_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
 def _q_embedding_near_dup(sf_dir: str):
     """Exact all-pairs cosine near-dup (recall-1.0 baseline, SQL-oracled);
     threshold 0.45 sits inside the synthetic embeddings' similarity range
@@ -536,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "minhash_dedup": _q_minhash_dedup,
@@ -654,6 +664,27 @@ WITH RECURSIVE toks AS (
 """
 
 
+# the SimHash computation (ops/dedup.py simhash_table) ending in a `shfull`
+# CTE — shared by the simhash / simhash_pairs oracles
+_SIMHASH_BASE_SQL = (
+    r"WITH toks AS (SELECT doc_id, "
+    r"unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents), "
+    r"th AS (SELECT doc_id, ('0x'||substr(md5(tok),1,16))::UBIGINT AS h FROM toks), "
+    r"bits AS (SELECT doc_id, b, "
+    r"SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+    r"FROM th, (SELECT unnest(range(63)) AS b) bs GROUP BY doc_id, b), "
+    r"sh AS (SELECT doc_id, "
+    r"CAST(SUM(CASE WHEN s > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS BIGINT) AS simhash "
+    r"FROM bits GROUP BY doc_id), "
+    r"shfull AS (SELECT d.doc_id, COALESCE(sh.simhash, 0) AS simhash, "
+    r"CAST((COALESCE(sh.simhash,0) >> 0) & 65535 AS INT) AS band_0, "
+    r"CAST((COALESCE(sh.simhash,0) >> 16) & 65535 AS INT) AS band_1, "
+    r"CAST((COALESCE(sh.simhash,0) >> 32) & 65535 AS INT) AS band_2, "
+    r"CAST((COALESCE(sh.simhash,0) >> 48) & 65535 AS INT) AS band_3 "
+    r"FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id) "
+)
+
+
 # the np.select line-classification cascade (ops/blocks.py classify_lines),
 # rule-for-rule in SQL; shared by the classify_blocks / main_content oracles
 _BLOCK_CLS_SQL = r"""
@@ -751,8 +782,8 @@ def oracle_sql() -> dict[str, str]:
             r"    ELSE 0.0 END AS mwl"
             r"  FROM c"
             r") SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, "
-            r"ROUND(punct_ratio,6) AS punct_ratio, ROUND(stop_ratio,6) AS stop_ratio, "
-            r"ROUND(LEAST(GREATEST(nt/100.0,0.0),1.0)*0.4 "
+            r"round_even(punct_ratio,6) AS punct_ratio, round_even(stop_ratio,6) AS stop_ratio, "
+            r"round_even(LEAST(GREATEST(nt/100.0,0.0),1.0)*0.4 "
             r"+ LEAST(GREATEST(stop_ratio/0.3,0.0),1.0)*0.3 "
             r"+ LEAST(GREATEST(punct_ratio/0.1,0.0),1.0)*0.2 "
             r"+ CASE WHEN mwl >= 3 AND mwl <= 10 THEN 0.1 ELSE 0.0 END, 6) AS quality "
@@ -777,7 +808,7 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN sc.doc_id IS NULL OR sc.best <= 0.02 THEN 'und' "
             "     WHEN sc.en_r = sc.best THEN 'en' WHEN sc.es_r = sc.best THEN 'es' "
             "     WHEN sc.fr_r = sc.best THEN 'fr' ELSE 'de' END AS lang_pred, "
-            "CASE WHEN sc.doc_id IS NULL THEN 0.0 ELSE ROUND(sc.best, 6) END AS lang_score "
+            "CASE WHEN sc.doc_id IS NULL THEN 0.0 ELSE round_even(sc.best, 6) END AS lang_score "
             "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"
         ),
         "fingerprint": (
@@ -796,22 +827,16 @@ def oracle_sql() -> dict[str, str]:
             r"COALESCE(r.rolling_min, b.fingerprint) AS rolling_min "
             r"FROM base b LEFT JOIN roll r ON b.doc_id = r.doc_id"
         ),
-        "simhash": (
-            r"WITH toks AS (SELECT doc_id, "
-            r"unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents), "
-            r"th AS (SELECT doc_id, ('0x'||substr(md5(tok),1,16))::UBIGINT AS h FROM toks), "
-            r"bits AS (SELECT doc_id, b, "
-            r"SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s "
-            r"FROM th, (SELECT unnest(range(63)) AS b) bs GROUP BY doc_id, b), "
-            r"sh AS (SELECT doc_id, "
-            r"CAST(SUM(CASE WHEN s > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS BIGINT) AS simhash "
-            r"FROM bits GROUP BY doc_id) "
-            r"SELECT d.doc_id, COALESCE(sh.simhash, 0) AS simhash, "
-            r"CAST((COALESCE(sh.simhash,0) >> 0) & 65535 AS INT) AS band_0, "
-            r"CAST((COALESCE(sh.simhash,0) >> 16) & 65535 AS INT) AS band_1, "
-            r"CAST((COALESCE(sh.simhash,0) >> 32) & 65535 AS INT) AS band_2, "
-            r"CAST((COALESCE(sh.simhash,0) >> 48) & 65535 AS INT) AS band_3 "
-            r"FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id"
+        "simhash": _SIMHASH_BASE_SQL + "SELECT * FROM shfull",
+        "simhash_pairs": _SIMHASH_BASE_SQL + (
+            "SELECT CAST(a.doc_id AS VARCHAR) AS doc_a, "
+            "CAST(b.doc_id AS VARCHAR) AS doc_b, "
+            "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+            "FROM shfull a JOIN shfull b "
+            "ON CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR) "
+            "AND (a.band_0=b.band_0 OR a.band_1=b.band_1 "
+            "     OR a.band_2=b.band_2 OR a.band_3=b.band_3) "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
         # one image span on pages where (h+p)%4==0; PPM dims/bytes are
         # closed-form from md5(media_ref) (ops/multimodal.py synthesize_ppm)
@@ -967,7 +992,7 @@ def oracle_sql() -> dict[str, str]:
             ") WHERE rn <= 3"
         ),
         "minhash_pairs": _minhash_base_sql()
-        + "SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM verified WHERE j >= 0.8",
+        + "SELECT doc_a, doc_b, round_even(j, 6) AS jaccard FROM verified WHERE j >= 0.8",
         "minhash_dedup": _minhash_base_sql()
         + (
             "SELECT doc_id FROM documents "
@@ -1049,8 +1074,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_distinct, MAX(c) AS top_freq "
             "FROM cl GROUP BY doc_id) "
             "SELECT doc_id, n_lines, n_distinct AS n_distinct_lines, "
-            "ROUND(1.0 - n_distinct/(n_lines::DOUBLE), 6) AS dup_line_ratio, "
-            "ROUND(top_freq/(n_lines::DOUBLE), 6) AS top_line_share FROM per"
+            "round_even(1.0 - n_distinct/(n_lines::DOUBLE), 6) AS dup_line_ratio, "
+            "round_even(top_freq/(n_lines::DOUBLE), 6) AS top_line_share FROM per"
         ),
         "top_ngrams": (
             r"WITH toks AS (SELECT regexp_extract_all(lower(text),'\S+') AS tk "

@@ -463,6 +463,111 @@ def simhash_table(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Data
     return ds.map_batches(sh, batch_format="pyarrow")
 
 
+def simhash_pairs(
+    ds: ray.data.Dataset, max_hamming: int = 3, text_col: str = "text"
+) -> ray.data.Dataset:
+    """End-to-end SimHash near-dup pairs: banded candidate generation
+    (Hamming <= 3 guarantees one equal 16-bit band) + exact Hamming verify.
+
+    Scale shape mirrors minhash_candidate_pairs: the shuffle moves only
+    (band_id, band_value, doc_id, simhash) rows; the self-merge is quadratic
+    only within true band collisions; pairs dedupe across bands in a second
+    coarse groupby. Output (doc_a, doc_b, hamming), doc_a < doc_b."""
+    table = simhash_table(ds, text_col)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.string())
+        parts = []
+        for band in range(4):
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": ids,
+                        "simhash": batch["simhash"],
+                        "band_id": pa.array(
+                            np.full(len(ids), band, dtype=np.int32)
+                        ),
+                        "band_val": pc.cast(batch[f"band_{band}"], pa.int64()),
+                    }
+                )
+            )
+        out = pa.concat_tables(parts)
+        return out.append_column(
+            "_b",
+            pc.cast(
+                pc.bit_wise_and(
+                    pc.add(
+                        pc.multiply(out["band_val"], pa.scalar(4, pa.int64())),
+                        pc.cast(out["band_id"], pa.int64()),
+                    ),
+                    pa.scalar(_DEDUP_BUCKETS - 1, pa.int64()),
+                ),
+                pa.int64(),
+            ),
+        )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["band_id", "band_val", "doc_id", "simhash"]]
+        counts = g.groupby(["band_id", "band_val"])["doc_id"].transform("size")
+        g = g[counts > 1]
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype=str),
+                    "doc_b": pd.Series([], dtype=str),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        m = g.merge(g, on=["band_id", "band_val"])
+        m = m[m.doc_id_x < m.doc_id_y]
+        ham = np.bitwise_xor(
+            m["simhash_x"].to_numpy(np.int64), m["simhash_y"].to_numpy(np.int64)
+        )
+        m = m.assign(hamming=np.vectorize(lambda v: bin(v).count("1"))(ham) if len(m) else [])
+        m = m[m.hamming <= max_hamming]
+        out = m.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
+        return out[["doc_a", "doc_b", "hamming"]].drop_duplicates(["doc_a", "doc_b"])
+
+    candidate = (
+        table.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        keys = [
+            h % _DEDUP_BUCKETS
+            for h in _md5_64(
+                [
+                    f"{a}|{b}"
+                    for a, b in zip(
+                        batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()
+                    )
+                ]
+            )
+        ]
+        return batch.append_column("_pb", pa.array(keys, pa.int64()))
+
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(subset=["doc_a", "doc_b"])[
+            ["doc_a", "doc_b", "hamming"]
+        ]
+
+    def fix_schema(batch: pa.Table) -> pa.Table:
+        return batch.cast(
+            pa.schema(
+                [("doc_a", pa.string()), ("doc_b", pa.string()), ("hamming", pa.int64())]
+            )
+        )
+
+    return (
+        candidate.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(dedup_pairs, batch_format="pandas")
+        .map_batches(fix_schema, batch_format="pyarrow")
+    )
+
+
 # ---- embedding near-dup ---------------------------------------------------
 
 

@@ -508,3 +508,12 @@ def test_ivf_index_rebuild_clears_stale_partitions(ray_session, tmp_path):
     got = similarity.knn_ivf_index(index_dir, rng.standard_normal(8), k=60, n_probe=4).to_pandas()
     # only corpus B survives the rebuild — no stale corpus-A rows
     assert got.vec_id.min() >= 1000
+
+
+def test_simhash_pairs_end_to_end(docs_with_dups):
+    out = dedup.simhash_pairs(docs_with_dups, max_hamming=3).to_pandas()
+    got = {(r.doc_a, r.doc_b) for r in out.itertuples()}
+    assert ("a1", "a2") in got  # exact dup: hamming 0
+    row = out[(out.doc_a == "a1") & (out.doc_b == "a2")].iloc[0]
+    assert row.hamming == 0
+    assert all("c1" not in p and "d1" not in p for p in got)
