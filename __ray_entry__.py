@@ -228,15 +228,16 @@ def _q_embedding_near_dup(sf_dir: str):
 
 
 def _q_embedding_near_dup_lsh(sf_dir: str):
-    """Sign-LSH bucketed near-dup — the sub-quadratic scale path (approximate
-    recall: pairs straddling every hyperplane split are missed, so no SQL
-    oracle; tests/test_ops.py pins planted-dup recall and exact-subset)."""
+    """Multi-table sign-LSH near-dup — the sub-quadratic scale path.
+    Approximate recall (no SQL oracle; tests pin planted-dup recall and
+    the subset-of-exact relation); threshold/tables chosen so it surfaces
+    a nonzero candidate set on the synthetic embeddings."""
     import ray.data
 
     from pdf_parser_ray.ops.dedup import embedding_near_dup
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dup(ds, threshold=0.95)
+    return embedding_near_dup(ds, threshold=0.45, n_planes=6, n_tables=8)
 
 
 def _query_vector(sf_dir: str) -> np.ndarray:

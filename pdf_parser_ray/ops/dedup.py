@@ -578,22 +578,44 @@ def embedding_near_dup(
     seed: int = 11,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> ray.data.Dataset:
     """Near-duplicate vector pairs: sign-LSH bucketing (seeded random
     hyperplanes) then exact pairwise cosine inside each bucket. The plane
     matrix is rebuilt deterministically per task from the seed (tiny; a
-    closure-cached copy would not survive task serialization anyway)."""
+    closure-cached copy would not survive task serialization anyway).
+
+    ``n_tables`` > 1 runs that many INDEPENDENT hash tables (seeds seed,
+    seed+1, ...) and unions their candidates — the standard recall knob: a
+    pair at angle θ survives one table with p = (1-θ/π)^n_planes, and L
+    tables with 1-(1-p)^L. Pairs found by several tables dedupe in one
+    coarse groupby. Recall < 1 always; :func:`embedding_near_dup_exact`
+    is the recall-1.0 reference (subset relation pinned in tests)."""
 
     def bucketize(batch: pa.Table) -> pa.Table:
         vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
-        planes = np.random.RandomState(seed).standard_normal((vecs.shape[1], n_planes))
-        signs = (vecs @ planes) > 0
-        keys = (signs.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+        ids_rep, keys_out, vecs_rep, tids = [], [], [], []
+        for t in range(n_tables):
+            planes = np.random.RandomState(seed + t).standard_normal(
+                (vecs.shape[1], n_planes)
+            )
+            signs = (vecs @ planes) > 0
+            keys = (
+                signs.astype(np.int64) << np.arange(n_planes, dtype=np.int64)
+            ).sum(axis=1)
+            ids_rep.append(batch[id_col])
+            keys_out.append(pa.array(keys + (t << n_planes)))  # disjoint key space
+            vecs_rep.append(batch[vec_col])
+            tids.append(pa.array(np.full(len(keys), t, dtype=np.int32)))
         return pa.table(
             {
-                id_col: batch[id_col],
-                "bucket_key": pa.array(keys),
-                vec_col: batch[vec_col],
+                id_col: pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in ids_rep]
+                ),
+                "bucket_key": pa.concat_arrays(keys_out),
+                vec_col: pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in vecs_rep]
+                ),
             }
         )
 
@@ -616,10 +638,38 @@ def embedding_near_dup(
                     out_s.append(round(float(sims[i, j]), 6))
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_s})
 
-    return (
+    candidates = (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket_key")
         .map_groups(pairs, batch_format="pandas")
+    )
+    if n_tables == 1:
+        return candidates
+
+    # the same pair can surface from several tables: coarse-bucket dedupe
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        keys = [
+            h % _DEDUP_BUCKETS
+            for h in _md5_64(
+                [
+                    f"{a}|{b}"
+                    for a, b in zip(
+                        batch["id_a"].to_pylist(), batch["id_b"].to_pylist()
+                    )
+                ]
+            )
+        ]
+        return batch.append_column("_pb", pa.array(keys, pa.int64()))
+
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(subset=["id_a", "id_b"])[
+            ["id_a", "id_b", "cosine"]
+        ]
+
+    return (
+        candidates.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(dedup_pairs, batch_format="pandas")
     )
 
 

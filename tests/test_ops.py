@@ -517,3 +517,23 @@ def test_simhash_pairs_end_to_end(docs_with_dups):
     row = out[(out.doc_a == "a1") & (out.doc_b == "a2")].iloc[0]
     assert row.hamming == 0
     assert all("c1" not in p and "d1" not in p for p in got)
+
+
+def test_embedding_multi_table_improves_recall(ray_session):
+    rng = np.random.RandomState(9)
+    vecs = rng.standard_normal((100, 16))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(100)]
+    )
+    thr = 0.5
+    exact = dedup.embedding_near_dup_exact(ds, threshold=thr).to_pandas()
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.itertuples()}
+    one = dedup.embedding_near_dup(ds, threshold=thr, n_planes=6, n_tables=1).to_pandas()
+    many = dedup.embedding_near_dup(ds, threshold=thr, n_planes=6, n_tables=8).to_pandas()
+    one_pairs = {(r.id_a, r.id_b) for r in one.itertuples()}
+    many_pairs = {(r.id_a, r.id_b) for r in many.itertuples()}
+    assert one_pairs <= exact_pairs and many_pairs <= exact_pairs
+    assert len(many_pairs) >= len(one_pairs)  # more tables never lose pairs... 
+    assert len(many_pairs) > 0
+    # no duplicate pair rows after the cross-table dedupe
+    assert not many.duplicated(subset=["id_a", "id_b"]).any()
