@@ -143,6 +143,46 @@ class MinHasher:
         )
 
 
+def _global_pair_dedupe(
+    pairs: ray.data.Dataset, out_schema: pa.Schema
+) -> ray.data.Dataset:
+    """Cross-bucket pair dedupe shared by every LSH pipeline: the same pair
+    can surface from bands/tables landing in different coarse buckets, so
+    re-bucket on a hash of (first two columns = the pair) and keep one row
+    per pair. Ends with an Arrow schema pin — pandas map_groups emits
+    schema-less empty blocks that break downstream union/join (Ray 2.49)."""
+    col_a, col_b = out_schema.names[0], out_schema.names[1]
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        keys = [
+            h % _DEDUP_BUCKETS
+            for h in _md5_64(
+                [
+                    f"{a}|{b}"
+                    for a, b in zip(
+                        batch[col_a].to_pylist(), batch[col_b].to_pylist()
+                    )
+                ]
+            )
+        ]
+        return batch.append_column("_pb", pa.array(keys, pa.int64()))
+
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(subset=[col_a, col_b])[list(out_schema.names)]
+
+    def pin(batch: pa.Table) -> pa.Table:
+        if set(out_schema.names) <= set(batch.column_names):
+            return batch.select(out_schema.names).cast(out_schema)
+        return pa.Table.from_pylist([], schema=out_schema)
+
+    return (
+        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(dedup_pairs, batch_format="pandas")
+        .map_batches(pin, batch_format="pyarrow")
+    )
+
+
 def minhash_candidate_pairs(
     ds: ray.data.Dataset,
     num_perm: int = 64,
@@ -191,23 +231,8 @@ def minhash_candidate_pairs(
         .map_groups(pairs, batch_format="pandas")
     )
 
-    # global pair dedup (the same pair can surface from bands in different
-    # coarse buckets): coarse-bucket again on a pair hash
-    def add_pair_bucket(batch: pa.Table) -> pa.Table:
-        keys = [
-            int.from_bytes(hashlib.md5(f"{a}|{b}".encode()).digest()[:8], "big")
-            % _DEDUP_BUCKETS
-            for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist())
-        ]
-        return batch.append_column("_pb", pa.array(keys, pa.int64()))
-
-    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop_duplicates(subset=["doc_a", "doc_b"])[["doc_a", "doc_b"]]
-
-    return (
-        candidate.map_batches(add_pair_bucket, batch_format="pyarrow")
-        .groupby("_pb")
-        .map_groups(dedup_pairs, batch_format="pandas")
+    return _global_pair_dedupe(
+        candidate, pa.schema([("doc_a", pa.string()), ("doc_b", pa.string())])
     )
 
 
@@ -523,7 +548,13 @@ def simhash_pairs(
         ham = np.bitwise_xor(
             m["simhash_x"].to_numpy(np.int64), m["simhash_y"].to_numpy(np.int64)
         )
-        m = m.assign(hamming=np.vectorize(lambda v: bin(v).count("1"))(ham) if len(m) else [])
+        # vectorized popcount: 8 bytes per value unpacked to bits, summed
+        # per row (a per-element Python bin().count() dominated boilerplate-
+        # heavy buckets where many docs share one simhash)
+        bits = np.unpackbits(
+            np.ascontiguousarray(ham).view(np.uint8).reshape(len(ham), 8), axis=1
+        ).sum(axis=1) if len(m) else np.array([], dtype=np.int64)
+        m = m.assign(hamming=bits.astype(np.int64))
         m = m[m.hamming <= max_hamming]
         out = m.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
         return out[["doc_a", "doc_b", "hamming"]].drop_duplicates(["doc_a", "doc_b"])
@@ -534,37 +565,11 @@ def simhash_pairs(
         .map_groups(pairs, batch_format="pandas")
     )
 
-    def add_pair_bucket(batch: pa.Table) -> pa.Table:
-        keys = [
-            h % _DEDUP_BUCKETS
-            for h in _md5_64(
-                [
-                    f"{a}|{b}"
-                    for a, b in zip(
-                        batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()
-                    )
-                ]
-            )
-        ]
-        return batch.append_column("_pb", pa.array(keys, pa.int64()))
-
-    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop_duplicates(subset=["doc_a", "doc_b"])[
-            ["doc_a", "doc_b", "hamming"]
-        ]
-
-    def fix_schema(batch: pa.Table) -> pa.Table:
-        return batch.cast(
-            pa.schema(
-                [("doc_a", pa.string()), ("doc_b", pa.string()), ("hamming", pa.int64())]
-            )
-        )
-
-    return (
-        candidate.map_batches(add_pair_bucket, batch_format="pyarrow")
-        .groupby("_pb")
-        .map_groups(dedup_pairs, batch_format="pandas")
-        .map_batches(fix_schema, batch_format="pyarrow")
+    return _global_pair_dedupe(
+        candidate,
+        pa.schema(
+            [("doc_a", pa.string()), ("doc_b", pa.string()), ("hamming", pa.int64())]
+        ),
     )
 
 
@@ -594,7 +599,7 @@ def embedding_near_dup(
 
     def bucketize(batch: pa.Table) -> pa.Table:
         vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
-        ids_rep, keys_out, vecs_rep, tids = [], [], [], []
+        ids_rep, keys_out, vecs_rep = [], [], []
         for t in range(n_tables):
             planes = np.random.RandomState(seed + t).standard_normal(
                 (vecs.shape[1], n_planes)
@@ -606,7 +611,6 @@ def embedding_near_dup(
             ids_rep.append(batch[id_col])
             keys_out.append(pa.array(keys + (t << n_planes)))  # disjoint key space
             vecs_rep.append(batch[vec_col])
-            tids.append(pa.array(np.full(len(keys), t, dtype=np.int32)))
         return pa.table(
             {
                 id_col: pa.concat_arrays(
@@ -643,34 +647,25 @@ def embedding_near_dup(
         .groupby("bucket_key")
         .map_groups(pairs, batch_format="pandas")
     )
+    try:
+        id_type = ds.schema().base_schema.field(id_col).type
+    except Exception:
+        id_type = pa.int64()
+    out_schema = pa.schema(
+        [("id_a", id_type), ("id_b", id_type), ("cosine", pa.float64())]
+    )
     if n_tables == 1:
-        return candidates
+        # still pin the schema: pandas map_groups emits schema-less empty
+        # blocks that break downstream union/join
+        def pin(batch: pa.Table) -> pa.Table:
+            if set(out_schema.names) <= set(batch.column_names):
+                return batch.select(out_schema.names).cast(out_schema)
+            return pa.Table.from_pylist([], schema=out_schema)
+
+        return candidates.map_batches(pin, batch_format="pyarrow")
 
     # the same pair can surface from several tables: coarse-bucket dedupe
-    def add_pair_bucket(batch: pa.Table) -> pa.Table:
-        keys = [
-            h % _DEDUP_BUCKETS
-            for h in _md5_64(
-                [
-                    f"{a}|{b}"
-                    for a, b in zip(
-                        batch["id_a"].to_pylist(), batch["id_b"].to_pylist()
-                    )
-                ]
-            )
-        ]
-        return batch.append_column("_pb", pa.array(keys, pa.int64()))
-
-    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop_duplicates(subset=["id_a", "id_b"])[
-            ["id_a", "id_b", "cosine"]
-        ]
-
-    return (
-        candidates.map_batches(add_pair_bucket, batch_format="pyarrow")
-        .groupby("_pb")
-        .map_groups(dedup_pairs, batch_format="pandas")
-    )
+    return _global_pair_dedupe(candidates, out_schema)
 
 
 def embedding_near_dup_exact(
