@@ -102,3 +102,24 @@ def test_boilerplate_only_removes_repeated(pages_lines):
         assert appears >= threshold and len(line) >= 4
     for t in texts:
         assert strip_lines(t, set()) == t
+
+
+def test_media_decoder_never_crashes_on_fuzz():
+    """Any byte payload either decodes, degrades, or raises
+    NotImplementedError (codec formats) — never an unhandled error."""
+    import numpy as np
+
+    from pdf_parser_ray.ops.multimodal import MediaDecoder
+
+    dec = MediaDecoder(fake=False)
+    rng = np.random.RandomState(3)
+    payloads = [bytes(rng.randint(0, 256, size=n, dtype=np.uint8)) for n in (0, 1, 2, 3, 13, 64, 300)]
+    payloads += [b"P6" + bytes(rng.randint(0, 256, size=40, dtype=np.uint8)) for _ in range(20)]
+    payloads += [b"BM" + bytes(rng.randint(0, 256, size=60, dtype=np.uint8)) for _ in range(20)]
+    payloads += [b"P5\n#", b"P6\n999999999 999999999\n255\n", b"P6\n0 0\n255\n"]
+    for p in payloads:
+        try:
+            out = dec._decode("f", p)
+            assert set(out) == {"width", "height", "feature", "decode_ok"}
+        except NotImplementedError:
+            pass
