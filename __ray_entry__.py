@@ -312,6 +312,12 @@ def _q_minhash_clusters(sf_dir: str):
     )
 
 
+def _q_events_asof(sf_dir: str):
+    from pdf_parser_ray.ops.streaming import events_prior_purchase
+
+    return events_prior_purchase(sf_dir)
+
+
 def _q_sessionize(sf_dir: str):
     from pdf_parser_ray.ops.streaming import sessionize
 
@@ -561,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_revenue": _q_filtered_revenue,
         "top_parts_by_size": _q_top_parts,
         "events_window_agg": _q_events_window,
+        "events_asof_join": _q_events_asof,
         "sessionize": _q_sessionize,
         "docs_by_lang": _q_docs_by_lang,
         "deterministic_sample": _q_deterministic_sample,
@@ -931,6 +938,17 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
             "FROM events GROUP BY event_type, window_start "
             "ORDER BY event_type, window_start"
+        ),
+        # as-of tie-break mirrors merge_asof's last-sorted-row-wins: among
+        # equal prior ts, the max event_id
+        "events_asof_join": (
+            "SELECT event_id, ts, user_id, prior_purchase_id FROM ("
+            "  SELECT l.event_id, l.ts, l.user_id, r.event_id AS prior_purchase_id, "
+            "    ROW_NUMBER() OVER (PARTITION BY l.event_id "
+            "      ORDER BY r.ts DESC, r.event_id DESC) AS rn "
+            "  FROM events l JOIN events r ON r.user_id = l.user_id "
+            "   AND r.event_type = 'purchase' AND r.ts < l.ts"
+            ") WHERE rn = 1"
         ),
         "sessionize": (
             "WITH marked AS ("

@@ -58,3 +58,150 @@ def sessionize(
         .groupby("_b")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    by: str,
+    right_cols: dict[str, str],
+    strict: bool = True,
+    n_buckets: int = _KEY_BUCKETS,
+) -> ray.data.Dataset:
+    """Distributed as-of join — each left row matched to the most recent
+    right row of the same ``by`` key with ``right.on < left.on`` (``<=``
+    when ``strict=False``). Ray Data has no native as-of join; this is the
+    groupby-co-partition expression of it: both sides bucket on hash(by),
+    one shuffle, then a per-bucket ``pd.merge_asof`` over the ts-sorted
+    frames. Right-side ties on ``on`` break by the LAST row in
+    (on, *values) sort order (documented: max of the projected columns).
+
+    ``right_cols``: {right_column: output_name} projection. Unmatched left
+    rows are DROPPED (inner as-of), so no null-typed columns leak into the
+    output schema. Partitioning assumption: one ``by`` key's rows fit a
+    bucket's worker memory (same contract as every windowed op here)."""
+    from pdf_parser_ray.functions.hashing import md5_bucket
+
+    left_schema = left.schema().base_schema
+    left_names = list(left_schema.names)
+    out_schema = pa.schema(
+        [(f.name, f.type) for f in left_schema]
+        + [
+            (out_name, right.schema().base_schema.field(src).type)
+            for src, out_name in right_cols.items()
+        ]
+    )
+
+    union_fields = (
+        [("_side", pa.int8()), ("_b", pa.int64())]
+        + [(f.name, f.type) for f in left_schema]
+        + [
+            (f"_r_{src}", right.schema().base_schema.field(src).type)
+            for src in right_cols
+        ]
+    )
+    union_schema = pa.schema(union_fields)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        t = pa.table(
+            {
+                "_side": pa.array([0] * n, pa.int8()),
+                "_b": pa.array(
+                    [md5_bucket(str(v), n_buckets) for v in batch[by].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+        for name in left_names:
+            t = t.append_column(name, batch[name])
+        for src in right_cols:
+            t = t.append_column(f"_r_{src}", pa.nulls(n, union_schema.field(f"_r_{src}").type))
+        return t.cast(union_schema)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        t = pa.table(
+            {
+                "_side": pa.array([1] * n, pa.int8()),
+                "_b": pa.array(
+                    [md5_bucket(str(v), n_buckets) for v in batch[by].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+        for name in left_names:
+            if name in (on, by):
+                t = t.append_column(name, batch[name])
+            else:
+                t = t.append_column(name, pa.nulls(n, union_schema.field(name).type))
+        for src in right_cols:
+            t = t.append_column(f"_r_{src}", batch[src])
+        return t.cast(union_schema)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.select_columns(
+            sorted({on, by} | set(right_cols))
+        ).map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    r_names = [f"_r_{src}" for src in right_cols]
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lf = group[group["_side"] == 0][left_names].sort_values(on, kind="mergesort")
+        rf = group[group["_side"] == 1][[by, on] + r_names]
+        if lf.empty or rf.empty:
+            return pd.DataFrame(columns=left_names + r_names)
+        # deterministic tie-break: among equal `on`, merge_asof takes the
+        # LAST sorted row, so sort right by (on, values) -> max values win
+        rf = rf.sort_values([on] + r_names, kind="mergesort")
+        m = pd.merge_asof(
+            lf,
+            rf,
+            on=on,
+            by=by,
+            allow_exact_matches=not strict,
+            direction="backward",
+        )
+        m = m.dropna(subset=r_names)
+        return m[left_names + r_names]
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if set(left_names + r_names) <= set(batch.column_names):
+            t = batch.select(left_names + r_names)
+            t = t.rename_columns(left_names + [right_cols[s] for s in right_cols])
+            return t.cast(out_schema)
+        return pa.Table.from_pylist([], schema=out_schema)
+
+    return (
+        tagged.groupby("_b")
+        .map_groups(join_bucket, batch_format="pandas")
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def events_prior_purchase(sf_dir: str) -> ray.data.Dataset:
+    """As-of self-join on the events log: each event matched to the same
+    user's most recent STRICTLY-EARLIER 'purchase' event (events without a
+    prior purchase drop out). The standard feature-engineering shape
+    'state of X as of this event'."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    left = events.select_columns(["event_id", "ts", "user_id"])
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(pc.cast(batch["event_type"], pa.string()), "purchase")
+        ).select(["user_id", "ts", "event_id"])
+
+    right = events.map_batches(purchases, batch_format="pyarrow")
+    return asof_join(
+        left,
+        right,
+        on="ts",
+        by="user_id",
+        right_cols={"event_id": "prior_purchase_id"},
+        strict=True,
+    )

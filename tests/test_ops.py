@@ -537,3 +537,44 @@ def test_embedding_multi_table_improves_recall(ray_session):
     assert len(many_pairs) > 0
     # no duplicate pair rows after the cross-table dedupe
     assert not many.duplicated(subset=["id_a", "id_b"]).any()
+
+
+def test_asof_join_semantics(ray_session):
+    from pdf_parser_ray.ops.streaming import asof_join
+
+    left = ray.data.from_items(
+        [
+            {"eid": 1, "t": 10, "u": 1},
+            {"eid": 2, "t": 20, "u": 1},
+            {"eid": 3, "t": 5, "u": 2},   # no prior right row -> dropped
+            {"eid": 4, "t": 10, "u": 1},  # t == right row: strict -> earlier one
+        ]
+    )
+    right = ray.data.from_items(
+        [
+            {"u": 1, "t": 10, "rid": 100},
+            {"u": 1, "t": 10, "rid": 101},  # tie on t -> max rid wins
+            {"u": 1, "t": 4, "rid": 99},
+            {"u": 2, "t": 50, "rid": 200},  # after left's t=5
+        ]
+    )
+    out = (
+        asof_join(left, right, on="t", by="u", right_cols={"rid": "prior_rid"})
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    # eid=1 (t=10, strict): only t=4 qualifies -> 99
+    # eid=2 (t=20): t=10 tie -> max rid 101
+    # eid=3: no prior -> dropped; eid=4 same as eid=1
+    assert list(out.eid) == [1, 2, 4]
+    assert list(out.prior_rid) == [99, 101, 99]
+    # non-strict: t=10 rows match the t=10 right rows
+    out2 = (
+        asof_join(left, right, on="t", by="u", right_cols={"rid": "prior_rid"}, strict=False)
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    assert list(out2.eid) == [1, 2, 4]
+    assert list(out2.prior_rid) == [101, 101, 101]
