@@ -509,6 +509,21 @@ def _q_top_ngrams(sf_dir: str):
     return top_ngrams(ds, n=2, k=20)
 
 
+def _q_doc_frequency(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.curation import doc_frequency
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return doc_frequency(ds, k=20)
+
+
+def _q_orders_price_bands(sf_dir: str):
+    from pdf_parser_ray.ops.relational import orders_price_bands
+
+    return orders_price_bands(sf_dir)
+
+
 def _q_stratified_sample(sf_dir: str):
     import ray.data
 
@@ -584,7 +599,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_pii": _q_scrub_pii,
         "repetition_score": _q_repetition_score,
         "top_ngrams": _q_top_ngrams,
+        "doc_frequency": _q_doc_frequency,
         "stratified_sample": _q_stratified_sample,
+        "orders_price_bands": _q_orders_price_bands,
         # multimodal (real PPM decode over synthesized payloads)
         "media_features": _q_media_features,
         # corpus-level validation report (reference step 5)
@@ -1109,6 +1126,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,16))::UBIGINT >> 1) % 100 "
             "< CASE WHEN lang='en' THEN 20 ELSE 10 END ORDER BY doc_id"
+        ),
+        "doc_frequency": (
+            r"WITH t AS (SELECT doc_id, "
+            r"unnest(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS tok "
+            r"FROM documents) "
+            r"SELECT tok AS token, COUNT(*)::BIGINT AS df FROM t "
+            r"GROUP BY tok ORDER BY df DESC, token LIMIT 20"
+        ),
+        "orders_price_bands": (
+            "WITH bands(lo, hi, label) AS (VALUES "
+            "  (0.0, 50000.0, 'small'), (50000.0, 150000.0, 'medium'), "
+            "  (150000.0, 300000.0, 'large'), (300000.0, 1e12, 'jumbo')) "
+            "SELECT b.label, COUNT(*)::BIGINT AS n_orders FROM orders o "
+            "JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi "
+            "GROUP BY b.label ORDER BY b.label"
         ),
         # rows-only remainder: embedding_near_dup_lsh (random-hyperplane
         # recall is seed-dependent through numpy's generator — the exact

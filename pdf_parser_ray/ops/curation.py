@@ -186,3 +186,43 @@ def stratified_sample(
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow").sort(id_col)
+
+
+def doc_frequency(
+    ds: ray.data.Dataset, k: int = 20, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Corpus-wide top-k tokens by DOCUMENT frequency (how many docs contain
+    the token at least once) — the df side of tf-idf. Same exact-top-k
+    shape as :func:`top_ngrams`: per-batch partials over per-doc DISTINCT
+    tokens, one hash-bucket groupby (totals complete per bucket), global
+    merge of buckets x k rows; ties break by token ascending."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in pc.cast(batch[text_col], pa.string()).to_pylist():
+            for tok in set((text or "").lower().split()):
+                counts[tok] = counts.get(tok, 0) + 1
+        toks = list(counts)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "df": pa.array([counts[t] for t in toks], pa.int64()),
+                "_b": pa.array(
+                    [md5_bucket(t, _NGRAM_BUCKETS) for t in toks], pa.int64()
+                ),
+            }
+        )
+
+    def bucket_topk(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("token", as_index=False)["df"].sum()
+        agg = agg.sort_values(["df", "token"], ascending=[False, True]).head(k)
+        return agg[["token", "df"]]
+
+    return (
+        ds.select_columns([text_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .sort(["df", "token"], descending=[True, False])
+        .limit(k)
+    )

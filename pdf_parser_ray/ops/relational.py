@@ -391,3 +391,69 @@ def deterministic_sample(
         return batch.filter(pc.less(rem, keep_below))
 
     return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+def interval_join(
+    ds: ray.data.Dataset,
+    intervals: list[dict],
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    label_col: str = "label",
+) -> ray.data.Dataset:
+    """Broadcast range join: attach to each row the label of the interval
+    with ``lo <= value < hi``. The interval table is the classic small side
+    — shipped once via ray.put as sorted numpy bounds, matched per batch
+    with one vectorized searchsorted (no shuffle, no per-row Python).
+    Rows matching no interval are dropped (inner semantics). Intervals are
+    assumed non-overlapping; with overlaps the first by lo-order wins."""
+    import ray as _ray
+
+    order = sorted(intervals, key=lambda r: r[lo_col])
+    los = np.asarray([r[lo_col] for r in order], dtype=np.float64)
+    his = np.asarray([r[hi_col] for r in order], dtype=np.float64)
+    labels = np.asarray([r[label_col] for r in order], dtype=object)
+    ref = _ray.put((los, his, labels))
+
+    class Match:
+        def __init__(self, ref):
+            self.los, self.his, self.labels = _ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vals = pc.cast(batch[value_col], pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+            idx = np.searchsorted(self.los, vals, side="right") - 1
+            ok = (idx >= 0) & (vals < self.his[np.clip(idx, 0, None)])
+            batch = batch.filter(pa.array(ok))
+            return batch.append_column(
+                label_col,
+                pa.array(self.labels[idx[ok]].tolist(), pa.string()),
+            )
+
+    return ds.map_batches(Match, fn_constructor_kwargs={"ref": ref},
+                          batch_format="pyarrow", concurrency=(1, 4))
+
+
+PRICE_BANDS = [
+    {"lo": 0.0, "hi": 50_000.0, "label": "small"},
+    {"lo": 50_000.0, "hi": 150_000.0, "label": "medium"},
+    {"lo": 150_000.0, "hi": 300_000.0, "label": "large"},
+    {"lo": 300_000.0, "hi": 1e12, "label": "jumbo"},
+]
+
+
+def orders_price_bands(sf_dir: str) -> ray.data.Dataset:
+    """Range-join orders into literal price bands, then count per band —
+    the broadcast interval join exercised end-to-end."""
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    joined = interval_join(ds, PRICE_BANDS, value_col="o_totalprice")
+    return (
+        joined.groupby("label")
+        .aggregate(Count(alias_name="n_orders"))
+        .sort("label")
+    )

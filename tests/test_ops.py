@@ -578,3 +578,36 @@ def test_asof_join_semantics(ray_session):
     )
     assert list(out2.eid) == [1, 2, 4]
     assert list(out2.prior_rid) == [101, 101, 101]
+
+
+def test_interval_join(ray_session):
+    from pdf_parser_ray.ops.relational import interval_join
+
+    ds = ray.data.from_items(
+        [{"k": i, "v": float(v)} for i, v in enumerate([5, 50, 99, 100, 250, -1])]
+    )
+    bands = [
+        {"lo": 0.0, "hi": 100.0, "label": "low"},
+        {"lo": 100.0, "hi": 200.0, "label": "high"},
+    ]
+    out = interval_join(ds, bands, value_col="v").to_pandas().sort_values("k")
+    # -1 (below all) and 250 (above all) drop; 100 is half-open [100,200)
+    assert list(out.k) == [0, 1, 2, 3]
+    assert list(out.label) == ["low", "low", "low", "high"]
+
+
+def test_doc_frequency_planted(ray_session):
+    from pdf_parser_ray.ops.curation import doc_frequency
+
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "apple apple banana"},
+            {"doc_id": 2, "text": "apple cherry"},
+            {"doc_id": 3, "text": "banana"},
+        ]
+    )
+    out = doc_frequency(ds, k=2).to_pandas()
+    # df counts DOCS, not occurrences: apple in 2 docs, banana in 2 — tie
+    # breaks alphabetically
+    assert list(out.token) == ["apple", "banana"]
+    assert list(out.df) == [2, 2]
