@@ -372,6 +372,17 @@ def _q_parts_in_lineitem(sf_dir: str):
     return parts_in_lineitem(sf_dir)
 
 
+def _q_approx_distinct(sf_dir: str):
+    """HyperLogLog sketch over orders.o_custkey — deterministic (md5, no
+    seeds), so the SQL oracle reproduces the exact same estimate."""
+    import ray.data
+
+    from pdf_parser_ray.ops.relational import approx_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return approx_distinct(ds, "o_custkey", p=12)
+
+
 def _q_distinct_counts(sf_dir: str):
     from pdf_parser_ray.ops.relational import distinct_counts
 
@@ -591,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _q_customers_without_orders,
         "parts_in_lineitem": _q_parts_in_lineitem,
         "distinct_counts": _q_distinct_counts,
+        "approx_distinct": _q_approx_distinct,
         "top_orders_per_priority": _q_top_orders_per_priority,
         "order_priority_revenue": _q_order_priority_revenue,
         # heading-strategy counters (reference ST3) over lifted page texts
@@ -1012,6 +1024,27 @@ def oracle_sql() -> dict[str, str]:
         "distinct_counts": (
             "SELECT COUNT(DISTINCT o_custkey) AS n_distinct_custkeys, "
             "COUNT(DISTINCT o_orderpriority) AS n_distinct_priorities FROM orders"
+        ),
+        # HyperLogLog reproduced in SQL: same md5-64 hash, p=12 registers
+        # (bucket = top 12 bits, rho = leading-zero rank of the low 52),
+        # same bias-corrected harmonic estimator + linear-counting branch
+        "approx_distinct": (
+            "WITH h AS ("
+            "  SELECT ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,16))::UBIGINT AS hv FROM orders"
+            "), regs AS ("
+            "  SELECT CAST(hv >> 52 AS INT) AS b, "
+            "    MAX(CASE WHEN (hv & 4503599627370495::UBIGINT) = 0 THEN 53 "
+            "         ELSE 52 - CAST(floor(log2((hv & 4503599627370495::UBIGINT)::DOUBLE)) AS INT) END) AS rho "
+            "  FROM h GROUP BY b"
+            "), agg AS (SELECT COUNT(*) AS n_used, SUM(pow(2.0, -rho)) AS s FROM regs), "
+            "est AS ("
+            "  SELECT n_used, "
+            "    (0.7213/(1.0 + 1.079/4096)) * 4096.0 * 4096.0 / (s + (4096 - n_used) * 1.0) AS raw, "
+            "    4096 - n_used AS zeros"
+            "  FROM agg"
+            ") SELECT ROUND(CASE WHEN raw <= 2.5*4096 AND zeros > 0 "
+            "THEN 4096.0 * ln(4096.0/zeros) ELSE raw END, 2) AS n_estimate, "
+            "CAST(n_used AS INT) AS n_buckets_used FROM est"
         ),
         "order_priority_revenue": (
             "SELECT o_orderpriority, "

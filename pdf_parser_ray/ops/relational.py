@@ -457,3 +457,68 @@ def orders_price_bands(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Count(alias_name="n_orders"))
         .sort("label")
     )
+
+
+def approx_distinct(
+    ds: ray.data.Dataset, col: str, p: int = 12
+) -> ray.data.Dataset:
+    """HyperLogLog approximate distinct count as a Ray aggregate.
+
+    Sketch shape: every batch hashes its values (md5-64) and emits its
+    LOCAL register maxima — at most ``2^p`` (bucket, rho) rows per batch
+    regardless of batch size; one tiny groupby merges registers by max.
+    The estimator (bias-corrected harmonic mean + linear-counting
+    small-range correction, Flajolet et al. 2007) runs on the 2^p-row
+    register table. Deterministic end-to-end (md5, no seeds), so the SQL
+    oracle reproduces the exact same estimate. Relative error ~1.04/sqrt(m)
+    (~1.6% at p=12).
+
+    Returns one row: (n_estimate: float rounded to 2, n_buckets_used)."""
+    import hashlib
+    import math
+
+    from ray.data.aggregate import Max
+
+    m = 1 << p
+    w_bits = 64 - p
+    w_mask = (1 << w_bits) - 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs: dict[int, int] = {}
+        for v in batch[col].to_pylist():
+            h = int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
+            b = h >> w_bits
+            w = h & w_mask
+            rho = (w_bits + 1) if w == 0 else (w_bits - w.bit_length() + 1)
+            if rho > regs.get(b, 0):
+                regs[b] = rho
+        return pa.table(
+            {
+                "b": pa.array(list(regs), pa.int32()),
+                "rho": pa.array(list(regs.values()), pa.int32()),
+            }
+        )
+
+    registers = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Max("rho", alias_name="rho"))
+    )
+    rows = registers.take_all()  # <= 2^p rows — the sketch, not the data
+    used = {int(r["b"]): int(r["rho"]) for r in rows}
+    n_used = len(used)
+    harmonic = sum(2.0 ** -rho for rho in used.values()) + (m - n_used) * 1.0
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    estimate = alpha * m * m / harmonic
+    zeros = m - n_used
+    if estimate <= 2.5 * m and zeros > 0:
+        estimate = m * math.log(m / zeros)
+    return ray.data.from_items(
+        [
+            {
+                "n_estimate": float(f"{estimate:.2f}"),
+                "n_buckets_used": n_used,
+            }
+        ]
+    )

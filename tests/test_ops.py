@@ -611,3 +611,18 @@ def test_doc_frequency_planted(ray_session):
     # breaks alphabetically
     assert list(out.token) == ["apple", "banana"]
     assert list(out.df) == [2, 2]
+
+
+def test_approx_distinct_error_bounds(ray_session):
+    from pdf_parser_ray.ops.relational import approx_distinct
+
+    for n in (100, 1000, 20000):
+        ds = ray.data.from_items([{"v": f"val-{i}"} for i in range(n)])
+        est = approx_distinct(ds, "v", p=12).to_pandas().n_estimate.iloc[0]
+        # HLL at p=12: ~1.6% std error; allow 5% (deterministic, not flaky)
+        assert abs(est - n) / n < 0.05, (n, est)
+    # duplicates do not inflate the estimate
+    ds = ray.data.from_items([{"v": f"val-{i % 50}"} for i in range(5000)])
+    est = approx_distinct(ds, "v", p=12).to_pandas()
+    assert abs(est.n_estimate.iloc[0] - 50) <= 2
+    assert est.n_buckets_used.iloc[0] <= 50
