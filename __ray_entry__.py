@@ -312,6 +312,15 @@ def _q_minhash_clusters(sf_dir: str):
     )
 
 
+def _q_events_hopping(sf_dir: str):
+    from pdf_parser_ray.ops.streaming import hopping_window_agg
+
+    return _round_cols(
+        hopping_window_agg(sf_dir, window_minutes=60, hop_minutes=30),
+        {"sum_value": 2},
+    )
+
+
 def _q_events_asof(sf_dir: str):
     from pdf_parser_ray.ops.streaming import events_prior_purchase
 
@@ -593,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_revenue": _q_filtered_revenue,
         "top_parts_by_size": _q_top_parts,
         "events_window_agg": _q_events_window,
+        "events_hopping_window": _q_events_hopping,
         "events_asof_join": _q_events_asof,
         "sessionize": _q_sessionize,
         "docs_by_lang": _q_docs_by_lang,
@@ -966,6 +976,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, date_trunc('hour', ts) AS window_start, "
             "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
             "FROM events GROUP BY event_type, window_start "
+            "ORDER BY event_type, window_start"
+        ),
+        # hopping windows: epoch floored via integer division (epoch_us //
+        # 1e6) — a DOUBLE epoch()::BIGINT cast ROUNDS and shifts sub-second
+        # events across window boundaries
+        "events_hopping_window": (
+            "WITH w AS ("
+            "  SELECT event_type, value, "
+            "    make_timestamp((((epoch_us(ts) // 1000000) // 1800) * 1800 "
+            "      - k.k * 1800) * 1000000) AS window_start"
+            "  FROM events, (SELECT unnest(range(2)) AS k) k"
+            ") SELECT event_type, window_start, COUNT(*) AS n_events, "
+            "ROUND(SUM(value), 2) AS sum_value "
+            "FROM w GROUP BY event_type, window_start "
             "ORDER BY event_type, window_start"
         ),
         # as-of tie-break mirrors merge_asof's last-sorted-row-wins: among

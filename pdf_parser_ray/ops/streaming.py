@@ -205,3 +205,51 @@ def events_prior_purchase(sf_dir: str) -> ray.data.Dataset:
         right_cols={"event_id": "prior_purchase_id"},
         strict=True,
     )
+
+
+def hopping_window_agg(
+    sf_dir: str, window_minutes: int = 60, hop_minutes: int = 30
+) -> ray.data.Dataset:
+    """Hopping (sliding) windows per event_type: each event contributes to
+    ``window/hop`` overlapping windows. The fan-out happens per batch
+    (vectorized epoch arithmetic, one frame per hop offset) followed by
+    per-batch partial aggregation, so the shuffle moves (type, window)
+    partial rows — event duplication never crosses the wire. ``window``
+    must be a multiple of ``hop``.
+
+    Epoch flooring is integer (ns // 1e9): mirror with epoch_us // 1e6 in
+    SQL — DuckDB's DOUBLE->BIGINT cast ROUNDS, which shifts sub-second
+    events into the wrong window."""
+    from ray.data.aggregate import Sum
+
+    window_s, hop_s = window_minutes * 60, hop_minutes * 60
+    if window_s % hop_s:
+        raise ValueError("window_minutes must be a multiple of hop_minutes")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        epoch = df["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+        frames = []
+        for k in range(window_s // hop_s):
+            start = (epoch // hop_s) * hop_s - k * hop_s
+            f = df[["event_type", "value"]].copy()
+            f["window_start"] = pd.to_datetime(start, unit="s")
+            frames.append(f)
+        allf = pd.concat(frames, ignore_index=True)
+        g = allf.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+        .sort(["event_type", "window_start"])
+    )

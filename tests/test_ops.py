@@ -626,3 +626,29 @@ def test_approx_distinct_error_bounds(ray_session):
     est = approx_distinct(ds, "v", p=12).to_pandas()
     assert abs(est.n_estimate.iloc[0] - 50) <= 2
     assert est.n_buckets_used.iloc[0] <= 50
+
+
+def test_hopping_window_fanout(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.ops.streaming import hopping_window_agg
+
+    # one event at 10:15 -> windows starting 09:30 and 10:00 (60min/30min)
+    t = pa.table(
+        {
+            "ts": pa.array([pd.Timestamp("2024-01-01 10:15:00")]),
+            "event_type": pa.array(["click"]),
+            "value": pa.array([2.0]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = hopping_window_agg(str(tmp_path), 60, 30).to_pandas()
+    assert list(out.window_start.astype(str)) == [
+        "2024-01-01 09:30:00",
+        "2024-01-01 10:00:00",
+    ]
+    assert list(out.n_events) == [1, 1] and list(out.sum_value) == [2.0, 2.0]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hopping_window_agg(str(tmp_path), 50, 30)
