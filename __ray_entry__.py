@@ -529,6 +529,15 @@ def _q_top_ngrams(sf_dir: str):
     return top_ngrams(ds, n=2, k=20)
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.curation import tfidf_top_terms
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, k=3)
+
+
 def _q_doc_frequency(sf_dir: str):
     import ray.data
 
@@ -622,6 +631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_score": _q_repetition_score,
         "top_ngrams": _q_top_ngrams,
         "doc_frequency": _q_doc_frequency,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "stratified_sample": _q_stratified_sample,
         "orders_price_bands": _q_orders_price_bands,
         # multimodal (real PPM decode over synthesized payloads)
@@ -1183,6 +1193,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,16))::UBIGINT >> 1) % 100 "
             "< CASE WHEN lang='en' THEN 20 ELSE 10 END ORDER BY doc_id"
+        ),
+        "tfidf_top_terms": (
+            r"WITH toks AS (SELECT doc_id, "
+            r"unnest(regexp_extract_all(lower(text),'\S+')) AS tok FROM documents), "
+            r"tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok), "
+            r"df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok), "
+            r"n AS (SELECT COUNT(*) AS n FROM documents), "
+            r"scored AS (SELECT tf.doc_id, tf.tok AS token, "
+            r"round_even(tf.tf * ln(n.n::DOUBLE / df.df), 6) AS tfidf "
+            r"FROM tf JOIN df ON tf.tok = df.tok, n), "
+            r"ranked AS (SELECT *, ROW_NUMBER() OVER "
+            r"(PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn FROM scored) "
+            r"SELECT doc_id, token, tfidf FROM ranked WHERE rn <= 3"
         ),
         "doc_frequency": (
             r"WITH t AS (SELECT doc_id, "

@@ -226,3 +226,96 @@ def doc_frequency(
         .sort(["df", "token"], descending=[True, False])
         .limit(k)
     )
+
+
+def tfidf_top_terms(
+    ds: ray.data.Dataset,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-document top-k TF-IDF terms: score = tf * ln(N / df).
+
+    Two passes: (1) corpus document-frequency table via per-batch partials
+    + one groupby (vocabulary-sized); (2) the df map broadcasts via
+    ray.put and every batch scores its documents locally — per-doc top-k
+    never shuffles. The broadcast assumes a bounded vocabulary (true for
+    natural language); a co-partitioned join on token is the swap-in when
+    it is not. Ties break by token ascending; scores rounded half-even to
+    6 so the SQL oracle (round_even + identical ln) matches exactly."""
+    import math
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        n_docs = batch.num_rows
+        for text in pc.cast(batch[text_col], pa.string()).to_pylist():
+            for tok in set((text or "").lower().split()):
+                counts[tok] = counts.get(tok, 0) + 1
+        toks = list(counts)
+        t = pa.table(
+            {
+                "token": pa.array(toks + ["\x00__n_docs__"], pa.string()),
+                "df": pa.array(
+                    [counts[t_] for t_ in toks] + [n_docs], pa.int64()
+                ),
+            }
+        )
+        return t
+
+    df_table = (
+        ds.select_columns([text_col])
+        .map_batches(df_partials, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    df_map: dict[str, int] = {}
+    n_total = 0
+    for batch in df_table.iter_batches(batch_format="pyarrow"):
+        for tok, df in zip(batch["token"].to_pylist(), batch["df"].to_pylist()):
+            if tok == "\x00__n_docs__":
+                n_total = int(df)
+            else:
+                df_map[tok] = int(df)
+    ref = _ray.put((df_map, n_total))
+
+    class Score:
+        def __init__(self, ref, k: int):
+            self.df, self.n = _ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_id, out_tok, out_score = [], [], []
+            ids = batch[id_col].to_pylist()
+            for doc_id, text in zip(
+                ids, pc.cast(batch[text_col], pa.string()).to_pylist()
+            ):
+                tf: dict[str, int] = {}
+                for tok in (text or "").lower().split():
+                    tf[tok] = tf.get(tok, 0) + 1
+                scored = sorted(
+                    (
+                        (-round(c * math.log(self.n / self.df[t]), 6), t)
+                        for t, c in tf.items()
+                    ),
+                )[: self.k]
+                for neg_s, t in scored:
+                    out_id.append(doc_id)
+                    out_tok.append(t)
+                    out_score.append(-neg_s)
+            return pa.table(
+                {
+                    id_col: pa.array(out_id),
+                    "token": pa.array(out_tok, pa.string()),
+                    "tfidf": pa.array(out_score, pa.float64()),
+                }
+            )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        Score,
+        fn_constructor_kwargs={"ref": ref, "k": k},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )

@@ -652,3 +652,23 @@ def test_hopping_window_fanout(ray_session, tmp_path):
 
     with _pytest.raises(ValueError):
         hopping_window_agg(str(tmp_path), 50, 30)
+
+
+def test_tfidf_top_terms_planted(ray_session):
+    import math
+
+    from pdf_parser_ray.ops.curation import tfidf_top_terms
+
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "rare common common"},
+            {"doc_id": 2, "text": "common common"},
+            {"doc_id": 3, "text": "common other"},
+        ]
+    )
+    out = tfidf_top_terms(ds, k=1).to_pandas().set_index("doc_id")
+    # 'rare' appears once in doc 1 only: tfidf = 1 * ln(3/1); 'common' is in
+    # every doc -> ln(3/3)=0, so the distinctive term wins
+    assert out.loc[1, "token"] == "rare"
+    assert out.loc[1, "tfidf"] == round(math.log(3.0), 6)
+    assert out.loc[3, "token"] == "other"
