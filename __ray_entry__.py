@@ -1064,7 +1064,8 @@ def oracle_sql() -> dict[str, str]:
         # same bias-corrected harmonic estimator + linear-counting branch
         "approx_distinct": (
             "WITH h AS ("
-            "  SELECT ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,16))::UBIGINT AS hv FROM orders"
+            "  SELECT ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,16))::UBIGINT AS hv "
+            "  FROM orders WHERE o_custkey IS NOT NULL"
             "), regs AS ("
             "  SELECT CAST(hv >> 52 AS INT) AS b, "
             "    MAX(CASE WHEN (hv & 4503599627370495::UBIGINT) = 0 THEN 53 "

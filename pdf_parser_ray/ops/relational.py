@@ -405,13 +405,21 @@ def interval_join(
     with ``lo <= value < hi``. The interval table is the classic small side
     — shipped once via ray.put as sorted numpy bounds, matched per batch
     with one vectorized searchsorted (no shuffle, no per-row Python).
-    Rows matching no interval are dropped (inner semantics). Intervals are
-    assumed non-overlapping; with overlaps the first by lo-order wins."""
+    Rows matching no interval are dropped (inner semantics). Intervals
+    MUST be non-overlapping (validated here — the searchsorted lookup is
+    only correct for disjoint half-open [lo, hi) bands)."""
     import ray as _ray
 
     order = sorted(intervals, key=lambda r: r[lo_col])
     los = np.asarray([r[lo_col] for r in order], dtype=np.float64)
     his = np.asarray([r[hi_col] for r in order], dtype=np.float64)
+    if np.any(his <= los):
+        raise ValueError("each interval needs lo < hi")
+    if np.any(his[:-1] > los[1:]):
+        raise ValueError(
+            "overlapping intervals: searchsorted matching requires disjoint "
+            "[lo, hi) bands"
+        )
     labels = np.asarray([r[label_col] for r in order], dtype=object)
     ref = _ray.put((los, his, labels))
 
@@ -486,6 +494,8 @@ def approx_distinct(
     def partial(batch: pa.Table) -> pa.Table:
         regs: dict[int, int] = {}
         for v in batch[col].to_pylist():
+            if v is None:
+                continue  # nulls excluded, matching COUNT(DISTINCT col)
             h = int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
             b = h >> w_bits
             w = h & w_mask

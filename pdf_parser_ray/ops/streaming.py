@@ -78,9 +78,15 @@ def asof_join(
     (on, *values) sort order (documented: max of the projected columns).
 
     ``right_cols``: {right_column: output_name} projection. Unmatched left
-    rows are DROPPED (inner as-of), so no null-typed columns leak into the
-    output schema. Partitioning assumption: one ``by`` key's rows fit a
-    bucket's worker memory (same contract as every windowed op here)."""
+    rows are DROPPED (inner as-of; matching is tracked with an explicit
+    indicator, so a matched right row whose projected value is legitimately
+    null survives). Rows with a null ``on``/``by`` key on either side are
+    dropped up front (merge keys must be non-null). Partitioning
+    assumption: one ``by`` key's rows fit a bucket's worker memory (same
+    contract as every windowed op here). Precision: int64 columns survive
+    exactly — sides are split from the Arrow group BEFORE any pandas
+    conversion, and nullable right int columns ride through merge_asof as
+    pandas Int64 (never float64)."""
     from pdf_parser_ray.functions.hashing import md5_bucket
 
     left_schema = left.schema().base_schema
@@ -103,15 +109,33 @@ def asof_join(
     )
     union_schema = pa.schema(union_fields)
 
+    by_is_int = pa.types.is_integer(left_schema.field(by).type)
+
+    def bucket_of(batch: pa.Table) -> pa.Array:
+        # integer keys: one vectorized kernel (n_buckets is a power of 2);
+        # other types: md5 loop fallback
+        if by_is_int:
+            return pc.bit_wise_and(
+                pc.cast(batch[by], pa.int64()), pa.scalar(n_buckets - 1, pa.int64())
+            )
+        return pa.array(
+            [md5_bucket(str(v), n_buckets) for v in batch[by].to_pylist()],
+            pa.int64(),
+        )
+
+    def drop_null_keys(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.is_valid(batch[on]), pc.is_valid(batch[by])
+        )
+        return batch.filter(mask)
+
     def tag_left(batch: pa.Table) -> pa.Table:
+        batch = drop_null_keys(batch)
         n = batch.num_rows
         t = pa.table(
             {
                 "_side": pa.array([0] * n, pa.int8()),
-                "_b": pa.array(
-                    [md5_bucket(str(v), n_buckets) for v in batch[by].to_pylist()],
-                    pa.int64(),
-                ),
+                "_b": bucket_of(batch),
             }
         )
         for name in left_names:
@@ -121,14 +145,12 @@ def asof_join(
         return t.cast(union_schema)
 
     def tag_right(batch: pa.Table) -> pa.Table:
+        batch = drop_null_keys(batch)
         n = batch.num_rows
         t = pa.table(
             {
                 "_side": pa.array([1] * n, pa.int8()),
-                "_b": pa.array(
-                    [md5_bucket(str(v), n_buckets) for v in batch[by].to_pylist()],
-                    pa.int64(),
-                ),
+                "_b": bucket_of(batch),
             }
         )
         for name in left_names:
@@ -148,11 +170,24 @@ def asof_join(
 
     r_names = [f"_r_{src}" for src in right_cols]
 
-    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        lf = group[group["_side"] == 0][left_names].sort_values(on, kind="mergesort")
-        rf = group[group["_side"] == 1][[by, on] + r_names]
-        if lf.empty or rf.empty:
-            return pd.DataFrame(columns=left_names + r_names)
+    def join_bucket(group: pa.Table) -> pa.Table:
+        # split sides while still Arrow: the left frame then converts to
+        # pandas WITHOUT nulls in its own columns, so int64 stays int64
+        # (mixed-side conversion promoted int columns to float64 and
+        # silently rounded ids above 2^53)
+        lt = group.filter(pc.equal(group["_side"], 0)).select(left_names)
+        rt = group.filter(pc.equal(group["_side"], 1)).select([by, on] + r_names)
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        lf = lt.to_pandas().sort_values(on, kind="mergesort")
+        rf = rt.to_pandas()
+        # nullable right int columns ride as pandas Int64, never float64
+        for c in r_names:
+            if pa.types.is_integer(union_schema.field(c).type):
+                rf[c] = rf[c].astype("Int64")
+        # explicit match indicator: a matched right row whose projected
+        # value is legitimately null must NOT look like "no match"
+        rf["_matched"] = True
         # deterministic tie-break: among equal `on`, merge_asof takes the
         # LAST sorted row, so sort right by (on, values) -> max values win
         rf = rf.sort_values([on] + r_names, kind="mergesort")
@@ -164,19 +199,20 @@ def asof_join(
             allow_exact_matches=not strict,
             direction="backward",
         )
-        m = m.dropna(subset=r_names)
-        return m[left_names + r_names]
+        m = m[m["_matched"].notna()]
+        out = pa.Table.from_pandas(m[left_names + r_names], preserve_index=False)
+        return out.rename_columns(
+            left_names + [right_cols[s] for s in right_cols]
+        ).cast(out_schema)
 
     def finalize(batch: pa.Table) -> pa.Table:
-        if set(left_names + r_names) <= set(batch.column_names):
-            t = batch.select(left_names + r_names)
-            t = t.rename_columns(left_names + [right_cols[s] for s in right_cols])
-            return t.cast(out_schema)
+        if set(out_schema.names) <= set(batch.column_names):
+            return batch.select(out_schema.names).cast(out_schema)
         return pa.Table.from_pylist([], schema=out_schema)
 
     return (
         tagged.groupby("_b")
-        .map_groups(join_bucket, batch_format="pandas")
+        .map_groups(join_bucket, batch_format="pyarrow")
         .map_batches(finalize, batch_format="pyarrow")
     )
 

@@ -672,3 +672,60 @@ def test_tfidf_top_terms_planted(ray_session):
     assert out.loc[1, "token"] == "rare"
     assert out.loc[1, "tfidf"] == round(math.log(3.0), 6)
     assert out.loc[3, "token"] == "other"
+
+
+def test_asof_join_precision_and_nulls(ray_session):
+    from pdf_parser_ray.ops.streaming import asof_join
+
+    big = (1 << 53) + 1  # not representable in float64
+    left = ray.data.from_items(
+        [{"eid": big, "t": 10, "u": 1}, {"eid": 2, "t": None, "u": 1}]
+    )
+    right = ray.data.from_items([{"u": 1, "t": 4, "rid": big + 2}])
+    out = asof_join(left, right, on="t", by="u", right_cols={"rid": "prior_rid"}).to_pandas()
+    # null-`on` left row dropped cleanly; int64 above 2^53 survive exactly
+    assert list(out.eid) == [big]
+    assert list(out.prior_rid) == [big + 2]
+
+
+def test_asof_join_matched_null_value_survives(ray_session):
+    from pdf_parser_ray.ops.streaming import asof_join
+
+    left = ray.data.from_items([{"eid": 1, "t": 10, "u": 1}])
+    right = ray.data.from_items([{"u": 1, "t": 4, "note": None}])
+    out = asof_join(left, right, on="t", by="u", right_cols={"note": "prior_note"}).to_pandas()
+    # the match EXISTS even though the projected value is null
+    assert list(out.eid) == [1]
+    assert out.prior_note.isna().iloc[0]
+
+
+def test_interval_join_rejects_overlaps(ray_session):
+    import pytest as _pytest
+
+    from pdf_parser_ray.ops.relational import interval_join
+
+    ds = ray.data.from_items([{"v": 1.0}])
+    with _pytest.raises(ValueError, match="overlapping"):
+        interval_join(ds, [{"lo": 0.0, "hi": 100.0, "label": "a"}, {"lo": 50.0, "hi": 60.0, "label": "b"}], value_col="v")
+    with _pytest.raises(ValueError, match="lo < hi"):
+        interval_join(ds, [{"lo": 5.0, "hi": 5.0, "label": "x"}], value_col="v")
+
+
+def test_approx_distinct_skips_nulls(ray_session):
+    from pdf_parser_ray.ops.relational import approx_distinct
+
+    ds = ray.data.from_items(
+        [{"v": f"x{i}"} for i in range(200)] + [{"v": None}] * 50
+    )
+    est = approx_distinct(ds, "v", p=12).to_pandas().n_estimate.iloc[0]
+    assert abs(est - 200) / 200 < 0.05
+
+
+def test_tfidf_handles_sentinel_lookalike_token(ray_session):
+    from pdf_parser_ray.ops.curation import tfidf_top_terms
+
+    ds = ray.data.from_items(
+        [{"doc_id": 1, "text": "hello \x00__n_docs__ world"}, {"doc_id": 2, "text": "hello there"}]
+    )
+    out = tfidf_top_terms(ds, k=3).to_pandas()  # must not crash or skew N
+    assert set(out[out.doc_id == 1].token) >= {"\x00__n_docs__"}
