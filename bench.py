@@ -151,6 +151,13 @@ def run_secondary() -> dict[str, float]:
         "filtered_revenue",
         "events_window_agg",
         "sessionize",
+        # round-2 operator families
+        "simhash_pairs",
+        "events_asof_join",
+        "scrub_pii",
+        "top_ngrams",
+        "approx_distinct",
+        "tfidf_top_terms",
     ]
     out: dict[str, float] = {}
     for name in chosen:
