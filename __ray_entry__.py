@@ -282,6 +282,23 @@ def _q_knn_ivf_indexed(sf_dir: str):
     return knn_ivf_index(index_dir, _query_vector(sf_dir), k=10, n_probe=16)
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd's k-means (deterministic init, fixed iterations)
+    -> cluster sizes. Iterative ML fitting: no SQL oracle (the driver
+    contract's acknowledged category); determinism, blob recovery and the
+    map-reduce shuffle shape are pinned in tests/test_ops.py."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from pdf_parser_ray.ops.similarity import kmeans
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    assignments, _ = kmeans(ds, k=8, n_iters=5)
+    return (
+        assignments.groupby("cluster").aggregate(Count(alias_name="size")).sort("cluster")
+    )
+
+
 def _q_minhash_dedup(sf_dir: str):
     import ray.data
 
@@ -605,6 +622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _q_knn,
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_indexed": _q_knn_ivf_indexed,
+        "kmeans_clusters": _q_kmeans_clusters,
         # relational engine surface
         "pricing_summary": _q_pricing,
         "revenue_by_nation": _q_revenue_by_nation,

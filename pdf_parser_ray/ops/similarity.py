@@ -260,3 +260,114 @@ def knn_ivf_index(
         concurrency=(1, 8),
     )
     return partials.sort(["cosine", id_col], descending=[True, False]).limit(k)
+
+
+def kmeans(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[ray.data.Dataset, np.ndarray]:
+    """Distributed Lloyd's k-means over an embedding column.
+
+    Iteration shape (the map-reduce classic): centroids broadcast via
+    ray.put; each batch assigns its vectors with one matmul and emits
+    k x (sum-vector, count) PARTIALS — the shuffle moves k rows per batch,
+    never vectors; a tiny groupby reduces them and the driver forms the
+    next k x d centroid matrix. Deterministic: init = vectors of the k
+    smallest ids (deterministic_centroids' id rule, raw not unit), fixed
+    iteration count, no randomness — same clusters every run, any cluster
+    count. Empty clusters keep their previous centroid.
+
+    Returns (assignments Dataset (id_col, cluster), final centroid matrix).
+    """
+    from ray.data.aggregate import Sum
+
+    def local_min_k(batch: pa.Table) -> pa.Table:
+        t = batch.select([id_col, vec_col])
+        order = pa.compute.sort_indices(t, sort_keys=[(id_col, "ascending")])
+        return t.take(order[:k])
+
+    rows = (
+        ds.map_batches(local_min_k, batch_format="pyarrow", batch_size=4096)
+        .sort(id_col)
+        .limit(k)
+        .take_all()
+    )
+    centroids = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    dim = centroids.shape[1]
+
+    for _ in range(n_iters):
+        c_ref = ray.put(centroids)
+
+        def partial_sums(batch: pa.Table, *, _ref=c_ref) -> pa.Table:
+            c = ray.get(_ref)
+            vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            # squared euclidean via the expansion; argmin per row
+            d2 = (
+                (vecs**2).sum(axis=1, keepdims=True)
+                - 2.0 * vecs @ c.T
+                + (c**2).sum(axis=1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            np.add.at(sums, assign, vecs)
+            counts = np.bincount(assign, minlength=k)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k, dtype=np.int32)),
+                    "n": pa.array(counts.astype(np.int64)),
+                    **{
+                        f"s{j}": pa.array(sums[:, j]) for j in range(dim)
+                    },
+                }
+            )
+
+        agg = (
+            ds.select_columns([vec_col])
+            .map_batches(partial_sums, batch_format="pyarrow", batch_size=4096)
+            .groupby("cluster")
+            .aggregate(
+                Sum("n", alias_name="n"),
+                *[Sum(f"s{j}", alias_name=f"s{j}") for j in range(dim)],
+            )
+            .take_all()  # k rows x (dim+2) — the reduction result, not data
+        )
+        new_centroids = centroids.copy()
+        for r in agg:
+            c_id, n = int(r["cluster"]), int(r["n"])
+            if n > 0:
+                new_centroids[c_id] = np.array(
+                    [r[f"s{j}"] for j in range(dim)]
+                ) / n
+        centroids = new_centroids
+
+    final_ref = ray.put(centroids)
+
+    class Assign:
+        def __init__(self, ref):
+            self.c = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            d2 = (
+                (vecs**2).sum(axis=1, keepdims=True)
+                - 2.0 * vecs @ self.c.T
+                + (self.c**2).sum(axis=1)[None, :]
+            )
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int32)),
+                }
+            )
+
+    assignments = ds.map_batches(
+        Assign,
+        fn_constructor_kwargs={"ref": final_ref},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    return assignments, centroids

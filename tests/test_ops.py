@@ -729,3 +729,42 @@ def test_tfidf_handles_sentinel_lookalike_token(ray_session):
     )
     out = tfidf_top_terms(ds, k=3).to_pandas()  # must not crash or skew N
     assert set(out[out.doc_id == 1].token) >= {"\x00__n_docs__"}
+
+
+def test_kmeans_recovers_blobs(ray_session):
+    rng = np.random.RandomState(11)
+    a = rng.standard_normal((60, 8)) + 10.0
+    b = rng.standard_normal((60, 8)) - 10.0
+    vecs = np.vstack([a, b])
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(120)]
+    )
+    assign, centroids = similarity.kmeans(ds, k=2, n_iters=5)
+    df = assign.to_pandas().sort_values("vec_id")
+    first, second = df.cluster[:60], df.cluster[60:]
+    # each blob lands wholly in one cluster, and they differ
+    assert first.nunique() == 1 and second.nunique() == 1
+    assert first.iloc[0] != second.iloc[0]
+    # centroids sit at the blob means (+-)
+    assert sorted(np.sign(centroids[:, 0]).tolist()) == [-1.0, 1.0]
+    # deterministic: same clusters on a second run
+    assign2, _ = similarity.kmeans(ds, k=2, n_iters=5)
+    assert df.cluster.tolist() == assign2.to_pandas().sort_values("vec_id").cluster.tolist()
+
+
+def test_ivf_with_kmeans_centroids(ray_session, tmp_path):
+    """kmeans centroids drop into the IVF index unchanged; full probe stays
+    exact vs bruteforce."""
+    rng = np.random.RandomState(13)
+    vecs = rng.standard_normal((120, 8))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(120)]
+    )
+    _, centroids = similarity.kmeans(ds, k=4, n_iters=3)
+    unit_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    index_dir = str(tmp_path / "ivf_km")
+    similarity.build_ivf_index(ds, index_dir, centroids=unit_c)
+    q = vecs[7]
+    bf = similarity.knn_bruteforce(ds, q, k=5).to_pandas()
+    full = similarity.knn_ivf_index(index_dir, q, k=5, n_probe=4).to_pandas()
+    assert list(bf.vec_id) == list(full.vec_id)
