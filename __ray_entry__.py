@@ -570,6 +570,15 @@ def _q_orders_price_bands(sf_dir: str):
     return orders_price_bands(sf_dir)
 
 
+def _q_pack_shards(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.curation import pack_shards
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_shards(ds, token_budget=4096, range_size=100)
+
+
 def _q_stratified_sample(sf_dir: str):
     import ray.data
 
@@ -650,6 +659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": _q_top_ngrams,
         "doc_frequency": _q_doc_frequency,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "pack_shards": _q_pack_shards,
         "stratified_sample": _q_stratified_sample,
         "orders_price_bands": _q_orders_price_bands,
         # multimodal (real PPM decode over synthesized payloads)
@@ -1225,6 +1235,20 @@ def oracle_sql() -> dict[str, str]:
             r"ranked AS (SELECT *, ROW_NUMBER() OVER "
             r"(PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn FROM scored) "
             r"SELECT doc_id, token, tfidf FROM ranked WHERE rn <= 3"
+        ),
+        # budget-quantized contiguous packing: shard = prior cumulative
+        # tokens within the id range // budget — a windowed SUM
+        "pack_shards": (
+            r"WITH t AS ("
+            r"  SELECT doc_id, "
+            r"    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens, "
+            r"    doc_id // 100 AS rb"
+            r"  FROM documents"
+            r") SELECT doc_id, n_tokens, "
+            r"CAST(rb * 4294967296 + COALESCE(SUM(n_tokens) OVER ("
+            r"  PARTITION BY rb ORDER BY doc_id "
+            r"  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS BIGINT) AS shard_id "
+            r"FROM t"
         ),
         "doc_frequency": (
             r"WITH t AS (SELECT doc_id, "

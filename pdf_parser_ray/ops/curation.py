@@ -301,3 +301,62 @@ def tfidf_top_terms(
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+
+
+def pack_shards(
+    ds: ray.data.Dataset,
+    token_budget: int = 4096,
+    range_size: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Assign documents to training shards by token budget: docs are taken
+    in id order within fixed id RANGES (bucket = id // range_size, so
+    ranges pack independently and in parallel), and a doc lands in shard
+    ``prior_range_tokens // token_budget`` — budget-quantized contiguous
+    packing (a shard may overflow by less than one doc, the standard
+    trade). shard_id = range_bucket * 2^32 + local_shard is globally
+    unique and reproducible on any cluster.
+
+    Scale shape: one groupby over id ranges; inside a range a vectorized
+    cumsum. The sequential prefix never crosses ranges, which is what
+    makes the op parallel — and expressible as a windowed SUM for the
+    oracle. Token count = whitespace tokens."""
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch[id_col], pa.int64())
+        return pa.table(
+            {
+                id_col: ids,
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(
+                        pc.cast(batch[text_col], pa.string()), r"\S+"
+                    ),
+                    pa.int64(),
+                ),
+                "_rb": pc.divide(ids, range_size),
+            }
+        )
+
+    def pack(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col, kind="mergesort")
+        prior = g["n_tokens"].cumsum() - g["n_tokens"]
+        local = (prior // token_budget).astype("int64")
+        g = g.assign(shard_id=g["_rb"].astype("int64") * (1 << 32) + local)
+        return g[[id_col, "n_tokens", "shard_id"]]
+
+    def pin(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [(id_col, pa.int64()), ("n_tokens", pa.int64()), ("shard_id", pa.int64())]
+        )
+        if set(schema.names) <= set(batch.column_names):
+            return batch.select(schema.names).cast(schema)
+        return pa.Table.from_pylist([], schema=schema)
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(count_tokens, batch_format="pyarrow")
+        .groupby("_rb")
+        .map_groups(pack, batch_format="pandas")
+        .map_batches(pin, batch_format="pyarrow")
+    )

@@ -768,3 +768,22 @@ def test_ivf_with_kmeans_centroids(ray_session, tmp_path):
     bf = similarity.knn_bruteforce(ds, q, k=5).to_pandas()
     full = similarity.knn_ivf_index(index_dir, q, k=5, n_probe=4).to_pandas()
     assert list(bf.vec_id) == list(full.vec_id)
+
+
+def test_pack_shards_budget_semantics(ray_session):
+    from pdf_parser_ray.ops.curation import pack_shards
+
+    # 4 docs of 3 tokens in one range with budget 5:
+    # priors 0,3,6,9 -> local shards 0,0,1,1
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": "a b c"} for i in range(4)]
+    )
+    out = pack_shards(ds, token_budget=5, range_size=100).to_pandas().sort_values("doc_id")
+    local = (out.shard_id % (1 << 32)).tolist()
+    assert local == [0, 0, 1, 1]
+    # docs in different id ranges pack independently (distinct shard spaces)
+    ds2 = ray.data.from_items(
+        [{"doc_id": 1, "text": "a b c"}, {"doc_id": 101, "text": "a b c"}]
+    )
+    out2 = pack_shards(ds2, token_budget=5, range_size=100).to_pandas()
+    assert out2.shard_id.nunique() == 2
