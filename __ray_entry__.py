@@ -1241,7 +1241,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_shards": (
             r"WITH t AS ("
             r"  SELECT doc_id, "
-            r"    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens, "
+            r"    CAST(COALESCE(len(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens, "
             r"    doc_id // 100 AS rb"
             r"  FROM documents"
             r") SELECT doc_id, n_tokens, "
@@ -1268,6 +1268,8 @@ def oracle_sql() -> dict[str, str]:
         # rows-only remainder: embedding_near_dup_lsh (random-hyperplane
         # recall is seed-dependent through numpy's generator — the exact
         # variant IS oracled, and LSH-subset-of-exact is pinned in pytest);
+        # kmeans_clusters (iterative float fitting — determinism, blob
+        # recovery and the shuffle shape pinned in pytest);
         # validation_summary (aggregates the TOC/section doclogic counts,
         # which have no closed form — pinned by the golden-anchor tests).
     }

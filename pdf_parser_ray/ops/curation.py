@@ -289,7 +289,9 @@ def tfidf_top_terms(
                     out_score.append(-neg_s)
             return pa.table(
                 {
-                    id_col: pa.array(out_id),
+                    # pin the id type: an all-empty-text batch would emit a
+                    # null-typed empty column and break block concat
+                    id_col: pa.array(out_id, type=batch[id_col].type),
                     "token": pa.array(out_tok, pa.string()),
                     "tfidf": pa.array(out_score, pa.float64()),
                 }
@@ -333,7 +335,7 @@ def pack_shards(
                         pc.cast(batch[text_col], pa.string()), r"\S+"
                     ),
                     pa.int64(),
-                ),
+                ).fill_null(0),  # null text = 0 tokens, never NaN-poisoned cumsum
                 "_rb": pc.divide(ids, range_size),
             }
         )

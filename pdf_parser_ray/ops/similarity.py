@@ -275,10 +275,15 @@ def kmeans(
     ray.put; each batch assigns its vectors with one matmul and emits
     k x (sum-vector, count) PARTIALS — the shuffle moves k rows per batch,
     never vectors; a tiny groupby reduces them and the driver forms the
-    next k x d centroid matrix. Deterministic: init = vectors of the k
-    smallest ids (deterministic_centroids' id rule, raw not unit), fixed
-    iteration count, no randomness — same clusters every run, any cluster
-    count. Empty clusters keep their previous centroid.
+    next k x d centroid matrix. Deterministic init (vectors of the k
+    smallest ids), fixed iteration count, no randomness; centroids are
+    additionally rounded to 9 decimals each update so the ULP-level
+    float-summation-order differences that batch boundaries introduce
+    (different parallelism = different partial order) cannot normally
+    reach the assignment. A vector lying within ~1e-9 of a Voronoi
+    boundary can still flip across cluster configurations — exact
+    cross-configuration invariance would need a fixed-order reduction.
+    Empty clusters keep their previous centroid.
 
     Returns (assignments Dataset (id_col, cluster), final centroid matrix).
     """
@@ -338,9 +343,9 @@ def kmeans(
         for r in agg:
             c_id, n = int(r["cluster"]), int(r["n"])
             if n > 0:
-                new_centroids[c_id] = np.array(
-                    [r[f"s{j}"] for j in range(dim)]
-                ) / n
+                new_centroids[c_id] = np.round(
+                    np.array([r[f"s{j}"] for j in range(dim)]) / n, 9
+                )
         centroids = new_centroids
 
     final_ref = ray.put(centroids)

@@ -179,18 +179,30 @@ def asof_join(
         rt = group.filter(pc.equal(group["_side"], 1)).select([by, on] + r_names)
         if lt.num_rows == 0 or rt.num_rows == 0:
             return pa.Table.from_pylist([], schema=out_schema)
-        lf = lt.to_pandas().sort_values(on, kind="mergesort")
-        rf = rt.to_pandas()
-        # nullable right int columns ride as pandas Int64, never float64
-        for c in r_names:
-            if pa.types.is_integer(union_schema.field(c).type):
-                rf[c] = rf[c].astype("Int64")
+        def frame_exact(t: pa.Table) -> pd.DataFrame:
+            # int columns CONTAINING NULLS must become pandas Int64 straight
+            # from Arrow — a plain to_pandas() promotes them to float64
+            # first (rounding ids above 2^53) and a later astype('Int64')
+            # only freezes the corruption
+            f = pd.DataFrame()
+            for name in t.column_names:
+                col = t[name]
+                if pa.types.is_integer(col.type) and col.null_count > 0:
+                    f[name] = pd.array(col.to_pylist(), dtype="Int64")
+                else:
+                    f[name] = col.to_pandas()
+            return f
+
+        lf = frame_exact(lt).sort_values(on, kind="mergesort")
+        rf = frame_exact(rt)
         # explicit match indicator: a matched right row whose projected
         # value is legitimately null must NOT look like "no match"
         rf["_matched"] = True
         # deterministic tie-break: among equal `on`, merge_asof takes the
-        # LAST sorted row, so sort right by (on, values) -> max values win
-        rf = rf.sort_values([on] + r_names, kind="mergesort")
+        # LAST sorted row, so sort right by (on, values) -> max values win.
+        # na_position='first' keeps null projected values BEFORE real ones
+        # so a non-null max wins ties, matching SQL's NULLS-LAST DESC order
+        rf = rf.sort_values([on] + r_names, kind="mergesort", na_position="first")
         m = pd.merge_asof(
             lf,
             rf,

@@ -787,3 +787,43 @@ def test_pack_shards_budget_semantics(ray_session):
     )
     out2 = pack_shards(ds2, token_budget=5, range_size=100).to_pandas()
     assert out2.shard_id.nunique() == 2
+
+
+def test_asof_join_null_int_values_exact(ray_session):
+    """Nullable right int columns: values above 2^53 survive exactly even
+    when the same bucket contains nulls, and a null projected value loses
+    ties to a real value (matching the SQL NULLS-LAST DESC tie-break)."""
+    from pdf_parser_ray.ops.streaming import asof_join
+
+    big = (1 << 53) + 1
+    left = ray.data.from_items([{"eid": 1, "t": 20, "u": 1}])
+    right = ray.data.from_items(
+        [{"u": 1, "t": 4, "rid": big}, {"u": 1, "t": 6, "rid": None}]
+    )
+    out = asof_join(left, right, on="t", by="u", right_cols={"rid": "prior_rid"}).to_pandas()
+    # most recent is the t=6 null row -> match exists, value is null, and
+    # the big int in the same bucket was never float-rounded
+    assert len(out) == 1 and out.prior_rid.isna().iloc[0]
+    out2 = asof_join(
+        left,
+        ray.data.from_items([{"u": 1, "t": 4, "rid": big}]),
+        on="t", by="u", right_cols={"rid": "prior_rid"},
+    ).to_pandas()
+    assert int(out2.prior_rid.iloc[0]) == big
+    # null loses the tie to a real value at the same timestamp
+    right3 = ray.data.from_items(
+        [{"u": 1, "t": 4, "rid": 7}, {"u": 1, "t": 4, "rid": None}]
+    )
+    out3 = asof_join(left, right3, on="t", by="u", right_cols={"rid": "prior_rid"}).to_pandas()
+    assert int(out3.prior_rid.iloc[0]) == 7
+
+
+def test_pack_shards_null_text(ray_session):
+    from pdf_parser_ray.ops.curation import pack_shards
+
+    ds = ray.data.from_items(
+        [{"doc_id": 0, "text": "a b"}, {"doc_id": 1, "text": None}, {"doc_id": 2, "text": "c d"}]
+    )
+    out = pack_shards(ds, token_budget=3, range_size=100).to_pandas().sort_values("doc_id")
+    assert list(out.n_tokens) == [2, 0, 2]  # null text counts 0 tokens
+    assert out.shard_id.notna().all()
