@@ -398,6 +398,17 @@ def _q_parts_in_lineitem(sf_dir: str):
     return parts_in_lineitem(sf_dir)
 
 
+def _q_price_quantiles(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.relational import exact_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    return exact_quantiles(ds, "l_extendedprice", [0.25, 0.5, 0.75, 0.95])
+
+
 def _q_approx_distinct(sf_dir: str):
     """HyperLogLog sketch over orders.o_custkey — deterministic (md5, no
     seeds), so the SQL oracle reproduces the exact same estimate."""
@@ -649,6 +660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_in_lineitem": _q_parts_in_lineitem,
         "distinct_counts": _q_distinct_counts,
         "approx_distinct": _q_approx_distinct,
+        "price_quantiles": _q_price_quantiles,
         "top_orders_per_priority": _q_top_orders_per_priority,
         "order_priority_revenue": _q_order_priority_revenue,
         # heading-strategy counters (reference ST3) over lifted page texts
@@ -1086,6 +1098,12 @@ def oracle_sql() -> dict[str, str]:
         "distinct_counts": (
             "SELECT COUNT(DISTINCT o_custkey) AS n_distinct_custkeys, "
             "COUNT(DISTINCT o_orderpriority) AS n_distinct_priorities FROM orders"
+        ),
+        "price_quantiles": (
+            "SELECT q, round_even(v, 6) AS value FROM ("
+            "  SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q, "
+            "         unnest(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95])) AS v "
+            "  FROM lineitem)"
         ),
         # HyperLogLog reproduced in SQL: same md5-64 hash, p=12 registers
         # (bucket = top 12 bits, rho = leading-zero rank of the low 52),

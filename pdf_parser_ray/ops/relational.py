@@ -532,3 +532,51 @@ def approx_distinct(
             }
         ]
     )
+
+
+def exact_quantiles(
+    ds: ray.data.Dataset, col: str, qs: list[float]
+) -> ray.data.Dataset:
+    """Exact quantiles with linear interpolation (SQL ``quantile_cont``
+    semantics: h = (n-1)*q, interpolate between the flanking order
+    statistics).
+
+    Scale shape: ONE groupby collapses the column to (value, count) rows —
+    the shuffle and the driver-side merge are DISTINCT-VALUE sized, not
+    row-count sized (measurement columns repeat heavily; a truly
+    continuous unbounded column wants a t-digest sketch instead, the
+    documented alternative). Nulls are excluded, as in SQL.
+
+    Returns rows (q, value), value rounded half-even to 6."""
+    from ray.data.aggregate import Count
+
+    def drop_nulls(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch[col]))
+
+    counts = (
+        ds.select_columns([col])
+        .map_batches(drop_nulls, batch_format="pyarrow")
+        .groupby(col)
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    pairs_ = sorted((float(r[col]), int(r["n"])) for r in counts)
+    values = np.asarray([v for v, _ in pairs_], dtype=np.float64)
+    cum = np.cumsum([n for _, n in pairs_])
+    total = int(cum[-1]) if len(cum) else 0
+
+    def value_at(rank: int) -> float:
+        # rank is a 0-based order statistic; first cum > rank locates it
+        return float(values[np.searchsorted(cum, rank, side="right")])
+
+    out = []
+    for q in qs:
+        if total == 0:
+            continue
+        h = (total - 1) * q
+        lo = int(np.floor(h))
+        lo_v = value_at(lo)
+        hi_v = value_at(min(lo + 1, total - 1))
+        v = lo_v + (h - lo) * (hi_v - lo_v)
+        out.append({"q": float(q), "value": float(f"{v:.6f}")})
+    return ray.data.from_items(out)

@@ -827,3 +827,21 @@ def test_pack_shards_null_text(ray_session):
     out = pack_shards(ds, token_budget=3, range_size=100).to_pandas().sort_values("doc_id")
     assert list(out.n_tokens) == [2, 0, 2]  # null text counts 0 tokens
     assert out.shard_id.notna().all()
+
+
+def test_exact_quantiles_semantics(ray_session):
+    from pdf_parser_ray.ops.relational import exact_quantiles
+
+    # values 0..9 with duplicates and a null; quantile_cont interpolation
+    ds = ray.data.from_items(
+        [{"v": float(i)} for i in range(10)] + [{"v": 5.0}, {"v": None}]
+    )
+    out = exact_quantiles(ds, "v", [0.0, 0.5, 1.0]).to_pandas().set_index("q")
+    # 11 non-null values sorted: 0..5,5,6..9 -> median (h=5) = 5.0
+    assert out.loc[0.0, "value"] == 0.0
+    assert out.loc[0.5, "value"] == 5.0
+    assert out.loc[1.0, "value"] == 9.0
+    # interpolated case: 2 values, q=0.25 -> 0 + 0.25*(10-0)
+    ds2 = ray.data.from_items([{"v": 0.0}, {"v": 10.0}])
+    out2 = exact_quantiles(ds2, "v", [0.25]).to_pandas()
+    assert out2.value.iloc[0] == 2.5
