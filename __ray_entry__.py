@@ -1099,8 +1099,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COUNT(DISTINCT o_custkey) AS n_distinct_custkeys, "
             "COUNT(DISTINCT o_orderpriority) AS n_distinct_priorities FROM orders"
         ),
+        # printf formatting = the op's float(f"{v:.6f}") path exactly
+        # (correctly-rounded decimal), immune to round_even's scaled-double
+        # ULP edge near 6th-decimal ties
         "price_quantiles": (
-            "SELECT q, round_even(v, 6) AS value FROM ("
+            "SELECT q, CAST(printf('%.6f', v) AS DOUBLE) AS value FROM ("
             "  SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q, "
             "         unnest(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95])) AS v "
             "  FROM lineitem)"
@@ -1261,7 +1264,7 @@ def oracle_sql() -> dict[str, str]:
             r"  SELECT doc_id, "
             r"    CAST(COALESCE(len(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens, "
             r"    doc_id // 100 AS rb"
-            r"  FROM documents"
+            r"  FROM documents WHERE doc_id IS NOT NULL"
             r") SELECT doc_id, n_tokens, "
             r"CAST(rb * 4294967296 + COALESCE(SUM(n_tokens) OVER ("
             r"  PARTITION BY rb ORDER BY doc_id "

@@ -326,6 +326,9 @@ def pack_shards(
     oracle. Token count = whitespace tokens."""
 
     def count_tokens(batch: pa.Table) -> pa.Table:
+        # rows without an id cannot be placed in an id-ordered shard — drop
+        # them up front (the oracle filters identically)
+        batch = batch.filter(pc.is_valid(batch[id_col]))
         ids = pc.cast(batch[id_col], pa.int64())
         return pa.table(
             {

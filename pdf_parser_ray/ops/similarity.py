@@ -67,6 +67,27 @@ def knn_bruteforce(
     return partials.sort(["cosine", id_col], descending=[True, False]).limit(k)
 
 
+def _min_id_rows(
+    ds: ray.data.Dataset, n: int, id_col: str, vec_col: str
+) -> list:
+    """Rows of the ``n`` smallest ids via per-batch local min-k + a tiny
+    merge — never a full-corpus sort for a dimension-sized result (shape
+    mirrors knn_bruteforce's local-top-k merge). Shared deterministic
+    seeding for deterministic_centroids and kmeans init."""
+
+    def local_min_k(batch: pa.Table) -> pa.Table:
+        t = batch.select([id_col, vec_col])
+        order = pa.compute.sort_indices(t, sort_keys=[(id_col, "ascending")])
+        return t.take(order[:n])
+
+    return (
+        ds.map_batches(local_min_k, batch_format="pyarrow", batch_size=4096)
+        .sort(id_col)
+        .limit(n)
+        .take_all()
+    )
+
+
 def deterministic_centroids(
     ds: ray.data.Dataset,
     n_centroids: int,
@@ -75,24 +96,8 @@ def deterministic_centroids(
 ) -> np.ndarray:
     """Coarse centroids without an iterative fit: the unit vectors of the
     ``n_centroids`` smallest ids (deterministic, cheap; a k-means refinement
-    can swap in without changing the query path).
-
-    Shape mirrors knn_bruteforce's local-top-k merge: each batch emits only
-    its ``n_centroids`` smallest ids, so the final sort orders
-    n_centroids x n_batches candidate rows — never a full-corpus sort for a
-    dimension-sized result."""
-
-    def local_min_k(batch: pa.Table) -> pa.Table:
-        t = batch.select([id_col, vec_col])
-        order = pa.compute.sort_indices(t, sort_keys=[(id_col, "ascending")])
-        return t.take(order[:n_centroids])
-
-    rows = (
-        ds.map_batches(local_min_k, batch_format="pyarrow", batch_size=4096)
-        .sort(id_col)
-        .limit(n_centroids)
-        .take_all()
-    )
+    can swap in without changing the query path)."""
+    rows = _min_id_rows(ds, n_centroids, id_col, vec_col)
     return _unit(np.asarray([r[vec_col] for r in rows], dtype=np.float64))
 
 
@@ -289,17 +294,12 @@ def kmeans(
     """
     from ray.data.aggregate import Sum
 
-    def local_min_k(batch: pa.Table) -> pa.Table:
-        t = batch.select([id_col, vec_col])
-        order = pa.compute.sort_indices(t, sort_keys=[(id_col, "ascending")])
-        return t.take(order[:k])
-
-    rows = (
-        ds.map_batches(local_min_k, batch_format="pyarrow", batch_size=4096)
-        .sort(id_col)
-        .limit(k)
-        .take_all()
-    )
+    # iterative fitting re-reads the input n_iters+2 times — pin the
+    # blocks once instead of re-executing the upstream pipeline per pass
+    ds = ds.materialize()
+    rows = _min_id_rows(ds, k, id_col, vec_col)
+    if not rows:
+        raise ValueError("kmeans requires a non-empty dataset")
     centroids = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
     dim = centroids.shape[1]
 
@@ -308,6 +308,15 @@ def kmeans(
 
         def partial_sums(batch: pa.Table, *, _ref=c_ref) -> pa.Table:
             c = ray.get(_ref)
+            if batch.num_rows == 0:
+                # np.asarray([]) is 1-D and breaks the axis-1 reductions
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int32()),
+                        "n": pa.array([], pa.int64()),
+                        **{f"s{j}": pa.array([], pa.float64()) for j in range(dim)},
+                    }
+                )
             vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
             # squared euclidean via the expansion; argmin per row
             d2 = (
@@ -355,6 +364,13 @@ def kmeans(
             self.c = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], batch[id_col].type),
+                        "cluster": pa.array([], pa.int32()),
+                    }
+                )
             vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
             d2 = (
                 (vecs**2).sum(axis=1, keepdims=True)

@@ -179,22 +179,29 @@ def asof_join(
         rt = group.filter(pc.equal(group["_side"], 1)).select([by, on] + r_names)
         if lt.num_rows == 0 or rt.num_rows == 0:
             return pa.Table.from_pylist([], schema=out_schema)
-        def frame_exact(t: pa.Table) -> pd.DataFrame:
-            # int columns CONTAINING NULLS must become pandas Int64 straight
-            # from Arrow — a plain to_pandas() promotes them to float64
-            # first (rounding ids above 2^53) and a later astype('Int64')
-            # only freezes the corruption
+        def frame_exact(t: pa.Table, force_nullable: set) -> pd.DataFrame:
+            # int columns become pandas Int64 straight from Arrow when they
+            # can ever meet a null — a plain to_pandas() promotes to float64
+            # (rounding ids above 2^53) and a later astype('Int64') only
+            # freezes the corruption. The projected RIGHT columns must be
+            # Int64 UNCONDITIONALLY: merge_asof itself injects NaN into
+            # them for unmatched left rows, promoting even null-free int
+            # columns mid-merge. The on/by KEY columns stay native (they
+            # are null-free post-filter, and merge_asof requires matching
+            # key dtypes on both sides).
             f = pd.DataFrame()
             for name in t.column_names:
                 col = t[name]
-                if pa.types.is_integer(col.type) and col.null_count > 0:
+                if pa.types.is_integer(col.type) and (
+                    name in force_nullable or col.null_count > 0
+                ) and name not in (on, by):
                     f[name] = pd.array(col.to_pylist(), dtype="Int64")
                 else:
                     f[name] = col.to_pandas()
             return f
 
-        lf = frame_exact(lt).sort_values(on, kind="mergesort")
-        rf = frame_exact(rt)
+        lf = frame_exact(lt, set()).sort_values(on, kind="mergesort")
+        rf = frame_exact(rt, set(r_names))
         # explicit match indicator: a matched right row whose projected
         # value is legitimately null must NOT look like "no match"
         rf["_matched"] = True

@@ -845,3 +845,46 @@ def test_exact_quantiles_semantics(ray_session):
     ds2 = ray.data.from_items([{"v": 0.0}, {"v": 10.0}])
     out2 = exact_quantiles(ds2, "v", [0.25]).to_pandas()
     assert out2.value.iloc[0] == 2.5
+
+
+def test_asof_join_bigint_with_unmatched_left_rows(ray_session):
+    """A null-free right int column must survive exactly even when the
+    bucket has UNMATCHED left rows: merge_asof injects NaN into right
+    columns for those rows, which promoted the whole column to float64
+    and rounded ids above 2^53."""
+    from pdf_parser_ray.ops.streaming import asof_join
+
+    big = (1 << 53) + 1
+    left = ray.data.from_items(
+        [{"eid": 1, "t": 2, "u": 1}, {"eid": 2, "t": 20, "u": 1}]  # t=2 unmatched
+    )
+    right = ray.data.from_items([{"u": 1, "t": 4, "rid": big}])
+    out = asof_join(left, right, on="t", by="u", right_cols={"rid": "prior_rid"}).to_pandas()
+    assert list(out.eid) == [2]
+    assert int(out.prior_rid.iloc[0]) == big
+
+
+def test_kmeans_empty_edge_cases(ray_session):
+    import pytest as _pytest
+
+    empty = ray.data.from_items([{"vec_id": 1, "embedding": [1.0, 2.0]}]).filter(
+        lambda r: False
+    )
+    with _pytest.raises(ValueError, match="non-empty"):
+        similarity.kmeans(empty, k=2, n_iters=1)
+    # a dataset where some blocks filter to zero rows must not crash
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": [float(i), 0.0]} for i in range(40)]
+    ).filter(lambda r: r["vec_id"] % 2 == 0)
+    assign, _ = similarity.kmeans(ds, k=2, n_iters=2)
+    assert assign.count() == 20
+
+
+def test_pack_shards_null_doc_id(ray_session):
+    from pdf_parser_ray.ops.curation import pack_shards
+
+    ds = ray.data.from_items(
+        [{"doc_id": 0, "text": "a"}, {"doc_id": None, "text": "b"}, {"doc_id": 2, "text": "c"}]
+    )
+    out = pack_shards(ds, token_budget=10, range_size=100).to_pandas()
+    assert sorted(out.doc_id) == [0, 2]  # null-id row dropped, no crash
