@@ -87,7 +87,9 @@ def repetition_score(
         top_share = agg["top_freq"] / agg["n_lines"]
         return pa.table(
             {
-                id_col: pa.array(agg["doc"]),
+                # pin the id type: on an empty batch pandas yields an object
+                # column that Arrow infers as null-typed, breaking block concat
+                id_col: pa.array(agg["doc"].tolist(), type=batch[id_col].type),
                 "n_lines": pa.array(agg["n_lines"].astype("int64")),
                 "n_distinct_lines": pa.array(agg["n_distinct"].astype("int64")),
                 "dup_line_ratio": pa.array(

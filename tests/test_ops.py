@@ -466,6 +466,44 @@ def test_repetition_score_planted(ray_session):
     assert out.loc[2, "dup_line_ratio"] == 0.0
 
 
+def test_repetition_score_null_text_oracle_parity(ray_session, tmp_path):
+    """A null text scores as one empty line (n_lines=1, ratios 0) on BOTH
+    sides: the op coalesces to '' and the SQL oracle COALESCEs before the
+    split — a bare string_split(NULL) would unnest to zero rows and
+    silently drop the doc from the oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from pdf_parser_ray.ops import curation
+
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [1, 2, 3], "text": ["a\na", None, "x\ny"]}), path
+    )
+    got = (
+        curation.repetition_score(ray.data.read_parquet(path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.loc[got.doc_id == 2, "n_lines"].item() == 1
+    assert got.loc[got.doc_id == 2, "dup_line_ratio"].item() == 0.0
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    want = (
+        con.execute(entrymod.oracle_sql()["repetition_score"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+
+
 def test_top_ngrams_planted(ray_session):
     from pdf_parser_ray.ops import curation
 
