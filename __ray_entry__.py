@@ -778,6 +778,43 @@ WITH RECURSIVE toks AS (
 """
 
 
+def _embedding_lsh_sql(
+    threshold: float = 0.45, n_planes: int = 6, n_tables: int = 8, seed: int = 11, dim: int = 64
+) -> str:
+    """The multi-table sign-LSH near-dup pipeline reproduced in SQL: the
+    seeded hyperplanes are deterministic numpy draws (ops/dedup.py
+    embedding_near_dup rebuilds RandomState(seed+t).standard_normal((dim,
+    n_planes)) per task), so the exact plane matrices are embedded as SQL
+    literals; bucket keys, the same-bucket candidate join and the rounded
+    cosine cut then mirror the op 1:1. ``dim`` is pinned by the testdata
+    generator (embeddings.parquet list<float>[64])."""
+    rows = []
+    for t in range(n_tables):
+        planes = np.random.RandomState(seed + t).standard_normal((dim, n_planes))
+        for p in range(n_planes):
+            vals = ",".join(repr(float(x)) for x in planes[:, p])
+            rows.append(f"({t}, {p}, [{vals}]::DOUBLE[])")
+    values = ", ".join(rows)
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        f"pl(t, p, pv) AS (VALUES {values}), "
+        "keys AS ("
+        f"  SELECT e.vec_id, pl.t * {1 << n_planes} + "
+        "    SUM(CASE WHEN list_dot_product(e.v, pl.pv) > 0 "
+        "        THEN (1::BIGINT << pl.p) ELSE 0 END) AS bucket_key "
+        "  FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.t"
+        "), cand AS ("
+        "  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
+        "  FROM keys a JOIN keys b "
+        "  ON a.bucket_key = b.bucket_key AND a.vec_id < b.vec_id"
+        ") SELECT c.id_a, c.id_b, "
+        "ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cosine "
+        "FROM cand c JOIN e ea ON ea.vec_id = c.id_a "
+        "JOIN e eb ON eb.vec_id = c.id_b "
+        f"WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}"
+    )
+
+
 # the SimHash computation (ops/dedup.py simhash_table) ending in a `shfull`
 # CTE — shared by the simhash / simhash_pairs oracles
 _SIMHASH_BASE_SQL = (
@@ -1311,11 +1348,12 @@ def oracle_sql() -> dict[str, str]:
             "JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi "
             "GROUP BY b.label ORDER BY b.label"
         ),
-        # rows-only remainder: embedding_near_dup_lsh (random-hyperplane
-        # recall is seed-dependent through numpy's generator — the exact
-        # variant IS oracled, and LSH-subset-of-exact is pinned in pytest);
-        # kmeans_clusters (iterative float fitting — determinism, blob
-        # recovery and the shuffle shape pinned in pytest);
-        # validation_summary (aggregates the TOC/section doclogic counts,
-        # which have no closed form — pinned by the golden-anchor tests).
+        # the sign-LSH planes are deterministic seeded draws — embedded as
+        # SQL literals, so even the APPROXIMATE pipeline is hash-verified
+        "embedding_near_dup_lsh": _embedding_lsh_sql(
+            threshold=0.45, n_planes=6, n_tables=8, seed=11
+        ),
+        # rows-only remainder: validation_summary (aggregates the
+        # TOC/section doclogic counts, which have no closed form — pinned
+        # by the golden-anchor tests).
     }

@@ -630,17 +630,21 @@ def embedding_near_dup(
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
-        sims = unit @ unit.T
-        ids = list(group[id_col])
-        out_a, out_b, out_s = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_s.append(round(float(sims[i, j]), 6))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_s})
+        # compare on the 6-decimal-rounded similarity (like
+        # embedding_near_dup_exact) so a SQL ROUND(cos,6) >= t oracle can
+        # never disagree at the cut; one vectorized upper-triangle pass
+        sims = np.round(unit @ unit.T, 6)
+        ids = np.asarray(list(group[id_col]))
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        iu, ju = iu[keep], ju[keep]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ids[iu], ids[ju]),
+                "id_b": np.maximum(ids[iu], ids[ju]),
+                "cosine": sims[iu, ju],
+            }
+        )
 
     candidates = (
         ds.map_batches(bucketize, batch_format="pyarrow")
