@@ -815,6 +815,50 @@ def _embedding_lsh_sql(
     )
 
 
+def _kmeans_sql(k: int = 8, n_iters: int = 5, dim: int = 64) -> str:
+    """Lloyd's k-means UNROLLED in SQL (fixed n_iters makes it non-
+    iterative): init = vectors of the k smallest vec_ids, each iteration
+    assigns by squared-euclidean argmin (same expansion the op uses — the
+    per-row v·v term is constant across clusters, so engine summation
+    differences there cannot flip an argmin) and recomputes per-dimension
+    means rounded through printf('%.9f'), the identical correctly-rounded
+    decimal path as the op's float(f"{x:.9f}") centroid rounding. Empty
+    clusters keep their previous centroid (the COALESCE)."""
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), ",
+        (
+            "c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) "
+            f"AS cluster, v AS c FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))"
+        ),
+    ]
+    for i in range(1, n_iters + 2):  # n_iters updates + the final assignment
+        parts.append(
+            f", a{i} AS (SELECT vec_id, cluster FROM ("
+            "SELECT e.vec_id, c.cluster, ROW_NUMBER() OVER (PARTITION BY e.vec_id "
+            "ORDER BY list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.c) "
+            f"+ list_dot_product(c.c, c.c), c.cluster) AS rn FROM e CROSS JOIN c{i-1} c"
+            ") WHERE rn = 1)"
+        )
+        if i == n_iters + 1:
+            break
+        parts.append(
+            f", u{i} AS (SELECT cluster, j, "
+            "CAST(printf('%.9f', SUM(x)/COUNT(*)) AS DOUBLE) AS m FROM ("
+            f"SELECT a.cluster, unnest(range({dim})) AS j, unnest(e.v) AS x "
+            f"FROM a{i} a JOIN e ON e.vec_id = a.vec_id) GROUP BY cluster, j)"
+        )
+        parts.append(
+            f", c{i} AS (SELECT p.cluster, COALESCE(nn.c, p.c) AS c FROM c{i-1} p "
+            f"LEFT JOIN (SELECT cluster, list(m ORDER BY j) AS c FROM u{i} "
+            "GROUP BY cluster) nn ON p.cluster = nn.cluster)"
+        )
+    parts.append(
+        f" SELECT CAST(cluster AS INT) AS cluster, COUNT(*)::BIGINT AS size "
+        f"FROM a{n_iters + 1} GROUP BY cluster ORDER BY cluster"
+    )
+    return "".join(parts)
+
+
 # the SimHash computation (ops/dedup.py simhash_table) ending in a `shfull`
 # CTE — shared by the simhash / simhash_pairs oracles
 _SIMHASH_BASE_SQL = (
@@ -1353,6 +1397,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup_lsh": _embedding_lsh_sql(
             threshold=0.45, n_planes=6, n_tables=8, seed=11
         ),
+        # deterministic-init fixed-iteration Lloyd's unrolls into plain SQL
+        "kmeans_clusters": _kmeans_sql(k=8, n_iters=5, dim=64),
         # rows-only remainder: validation_summary (aggregates the
         # TOC/section doclogic counts, which have no closed form — pinned
         # by the golden-anchor tests).

@@ -282,13 +282,15 @@ def kmeans(
     never vectors; a tiny groupby reduces them and the driver forms the
     next k x d centroid matrix. Deterministic init (vectors of the k
     smallest ids), fixed iteration count, no randomness; centroids are
-    additionally rounded to 9 decimals each update so the ULP-level
-    float-summation-order differences that batch boundaries introduce
-    (different parallelism = different partial order) cannot normally
-    reach the assignment. A vector lying within ~1e-9 of a Voronoi
-    boundary can still flip across cluster configurations — exact
-    cross-configuration invariance would need a fixed-order reduction.
-    Empty clusters keep their previous centroid.
+    additionally rounded to 9 decimals each update (decimal formatting —
+    the same correctly-rounded path as DuckDB printf('%.9f'), which is
+    what lets the unrolled-Lloyd's SQL oracle reproduce the exact
+    centroid doubles) so the ULP-level float-summation-order differences
+    that batch boundaries introduce (different parallelism = different
+    partial order) cannot normally reach the assignment. A vector lying
+    within ~1e-9 of a Voronoi boundary can still flip across cluster
+    configurations — exact cross-configuration invariance would need a
+    fixed-order reduction. Empty clusters keep their previous centroid.
 
     Returns (assignments Dataset (id_col, cluster), final centroid matrix).
     """
@@ -352,8 +354,9 @@ def kmeans(
         for r in agg:
             c_id, n = int(r["cluster"]), int(r["n"])
             if n > 0:
-                new_centroids[c_id] = np.round(
-                    np.array([r[f"s{j}"] for j in range(dim)]) / n, 9
+                mean = np.array([r[f"s{j}"] for j in range(dim)]) / n
+                new_centroids[c_id] = np.array(
+                    [float(f"{x:.9f}") for x in mean], dtype=np.float64
                 )
         centroids = new_centroids
 
