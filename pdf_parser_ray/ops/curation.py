@@ -152,11 +152,21 @@ def _exact_topk(
         agg = agg.sort_values([val_name, key_name], ascending=[False, True]).head(k)
         return agg[[key_name, val_name]]
 
+    out_schema = pa.schema([(key_name, pa.string()), (val_name, pa.int64())])
+
+    def pin(batch: pa.Table) -> pa.Table:
+        # pandas map_groups emits schema-less empty blocks for empty
+        # shuffle partitions; pin so downstream unions/joins see one type
+        if set(out_schema.names) <= set(batch.column_names):
+            return batch.select(out_schema.names).cast(out_schema)
+        return pa.Table.from_pylist([], schema=out_schema)
+
     return (
         ds.select_columns([text_col])
         .map_batches(partials, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(bucket_topk, batch_format="pandas")
+        .map_batches(pin, batch_format="pyarrow")
         .sort([val_name, key_name], descending=[True, False])
         .limit(k)
     )
@@ -222,16 +232,28 @@ def tfidf_top_terms(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_max_vocab: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Per-document top-k TF-IDF terms: score = tf * ln(N / df).
 
-    Two passes: (1) corpus document-frequency table via per-batch partials
-    + one groupby (vocabulary-sized); (2) the df map broadcasts via
-    ray.put and every batch scores its documents locally — per-doc top-k
-    never shuffles. The broadcast assumes a bounded vocabulary (true for
-    natural language); a co-partitioned join on token is the swap-in when
-    it is not. Ties break by token ascending; scores rounded half-even to
-    6 so the SQL oracle (round_even + identical ln) matches exactly."""
+    Pass 1 builds the corpus document-frequency table (per-batch dict
+    partials + one token groupby — vocabulary-sized, stays distributed).
+    Pass 2 routes by the MEASURED vocabulary size, the same size-route
+    pattern as verify_pairs_jaccard:
+
+    - at or below ``broadcast_max_vocab`` distinct tokens the df table
+      broadcasts once via ray.put and every batch scores its documents
+      locally — per-doc top-k never shuffles (the natural-language case:
+      vocabulary ≪ corpus);
+    - above it (100 TB of web text: billions of raw whitespace tokens) the
+      df table never leaves the cluster: (doc, token, tf) rows co-partition
+      with (token, df) rows on hash(token) for the idf attach, then
+      re-group on hash(doc) for the per-doc top-k
+      (:func:`_tfidf_join_path`). Identical output by construction —
+      pinned by a forced-route equality test.
+
+    Ties break by token ascending; scores rounded half-even to 6 so the
+    SQL oracle (round_even + identical ln) matches exactly."""
     import math
 
     import ray as _ray
@@ -258,7 +280,11 @@ def tfidf_top_terms(
         .map_batches(df_partials, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("df", alias_name="df"))
+        .materialize()  # vocab-sized; pinned once for count + either route
     )
+    if df_table.count() > broadcast_max_vocab:
+        return _tfidf_join_path(ds, df_table, n_total, k, text_col, id_col)
+
     df_map: dict[str, int] = {}
     for batch in df_table.iter_batches(batch_format="pyarrow"):
         for tok, df in zip(batch["token"].to_pylist(), batch["df"].to_pylist()):
@@ -304,6 +330,148 @@ def tfidf_top_terms(
         fn_constructor_kwargs={"ref": ref, "k": k},
         batch_format="pyarrow",
         concurrency=(1, 8),
+    )
+
+
+_TFIDF_JOIN_BUCKETS = 64
+
+
+def _tfidf_join_path(
+    ds: ray.data.Dataset,
+    df_table: ray.data.Dataset,
+    n_total: int,
+    k: int,
+    text_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Unbounded-vocabulary TF-IDF: co-partitioned token join, no driver
+    dict (the message-passing shape of dedup._verify_pairs_join).
+
+    Stage 1 explodes documents to (doc, token, tf) rows and unions them
+    with the (token, df) table under one schema; one groupby on
+    hash(token) attaches df to every tf row — a token's rows all land in
+    one bucket, so the attach is a local pandas merge. Stage 2 re-groups
+    the scored rows on hash(doc) and takes each document's top-k. The
+    shuffles move (id, token, two ints) rows — never texts, never a
+    vocabulary-sized object to the driver.
+
+    Scoring is byte-identical to the broadcast path: same
+    round(tf * math.log(n/df), 6), same (-score, token) tie-break."""
+    import math
+
+    msg_schema = pa.schema(
+        [
+            ("token", pa.string()),
+            ("side", pa.int8()),  # 0 = (doc, tf) row, 1 = (token, df) row
+            ("doc", pa.string()),
+            ("tf", pa.int64()),
+            ("df", pa.int64()),
+            ("_tb", pa.int64()),
+        ]
+    )
+    try:
+        id_type = ds.schema().base_schema.field(id_col).type
+    except Exception:
+        id_type = pa.string()
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        docs, toks, tfs = [], [], []
+        ids = pc.cast(batch[id_col], pa.string()).to_pylist()
+        for doc_id, text in zip(
+            ids, pc.cast(batch[text_col], pa.string()).to_pylist()
+        ):
+            tf: dict[str, int] = {}
+            for tok in (text or "").lower().split():
+                tf[tok] = tf.get(tok, 0) + 1
+            docs.extend([doc_id] * len(tf))
+            toks.extend(tf)
+            tfs.extend(tf.values())
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "side": pa.array([0] * len(toks), pa.int8()),
+                "doc": pa.array(docs, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "df": pa.array([None] * len(toks), pa.int64()),
+                "_tb": pa.array(
+                    [md5_bucket(t_, _TFIDF_JOIN_BUCKETS) for t_ in toks],
+                    pa.int64(),
+                ),
+            }
+        ).cast(msg_schema)
+
+    def df_rows(batch: pa.Table) -> pa.Table:
+        toks = batch["token"].to_pylist()
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "side": pa.array([1] * len(toks), pa.int8()),
+                "doc": pa.array([None] * len(toks), pa.string()),
+                "tf": pa.array([None] * len(toks), pa.int64()),
+                "df": pc.cast(batch["df"], pa.int64()),
+                "_tb": pa.array(
+                    [md5_bucket(t_, _TFIDF_JOIN_BUCKETS) for t_ in toks],
+                    pa.int64(),
+                ),
+            }
+        ).cast(msg_schema)
+
+    def attach_df(group: pd.DataFrame) -> pd.DataFrame:
+        # nullable int64 reaches pandas as float64; values are exact
+        # (counts < 2^53) and non-null after the inner merge
+        dfs = group[group["side"] == 1][["token", "df"]]
+        tfs = group[group["side"] == 0][["doc", "token", "tf"]]
+        m = tfs.merge(dfs, on="token", how="inner")
+        m["tf"] = m["tf"].astype("int64")
+        m["df"] = m["df"].astype("int64")
+        m["_db"] = [md5_bucket(d, _TFIDF_JOIN_BUCKETS) for d in m["doc"]]
+        return m[["doc", "token", "tf", "df", "_db"]]
+
+    def doc_topk(group: pd.DataFrame) -> pd.DataFrame:
+        out_doc, out_tok, out_score = [], [], []
+        for doc, g in group.groupby("doc", sort=False):
+            scored = sorted(
+                (
+                    (-round(c * math.log(n_total / df), 6), t_)
+                    for t_, c, df in zip(g["token"], g["tf"], g["df"])
+                )
+            )[:k]
+            for neg_s, t_ in scored:
+                out_doc.append(doc)
+                out_tok.append(t_)
+                out_score.append(-neg_s)
+        return pd.DataFrame(
+            {"doc": out_doc, "token": out_tok, "tfidf": out_score}
+        )
+
+    out_schema = pa.schema(
+        [(id_col, id_type), ("token", pa.string()), ("tfidf", pa.float64())]
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        # pandas map_groups emits schema-less empty blocks; pin + restore
+        # the caller's id type (ids crossed the shuffle stringified)
+        if "doc" not in batch.column_names:
+            return pa.Table.from_pylist([], schema=out_schema)
+        return pa.table(
+            {
+                id_col: pc.cast(batch["doc"], id_type),
+                "token": pc.cast(batch["token"], pa.string()),
+                "tfidf": pc.cast(batch["tfidf"], pa.float64()),
+            }
+        )
+
+    msgs = ds.select_columns([id_col, text_col]).map_batches(
+        tf_rows, batch_format="pyarrow"
+    )
+    dfm = df_table.map_batches(df_rows, batch_format="pyarrow")
+    return (
+        msgs.union(dfm)
+        .groupby("_tb")
+        .map_groups(attach_df, batch_format="pandas")
+        .groupby("_db")
+        .map_groups(doc_topk, batch_format="pandas")
+        .map_batches(finalize, batch_format="pyarrow")
     )
 
 

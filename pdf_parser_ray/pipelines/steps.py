@@ -202,6 +202,32 @@ def quiet_data_logging_env() -> dict[str, str]:
     return {"RAY_DATA_LOGGING_CONFIG": path}
 
 
+class _EmptyBlockSchemaDivergenceFilter:
+    """Drop the streaming executor's "RefBundle with a different schema …
+    new schema: ." warning — and ONLY that variant.
+
+    Ray 2.49's map tasks never invoke the UDF on a zero-row input block;
+    they emit a schema-LESS empty block directly (map_transformer builds it
+    from an empty builder), so empty shuffle partitions always surface as
+    a "new schema: ." divergence no matter how carefully the UDFs pin
+    their output schemas (verified empirically — the UDF is not called).
+    That divergence is benign by construction; every consumer in this repo
+    re-pins typed schemas after pandas stages. REAL divergences (two
+    non-empty schemas disagreeing — an actual wiring bug) still warn."""
+
+    def filter(self, record: Any) -> bool:
+        msg = record.getMessage()
+        return not ("different schema" in msg and "new schema: ." in msg)
+
+
+def _silence_empty_block_schema_warning() -> None:
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptyBlockSchemaDivergenceFilter())
+
+
 def configure_context(
     shuffle: str = "push",
     target_max_block_size: Optional[int] = None,
@@ -222,6 +248,7 @@ def configure_context(
     logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").setLevel(
         logging.ERROR
     )
+    _silence_empty_block_schema_warning()
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.preserve_order = preserve_order

@@ -712,6 +712,54 @@ def test_tfidf_top_terms_planted(ray_session):
     assert out.loc[3, "token"] == "other"
 
 
+def test_tfidf_join_path_equals_broadcast(ray_session):
+    """The unbounded-vocabulary route (co-partitioned token join, forced
+    via broadcast_max_vocab=0) must reproduce the broadcast route row for
+    row — same scores, same tie-breaks, same id dtype."""
+    import ray.data as rd
+
+    from pdf_parser_ray.ops.curation import tfidf_top_terms
+
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    want = (
+        tfidf_top_terms(ds, k=3)
+        .to_pandas()
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)
+    )
+    got = (
+        tfidf_top_terms(ds, k=3, broadcast_max_vocab=0)
+        .to_pandas()
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert got.doc_id.dtype == want.doc_id.dtype
+
+
+def test_tfidf_join_path_string_ids_and_empty_text(ray_session):
+    from pdf_parser_ray.ops.curation import tfidf_top_terms
+
+    rows = [
+        {"doc_id": "a", "text": "x y y"},
+        {"doc_id": "b", "text": ""},
+        {"doc_id": "c", "text": None},
+        {"doc_id": "d", "text": "x z"},
+    ]
+    ds = ray.data.from_items(rows)
+    want = tfidf_top_terms(ds, k=2).to_pandas()
+    got = tfidf_top_terms(ds, k=2, broadcast_max_vocab=0).to_pandas()
+    key = ["doc_id", "token"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+    )
+    # empty/null-text docs emit no rows on either route
+    assert set(got.doc_id) == {"a", "d"}
+
+
 def test_asof_join_precision_and_nulls(ray_session):
     from pdf_parser_ray.ops.streaming import asof_join
 
