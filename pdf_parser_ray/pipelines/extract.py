@@ -157,15 +157,15 @@ def extract_fused(
     )
 
 
-def assert_whole_doc_rows(ds: ray.data.Dataset, id_col: str = "doc_id") -> None:
-    """Corpus-wide fragmentation guard for the fused/hybrid paths: raise if
-    any doc_id spans multiple corpus rows.
+def fragmented_doc_ids(
+    ds: ray.data.Dataset, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """(doc_id: string, n) rows for every doc_id spanning multiple corpus
+    rows — the exact distributed fragmentation census behind both
+    :func:`assert_whole_doc_rows` and extract_hybrid's ``route`` policy.
 
     Cost shape: per-batch partial id-counts, then one coarse-bucket groupby
-    over (id, n) rows — ids and small ints shuffle, never span payloads.
-    The free block-level check inside extract_fused catches adjacent
-    fragments; this pass is the opt-in exact guarantee
-    (``extract_hybrid(..., strict_fragment_check=True)``)."""
+    over (id, n) rows — ids and small ints shuffle, never span payloads."""
     import pandas as pd
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -187,14 +187,29 @@ def assert_whole_doc_rows(ds: ray.data.Dataset, id_col: str = "doc_id") -> None:
         agg = group.groupby("doc_id", as_index=False)["n"].sum()
         return agg[agg["n"] > 1][["doc_id", "n"]]
 
-    offenders = (
+    def pin(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("doc_id", pa.string()), ("n", pa.int64())])
+        if set(schema.names) <= set(batch.column_names):
+            return batch.select(schema.names).cast(schema)
+        return pa.Table.from_pylist([], schema=schema)
+
+    return (
         ds.select_columns([id_col])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(dups, batch_format="pandas")
-        .limit(5)
-        .take_all()
+        .map_batches(pin, batch_format="pyarrow")
     )
+
+
+def assert_whole_doc_rows(ds: ray.data.Dataset, id_col: str = "doc_id") -> None:
+    """Corpus-wide fragmentation guard for the fused/hybrid paths: raise if
+    any doc_id spans multiple corpus rows.
+
+    The free block-level check inside extract_fused catches adjacent
+    fragments; this pass is the opt-in exact guarantee
+    (``extract_hybrid(..., strict_fragment_check=True)``)."""
+    offenders = fragmented_doc_ids(ds, id_col).limit(5).take_all()
     if offenders:
         sample = ", ".join(f"{r['doc_id']}×{r['n']}" for r in offenders)
         raise ValueError(
@@ -212,6 +227,7 @@ def extract_hybrid(
     batch_size: int = 16,
     concurrency: Optional[Any] = None,
     strict_fragment_check: bool = False,
+    on_fragments: str = "raise",
 ) -> ray.data.Dataset:
     """Skew-aware flagship: shuffle ONLY what must move.
 
@@ -230,36 +246,80 @@ def extract_hybrid(
 
     REQUIRES whole-document rows: the size filter classifies per ROW, so a
     document fragmented across corpus rows would have its fragments
-    assembled independently (duplicate doc_id results). Fragmented corpora
-    must use :func:`extract`, whose groupby merges fragments. Enforcement:
+    assembled independently (duplicate doc_id results). Enforcement:
     extract_fused always raises on a duplicate doc_id within a batch (free,
     catches adjacent fragments, the common writer pattern);
-    ``strict_fragment_check=True`` additionally runs
-    :func:`assert_whole_doc_rows`, an exact distributed id-count pass that
-    raises before any wrong row is produced.
+    ``strict_fragment_check=True`` additionally runs the exact distributed
+    id-count pass (:func:`fragmented_doc_ids`) before any wrong row can be
+    produced, and ``on_fragments`` picks the policy:
+
+    - ``"raise"`` (default): fail loudly — the caller chose the wrong API.
+    - ``"route"``: self-heal — the fragmented doc_ids (at 100 TB, writers
+      WILL split giant documents across storage blocks) detour through
+      :func:`extract`, whose groupby merges fragments; whole-doc rows keep
+      the map-only fast path. Output is identical to running the whole
+      corpus through ``extract()``. The fragmented id set broadcasts via
+      ray.put — it is the giant-doc tail (bounded fraction of docs), never
+      corpus-sized; a corpus fragmented wholesale belongs on ``extract()``.
     """
 
     def make():
         return corpus_factory() if callable(corpus_factory) else corpus_factory
 
+    frag_ref = None
     if strict_fragment_check:
-        assert_whole_doc_rows(make())
+        if on_fragments == "route":
+            frag_ids = {
+                r["doc_id"]
+                for r in fragmented_doc_ids(make())
+                .select_columns(["doc_id"])
+                .take_all()
+            }
+            if frag_ids:
+                frag_ref = ray.put(frag_ids)
+        elif on_fragments == "raise":
+            assert_whole_doc_rows(make())
+        else:
+            raise ValueError(f"on_fragments must be 'raise' or 'route', got {on_fragments!r}")
+
+    def only(ds: ray.data.Dataset, fragmented: bool) -> ray.data.Dataset:
+        if frag_ref is None:
+            return ds
+
+        def f(batch: pa.Table, *, _ref=frag_ref) -> pa.Table:
+            members = ray.get(_ref)  # plasma: one copy per node
+            ids = pa.compute.cast(batch["doc_id"], pa.string()).to_pylist()
+            return batch.filter(
+                pa.array([(i in members) == fragmented for i in ids])
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
 
     small = extract_fused(
-        split_by_span_count(make(), giant_span_threshold, giant=False),
+        only(split_by_span_count(make(), giant_span_threshold, giant=False), False),
         n_buckets,
         strip_boilerplate,
         batch_size,
         concurrency,
     )
     giant = extract(
-        split_by_span_count(make(), giant_span_threshold, giant=True),
+        only(split_by_span_count(make(), giant_span_threshold, giant=True), False),
         n_buckets,
         strip_boilerplate,
         batch_size,
         concurrency,
     )
-    return small.union(giant)
+    out = small.union(giant)
+    if frag_ref is not None:
+        routed = extract(
+            only(make(), True),
+            n_buckets,
+            strip_boilerplate,
+            batch_size,
+            concurrency,
+        )
+        out = out.union(routed)
+    return out
 
 
 # ---- projections to the reference's logical output tables -----------------

@@ -193,6 +193,66 @@ def test_doc_split_across_corpus_rows(ray_session):
     assert got.iloc[0]["n_toc_entries"] == len(want["toc"])
 
 
+def _fragmented_corpus():
+    """A mixed corpus: whole-doc rows plus one doc split into two
+    page-aligned fragments (the 100-TB writer pattern for giant docs)."""
+    from pdf_parser_ray.synthgen import generate_document
+
+    whole = generate_corpus(5).to_pylist()
+    doc = generate_document(999, max_pages=120)
+    spans = doc["spans"]
+    breaks = [i for i, s in enumerate(spans) if s["kind"] == "page_break"]
+    cut = breaks[len(breaks) // 2]
+    rows = whole + [
+        {"doc_id": doc["doc_id"], "spans": spans[:cut]},
+        {"doc_id": doc["doc_id"], "spans": spans[cut:]},
+    ]
+    return rows
+
+
+def test_hybrid_routes_fragmented_docs(ray_session):
+    """on_fragments='route': fragmented doc_ids detour through extract()'s
+    merging groupby instead of raising — rows identical to extract()."""
+    from pdf_parser_ray.pipelines import extract_hybrid
+
+    rows = _fragmented_corpus()
+
+    def make():
+        return ray.data.from_items(rows).repartition(3)
+
+    got = (
+        extract_hybrid(
+            make,
+            giant_span_threshold=60,
+            strict_fragment_check=True,
+            on_fragments="route",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = extract(make(), n_buckets=8).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got.doc_id) == list(want.doc_id)
+    assert len(got) == len(rows) - 1  # the two fragments merged to one row
+    for i in range(len(got)):
+        assert spans_key(got.iloc[i]["spans"]) == spans_key(want.iloc[i]["spans"])
+        assert got.iloc[i]["n_sections"] == want.iloc[i]["n_sections"]
+
+
+def test_hybrid_raise_policy_still_raises(ray_session):
+    import pytest as _pytest
+
+    from pdf_parser_ray.pipelines import extract_hybrid
+
+    rows = _fragmented_corpus()
+
+    def make():
+        return ray.data.from_items(rows).repartition(3)
+
+    with _pytest.raises(ValueError, match="fragmented corpus"):
+        extract_hybrid(make, giant_span_threshold=60, strict_fragment_check=True)
+
+
 def test_page_zero_not_confused_with_marker(ray_session):
     """Genuine page-0 content must survive the shuffle path (the empty-doc
     marker uses page=-1, not 0)."""
