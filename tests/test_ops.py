@@ -807,6 +807,52 @@ def test_approx_distinct_skips_nulls(ray_session):
     assert abs(est - 200) / 200 < 0.05
 
 
+def test_approx_quantiles_rank_error_bound(ray_session):
+    """The mergeable sketch's reported value must sit within the documented
+    rank error (< 4/delta over two merge levels) of the target quantile on
+    a skewed all-distinct continuous column."""
+    from pdf_parser_ray.ops.relational import approx_quantiles
+
+    rng = np.random.RandomState(3)
+    vals = np.exp(rng.standard_normal(20_000) * 2.0)  # heavy-tailed, distinct
+    ds = ray.data.from_items([{"v": float(x)} for x in vals]).repartition(16)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    out = approx_quantiles(ds, "v", qs, delta=512).to_pandas().set_index("q")
+    svals = np.sort(vals)
+    for q in qs:
+        got = out.loc[q, "value"]
+        rank = np.searchsorted(svals, got) / len(svals)
+        assert abs(rank - q) < 4.0 / 512, (q, got, rank)
+
+
+def test_approx_quantiles_skips_nulls_and_empty(ray_session):
+    from pdf_parser_ray.ops.relational import approx_quantiles
+
+    ds = ray.data.from_items(
+        [{"v": float(i)} for i in range(100)] + [{"v": None}] * 50
+    )
+    out = approx_quantiles(ds, "v", [0.5]).to_pandas()
+    assert abs(out.value.iloc[0] - 49.5) < 5.0
+    empty = ray.data.from_items([{"v": None}] * 3)
+    assert len(approx_quantiles(empty, "v", [0.5]).to_pandas()) == 0
+
+
+def test_quantiles_auto_route(ray_session):
+    """Low estimated cardinality -> the exact path (quantile_cont value);
+    a forced-low max_distinct -> the sketch path, still within bound."""
+    from pdf_parser_ray.ops.relational import exact_quantiles, quantiles
+
+    vals = [float(i % 50) for i in range(5000)]  # 50 distinct values
+    ds = ray.data.from_items([{"v": x} for x in vals])
+    exact = exact_quantiles(ds, "v", [0.25, 0.75]).to_pandas()
+    routed = quantiles(ds, "v", [0.25, 0.75], max_distinct=1000).to_pandas()
+    pd.testing.assert_frame_equal(routed, exact)
+    approx = quantiles(ds, "v", [0.25, 0.75], max_distinct=1).to_pandas()
+    for q, want in zip(exact.q, exact.value):
+        got = approx.set_index("q").loc[q, "value"]
+        assert abs(got - want) <= 2.0, (q, got, want)
+
+
 def test_tfidf_handles_sentinel_lookalike_token(ray_session):
     from pdf_parser_ray.ops.curation import tfidf_top_terms
 
