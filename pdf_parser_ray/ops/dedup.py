@@ -19,7 +19,11 @@ All hashes are process-independent (FNV / md5), never builtin ``hash``.
 
 from __future__ import annotations
 
+import glob
 import hashlib
+import json
+import os
+import shutil
 from typing import Optional
 
 import numpy as np
@@ -183,16 +187,17 @@ def _global_pair_dedupe(
     )
 
 
-def minhash_candidate_pairs(
+def minhash_band_rows(
     ds: ray.data.Dataset,
     num_perm: int = 64,
     band_size: int = 4,
     shingle_size: int = 5,
     concurrency=(1, 8),
 ) -> ray.data.Dataset:
-    """Candidate near-dup pairs from LSH band collisions (doc_a < doc_b),
-    deduplicated across bands."""
-    bands = ds.select_columns(["doc_id", "text"]).map_batches(
+    """(doc_id, band_id, band_hash) LSH band rows for a corpus — the
+    signature stage of the MinHash pipeline, exposed separately so the
+    band store can persist it per input fragment."""
+    return ds.select_columns(["doc_id", "text"]).map_batches(
         MinHasher,
         fn_constructor_kwargs={
             "num_perm": num_perm,
@@ -203,6 +208,24 @@ def minhash_candidate_pairs(
         batch_size=1024,
         concurrency=concurrency,
     )
+
+
+def minhash_candidate_pairs(
+    ds: ray.data.Dataset,
+    num_perm: int = 64,
+    band_size: int = 4,
+    shingle_size: int = 5,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Candidate near-dup pairs from LSH band collisions (doc_a < doc_b),
+    deduplicated across bands."""
+    bands = minhash_band_rows(ds, num_perm, band_size, shingle_size, concurrency)
+    return pairs_from_band_rows(bands)
+
+
+def pairs_from_band_rows(bands: ray.data.Dataset) -> ray.data.Dataset:
+    """Candidate pairs from an existing (doc_id, band_id, band_hash) table
+    (fresh or read back from a persisted band store)."""
 
     # coarse-bucket the band keys: one map_groups call per bucket, with a
     # vectorized self-merge inside (quadratic only within true collisions)
@@ -871,10 +894,30 @@ def minhash_dedup(
       min-label propagation); the resulting drop-ID table is broadcast when
       it fits ``broadcast_max_drop_ids``, else the corpus is filtered with
       the :func:`filter_out_ids` bucketed anti-join."""
+    candidates = minhash_candidate_pairs(ds, num_perm, band_size, shingle_size)
+    return _dedup_with_candidates(
+        ds,
+        candidates,
+        jaccard_threshold,
+        shingle_size,
+        driver_cc_max_pairs,
+        broadcast_max_drop_ids,
+    )
+
+
+def _dedup_with_candidates(
+    ds: ray.data.Dataset,
+    candidates: ray.data.Dataset,
+    jaccard_threshold: float,
+    shingle_size: int,
+    driver_cc_max_pairs: int,
+    broadcast_max_drop_ids: int,
+) -> ray.data.Dataset:
+    """Shared verify -> connected-components -> keep-representative tail of
+    minhash_dedup / minhash_dedup_resumable (size-routed, see caller)."""
     import ray as _ray
 
     numeric = _ids_are_integer(ds, "doc_id")
-    candidates = minhash_candidate_pairs(ds, num_perm, band_size, shingle_size)
     verified = (
         verify_pairs_jaccard(candidates, ds, jaccard_threshold, shingle_size)
         .select_columns(["doc_a", "doc_b"])
@@ -922,6 +965,122 @@ def minhash_dedup(
         fn_constructor_kwargs={"ref": drop_ref},
         batch_format="pyarrow",
         concurrency=(1, 4),
+    )
+
+
+# ---- resumable (incremental) MinHash dedup ---------------------------------
+
+
+def _band_store_key(path: str) -> str:
+    return hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:16]
+
+
+def update_band_store(
+    files: list[str],
+    store_dir: str,
+    num_perm: int = 64,
+    band_size: int = 4,
+    shingle_size: int = 5,
+) -> dict:
+    """Incrementally persist per-input-file MinHash band tables.
+
+    Each corpus fragment (input parquet file) gets its own band-table
+    partition under ``store_dir/bands/<key>/`` plus an atomic manifest
+    recording the fragment's (size, mtime) and the MinHash parameters. A
+    re-run — after a kill, or with new fragments appended to the corpus —
+    only hashes fragments whose manifest is missing or stale; everything
+    else is read back from the store. Changing any MinHash parameter
+    invalidates every manifest (the signature no longer matches).
+
+    Returns {"files_total", "files_hashed_now", "files_skipped_resume"}.
+    """
+    from pdf_parser_ray.state.checkpoint import _write_json_atomic
+
+    os.makedirs(os.path.join(store_dir, "bands"), exist_ok=True)
+    os.makedirs(os.path.join(store_dir, "_manifest"), exist_ok=True)
+    stats = {
+        "files_total": len(files),
+        "files_hashed_now": 0,
+        "files_skipped_resume": 0,
+    }
+    for path in files:
+        st = os.stat(path)
+        sig = {
+            "path": os.path.abspath(path),
+            "size": st.st_size,
+            "mtime": int(st.st_mtime),
+            "num_perm": num_perm,
+            "band_size": band_size,
+            "shingle_size": shingle_size,
+        }
+        key = _band_store_key(path)
+        manifest = os.path.join(store_dir, "_manifest", f"{key}.json")
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                if json.load(f) == sig:
+                    stats["files_skipped_resume"] += 1
+                    continue
+        out = os.path.join(store_dir, "bands", key)
+        shutil.rmtree(out, ignore_errors=True)
+        bands = minhash_band_rows(
+            ray.data.read_parquet(path, columns=["doc_id", "text"]),
+            num_perm,
+            band_size,
+            shingle_size,
+        )
+        bands.write_parquet(out)
+        _write_json_atomic(manifest, sig)  # manifest last: crash = recompute
+        stats["files_hashed_now"] += 1
+    return stats
+
+
+def read_band_store(store_dir: str) -> ray.data.Dataset:
+    """All persisted band rows. write_parquet of an empty fragment creates
+    no directory, so glob files rather than listing dirs."""
+    paths = sorted(glob.glob(os.path.join(store_dir, "bands", "*", "*.parquet")))
+    if not paths:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "band_id": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return ray.data.read_parquet(paths)
+
+
+def minhash_dedup_resumable(
+    files: list[str],
+    store_dir: str,
+    jaccard_threshold: float = 0.8,
+    num_perm: int = 64,
+    band_size: int = 4,
+    shingle_size: int = 5,
+    driver_cc_max_pairs: int = 1_000_000,
+    broadcast_max_drop_ids: int = 5_000_000,
+) -> ray.data.Dataset:
+    """:func:`minhash_dedup` over a file-fragmented corpus with persisted
+    signatures: the expensive stage (shingling + 64 permutations per doc)
+    runs once per fragment ever — a killed or re-run job re-hashes only
+    fragments the band store hasn't seen (see :func:`update_band_store`).
+    The LSH collision join, verify and connected components always run
+    over the full band table (a new fragment can collide with any old
+    one), but those stages move (band, hash, id) rows — never text.
+
+    Output is identical to ``minhash_dedup(read_parquet(files), ...)``
+    (pinned by the kill-and-resume test)."""
+    update_band_store(files, store_dir, num_perm, band_size, shingle_size)
+    candidates = pairs_from_band_rows(read_band_store(store_dir))
+    ds = ray.data.read_parquet(files)
+    return _dedup_with_candidates(
+        ds,
+        candidates,
+        jaccard_threshold,
+        shingle_size,
+        driver_cc_max_pairs,
+        broadcast_max_drop_ids,
     )
 
 

@@ -430,6 +430,61 @@ def test_pnm_offset_exact(ray_session):
     assert out["feature"] == [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
 
 
+def test_minhash_dedup_resumable_reuses_signatures(ray_session, tmp_path):
+    """Kill-and-resume dedup: fragments already in the band store are NOT
+    re-hashed on the next run (manifest counters prove it), appended
+    fragments are, cross-fragment duplicates are still found, and the
+    final output matches a from-scratch minhash_dedup."""
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.ops.dedup import (
+        minhash_dedup,
+        minhash_dedup_resumable,
+        update_band_store,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the observer counts tokens for the training corpus pipeline"
+    )
+    frags = [
+        [{"doc_id": "a1", "text": base}, {"doc_id": "c1", "text": "databases and storage engines layered deep"}],
+        [{"doc_id": "a2", "text": base}],  # duplicate lives in ANOTHER fragment
+        [{"doc_id": "d1", "text": "entirely unrelated prose about gardening and weather patterns"}],
+    ]
+    files = []
+    for i, rows in enumerate(frags):
+        f = str(tmp_path / f"frag{i}.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), f)
+        files.append(f)
+    store = str(tmp_path / "band_store")
+
+    # first (partial) run hashes the first two fragments, then "dies"
+    s1 = update_band_store(files[:2], store)
+    assert s1["files_hashed_now"] == 2 and s1["files_skipped_resume"] == 0
+
+    # resume over the full corpus: only the new fragment is hashed
+    s2 = update_band_store(files, store)
+    assert s2["files_hashed_now"] == 1 and s2["files_skipped_resume"] == 2
+
+    got = sorted(
+        minhash_dedup_resumable(files, store, jaccard_threshold=0.8)
+        .to_pandas()
+        .doc_id
+    )
+    want = sorted(
+        minhash_dedup(ray.data.read_parquet(files), jaccard_threshold=0.8)
+        .to_pandas()
+        .doc_id
+    )
+    assert got == want
+    assert "a2" not in got and "a1" in got  # cross-fragment dup dropped
+
+    # a changed MinHash parameter invalidates every manifest
+    s3 = update_band_store(files, store, shingle_size=4)
+    assert s3["files_hashed_now"] == 3
+
+
 def test_scrub_pii_planted(ray_session):
     from pdf_parser_ray.ops import curation
 
