@@ -1,0 +1,143 @@
+"""Pure-stdlib baseline PNG codec: zlib inflate + scanline unfiltering.
+
+Decode supports the common web baseline — 8-bit depth, color types gray
+(0), RGB (2), palette (3), gray+alpha (4), RGBA (6), non-interlaced.
+16-bit depth and Adam7 interlacing raise ``ValueError`` (callers degrade
+to ``decode_ok=False`` rather than crash). The encoder writes filter-0
+scanlines and is used by tests as the decode inverse.
+
+No external codec library: DEFLATE is stdlib ``zlib`` (PNG's only
+compression method) and the five scanline filters are plain byte
+arithmetic mod 256 (PNG spec §6), so this closes the "PNG is honestly
+gated on codec availability" gap without new dependencies.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """(width, height, flat uint8 pixel array) from a baseline PNG.
+
+    Palette images are expanded to RGB. Raises ValueError (or zlib.error)
+    on anything malformed or outside the supported baseline."""
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG signature")
+    i = 8
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    while i + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, i)
+        data = payload[i + 8 : i + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated chunk")
+        if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError("bad IHDR length")
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported bit depth {depth}")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlacing unsupported")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"bad color type {color_type}")
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError("bad dimensions")
+
+    ch = _CHANNELS[color_type]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("decompressed length mismatch")
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1).copy()
+        if f == 0:  # None
+            cur = line
+        elif f == 1:  # Sub: left-neighbor chains accumulate per channel lane
+            cur = np.add.accumulate(
+                line.reshape(w, ch), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif f == 2:  # Up (uint8 addition wraps mod 256 per spec)
+            cur = line + prev
+        elif f == 3:  # Average
+            cur = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter byte {f}")
+        out[y] = cur
+        prev = cur
+
+    pixels = out.reshape(-1)
+    if color_type == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette image without valid PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        if int(pixels.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        pixels = pal[pixels].reshape(-1)
+    return int(w), int(h), pixels
+
+
+def encode_png(
+    width: int, height: int, pixels: np.ndarray, color_type: int = 2
+) -> bytes:
+    """Baseline PNG bytes (8-bit, filter-0 scanlines) from a flat uint8
+    pixel array — the test-side inverse of :func:`decode_png` (palette
+    encoding not supported)."""
+    if color_type == 3:
+        raise ValueError("palette encoding not supported")
+    ch = _CHANNELS[color_type]
+    arr = np.asarray(pixels, dtype=np.uint8).reshape(height, width * ch)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(height))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )

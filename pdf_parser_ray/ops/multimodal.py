@@ -1,11 +1,12 @@
 """Multimodal column plumbing: opaque binary/media columns with typed
 metadata, decoded by an actor-pool stage.
 
-The decode kernel is REAL for header-parseable formats that need no codec
-library — binary PPM/PGM (P6/P5) and uncompressed BMP are decoded with
-pure struct/numpy (dimensions + an intensity-histogram feature).
-Codec-dependent formats (JPEG/PNG magic) raise ``NotImplementedError``
-(PIL is not in this sandbox); unrecognized payloads degrade to a
+The decode kernel is REAL for every format decodable without an external
+codec library — binary PPM/PGM (P6/P5) and uncompressed BMP via
+struct/numpy, and baseline PNG via the pure-stdlib zlib+unfilter codec in
+``functions/png.py`` (dimensions + an intensity-histogram feature). JPEG
+(a true external-codec format) raises ``NotImplementedError`` without
+PIL; malformed or out-of-baseline payloads degrade to a
 ``decode_ok=False`` row rather than failing the task. ``fake=True`` keeps
 the deterministic ref-hash stub for plumbing tests. Swapping in PIL/ffmpeg
 is a one-method change inside the actor.
@@ -18,6 +19,7 @@ survive pandas round-trips intact — see ray_guide.md pitfalls).
 from __future__ import annotations
 
 import hashlib
+from struct import error as struct_error
 
 import numpy as np
 import pyarrow as pa
@@ -187,11 +189,34 @@ class MediaDecoder:
                 "feature": self._histogram(pixels),
                 "decode_ok": True,
             }
-        if magic in (b"\xff\xd8", b"\x89P"):
+        if magic == b"\x89P":
+            # REAL baseline-PNG decode, pure stdlib (functions/png.py):
+            # zlib inflate + scanline unfilter. Unsupported variants
+            # (16-bit, Adam7) and malformed streams degrade, not crash.
+            import zlib
+
+            from pdf_parser_ray.functions.png import decode_png
+
+            try:
+                w, h, pixels = decode_png(payload)
+            except (ValueError, zlib.error, struct_error, IndexError):
+                return {
+                    "width": 0,
+                    "height": 0,
+                    "feature": [0.0] * self.feature_dim,
+                    "decode_ok": False,
+                }
+            return {
+                "width": w,
+                "height": h,
+                "feature": self._histogram(pixels),
+                "decode_ok": True,
+            }
+        if magic == b"\xff\xd8":
             # a real codec format we cannot decode without PIL
             if not self.has_pil:
                 raise NotImplementedError(
-                    "JPEG/PNG decode requires an image codec (PIL) which is "
+                    "JPEG decode requires an image codec (PIL) which is "
                     "not available in this environment"
                 )
             raise NotImplementedError("codec decode path not implemented in sandbox")

@@ -145,13 +145,131 @@ def test_media_decoder_stub(ray_session):
     assert out.decode_ok.iloc[0]
     assert out.n_bytes.iloc[0] == 2
     assert len(out.feature.iloc[0]) == 8
-    # codec formats raise NotImplementedError (no PIL in sandbox);
-    # unrecognized payloads degrade to decode_ok=False
+    # JPEG (external-codec format) raises NotImplementedError (no PIL in
+    # sandbox); a truncated PNG and unrecognized payloads degrade
     dec = multimodal.MediaDecoder(fake=False)
     with pytest.raises(NotImplementedError):
-        dec._decode("x", b"\x89PNG\r\n\x1a\n")
+        dec._decode("x", b"\xff\xd8\xff\xe0")
+    trunc_png = dec._decode("x", b"\x89PNG\r\n\x1a\n")
+    assert not trunc_png["decode_ok"]
     bad = dec._decode("x", b"")
     assert not bad["decode_ok"] and bad["width"] == 0
+
+
+def test_png_roundtrip_all_color_types():
+    from pdf_parser_ray.functions.png import decode_png, encode_png
+
+    rng = np.random.RandomState(9)
+    for ctype, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        w, h = int(rng.randint(1, 40)), int(rng.randint(1, 40))
+        pixels = rng.randint(0, 256, size=w * h * ch, dtype=np.uint8)
+        got_w, got_h, got = decode_png(encode_png(w, h, pixels, ctype))
+        assert (got_w, got_h) == (w, h)
+        assert np.array_equal(got, pixels), ctype
+
+
+def test_png_all_filters_invert():
+    """Hand-filter scanlines with each of the 5 PNG filter types (spec §6
+    forward direction) and check the decoder's unfilter inverts exactly."""
+    import struct
+    import zlib
+
+    from pdf_parser_ray.functions.png import PNG_SIGNATURE, decode_png
+
+    rng = np.random.RandomState(4)
+    w, h, ch = 17, 9, 3
+    img = rng.randint(0, 256, size=(h, w * ch), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+
+    raw = b""
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        f = y % 5  # exercise every filter type
+        line = img[y]
+        enc = np.empty(w * ch, dtype=np.uint8)
+        for x in range(w * ch):
+            left = int(line[x - ch]) if x >= ch else 0
+            up = int(prev[x])
+            upleft = int(prev[x - ch]) if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) >> 1
+            else:
+                pred = paeth(left, up, upleft)
+            enc[x] = (int(line[x]) - pred) & 0xFF
+        raw += bytes([f]) + enc.tobytes()
+        prev = line
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    payload = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    got_w, got_h, got = decode_png(payload)
+    assert (got_w, got_h) == (w, h)
+    assert np.array_equal(got, img.reshape(-1))
+
+
+def test_png_palette_and_unsupported_variants():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from pdf_parser_ray.functions.png import PNG_SIGNATURE, decode_png, encode_png
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    # 2x2 palette image: indices 0..3 into a 4-color palette
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 7, 7])
+    raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 3])
+    payload = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, px = decode_png(payload)
+    assert (w, h) == (2, 2)
+    assert px.tolist() == [255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 7, 7]
+
+    # 16-bit and interlaced variants refuse cleanly
+    for ihdr in (
+        struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0),
+        struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1),
+    ):
+        bad = (
+            PNG_SIGNATURE
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 13))
+            + chunk(b"IEND", b"")
+        )
+        with _pytest.raises(ValueError):
+            decode_png(bad)
+
+    # the decoder stage decodes a real PNG payload end-to-end
+    from pdf_parser_ray.ops import multimodal as mm
+
+    rng = np.random.RandomState(2)
+    pixels = rng.randint(0, 256, size=12 * 5 * 3, dtype=np.uint8)
+    out = mm.MediaDecoder(fake=False)._decode("r", encode_png(12, 5, pixels))
+    assert out["decode_ok"] and (out["width"], out["height"]) == (12, 5)
+    assert abs(sum(out["feature"]) - 1.0) < 1e-5
 
 
 def test_media_real_ppm_decode(ray_session):

@@ -117,6 +117,10 @@ def test_media_decoder_never_crashes_on_fuzz():
     payloads += [b"P6" + bytes(rng.randint(0, 256, size=40, dtype=np.uint8)) for _ in range(20)]
     payloads += [b"BM" + bytes(rng.randint(0, 256, size=60, dtype=np.uint8)) for _ in range(20)]
     payloads += [b"P5\n#", b"P6\n999999999 999999999\n255\n", b"P6\n0 0\n255\n"]
+    payloads += [
+        b"\x89PNG\r\n\x1a\n" + bytes(rng.randint(0, 256, size=n, dtype=np.uint8))
+        for n in (0, 4, 25, 80, 200)
+    ]
     for p in payloads:
         try:
             out = dec._decode("f", p)
