@@ -632,6 +632,64 @@ def _q_media_features(sf_dir: str):
     return _int_doc_id(media_features(media, fake=False).drop_columns(["feature"]))
 
 
+def _q_price_quantiles_routed(sf_dir: str):
+    """The exact/approx quantile FRONT DOOR: a HyperLogLog pass estimates
+    l_extendedprice's distinct count and routes to the exact path here
+    (bounded cardinality), proving the route end-to-end against the same
+    quantile_cont oracle as price_quantiles."""
+    import ray.data
+
+    from pdf_parser_ray.ops.relational import quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    return quantiles(ds, "l_extendedprice", [0.25, 0.5, 0.75, 0.95])
+
+
+def _q_minhash_dedup_resumable(sf_dir: str):
+    """The incremental-dedup path driven end-to-end: band signatures
+    persist per corpus fragment under a /tmp store (cached across
+    driver-gate/bench invocations like the IVF index) and the output is
+    the SAME dedup answer — verified by the same SQL oracle as
+    minhash_dedup."""
+    import hashlib
+    import os
+
+    from pdf_parser_ray.ops.dedup import minhash_dedup_resumable
+
+    src = f"{sf_dir}/documents.parquet"
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    store = f"/tmp/pdf_parser_ray_bands_{key}"
+    return minhash_dedup_resumable(
+        [src], store, jaccard_threshold=0.8
+    ).select_columns(["doc_id"])
+
+
+def _q_media_features_png(sf_dir: str):
+    """REAL PNG decode path: deterministic synthesized baseline-PNG
+    payloads per image ref, decoded by the pure-stdlib zlib+unfilter
+    codec — dimensions and decode status hash-verified against the
+    closed-form SQL oracle (byte count is excluded: DEFLATE length has
+    no closed form)."""
+    from pdf_parser_ray.ops.multimodal import media_features, media_inventory
+    from pdf_parser_ray.pipelines import extract_fused
+    from pdf_parser_ray.sources import corpus_from_documents
+
+    media = media_inventory(
+        extract_fused(corpus_from_documents(sf_dir)),
+        synth_payloads=True,
+        synth_format="png",
+    )
+    return _int_doc_id(
+        media_features(media, fake=False).select_columns(
+            ["doc_id", "media_ref", "width", "height", "decode_ok"]
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship extraction family
@@ -691,8 +749,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_shards": _q_pack_shards,
         "stratified_sample": _q_stratified_sample,
         "orders_price_bands": _q_orders_price_bands,
-        # multimodal (real PPM decode over synthesized payloads)
+        # routed quantile front door (HLL estimate -> exact path here)
+        "price_quantiles_routed": _q_price_quantiles_routed,
+        # incremental dedup over the persisted band store
+        "minhash_dedup_resumable": _q_minhash_dedup_resumable,
+        # multimodal (real PPM + PNG decodes over synthesized payloads)
         "media_features": _q_media_features,
+        "media_features_png": _q_media_features_png,
         # corpus-level validation report (reference step 5)
         "validation_summary": _q_validation_summary,
     }
@@ -1049,6 +1112,17 @@ def oracle_sql() -> dict[str, str]:
             "+ 3*width*height AS BIGINT) AS n_bytes, TRUE AS decode_ok "
             "FROM dims"
         ),
+        # the PNG variant shares the dimension rule; byte count excluded
+        # (DEFLATE length has no closed form)
+        "media_features_png": _EXTRACT_BASE_SQL + (
+            ", imgs AS ("
+            "  SELECT doc_id, 'img://' || CAST(doc_id AS VARCHAR) || '/p' || pg || '/0' AS media_ref"
+            "  FROM pages WHERE (h+pg)%4=0"
+            ") SELECT doc_id, media_ref, "
+            "4 + ('0x'||substr(md5(media_ref),1,2))::INT % 32 AS width, "
+            "4 + ('0x'||substr(md5(media_ref),3,2))::INT % 32 AS height, "
+            "TRUE AS decode_ok FROM imgs"
+        ),
         "classify_blocks": _BLOCK_CLS_SQL
         + "SELECT doc_id, line_idx, block_class FROM cls",
         "main_content": _BLOCK_CLS_SQL
@@ -1206,6 +1280,13 @@ def oracle_sql() -> dict[str, str]:
             "         unnest(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95])) AS v "
             "  FROM lineitem)"
         ),
+        # the routed front door lands on the exact path at this cardinality
+        "price_quantiles_routed": (
+            "SELECT q, CAST(printf('%.6f', v) AS DOUBLE) AS value FROM ("
+            "  SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q, "
+            "         unnest(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95])) AS v "
+            "  FROM lineitem)"
+        ),
         # HyperLogLog reproduced in SQL: same md5-64 hash, p=12 registers
         # (bucket = top 12 bits, rho = leading-zero rank of the low 52),
         # same bias-corrected harmonic estimator + linear-counting branch
@@ -1250,6 +1331,12 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_base_sql()
         + "SELECT doc_a, doc_b, round_even(j, 6) AS jaccard FROM verified WHERE j >= 0.8",
         "minhash_dedup": _minhash_base_sql()
+        + (
+            "SELECT doc_id FROM documents "
+            "WHERE doc_id NOT IN (SELECT s FROM comps WHERE lab < s)"
+        ),
+        # the resumable path answers the SAME dedup question — one oracle
+        "minhash_dedup_resumable": _minhash_base_sql()
         + (
             "SELECT doc_id FROM documents "
             "WHERE doc_id NOT IN (SELECT s FROM comps WHERE lab < s)"

@@ -62,6 +62,22 @@ def synthesize_ppm(media_ref: str) -> bytes:
     return header + pixels.tobytes()
 
 
+def synthesize_png(media_ref: str) -> bytes:
+    """Deterministic baseline-PNG payload seeded on the media ref: same
+    dimension rule as :func:`synthesize_ppm` (4..35 px per side from the
+    first two md5 digest bytes), RGB pixels = the digest tiled. Drives the
+    REAL zlib+unfilter decode path; width/height/decode_ok stay
+    closed-form for the SQL oracle (the compressed byte LENGTH is not —
+    the media_features_png query therefore projects dims, not n_bytes)."""
+    from pdf_parser_ray.functions.png import encode_png
+
+    digest = hashlib.md5((media_ref or "").encode()).digest()
+    w = 4 + digest[0] % 32
+    h = 4 + digest[1] % 32
+    pixels = np.resize(np.frombuffer(digest, dtype=np.uint8), 3 * w * h)
+    return encode_png(w, h, pixels, color_type=2)
+
+
 def _parse_pnm_header(payload: bytes) -> tuple[int, int, int]:
     """(width, height, pixel-data offset) from a P6/P5 header: magic, then
     whitespace-separated width/height/maxval with '#' comments skipped."""
@@ -267,13 +283,17 @@ def media_features(
 
 
 def media_inventory(
-    doc_results: ray.data.Dataset, synth_payloads: bool = False
+    doc_results: ray.data.Dataset,
+    synth_payloads: bool = False,
+    synth_format: str = "ppm",
 ) -> ray.data.Dataset:
     """Media table from flagship extraction output: one row per image span.
     This corpus carries refs only, so payloads are empty by default;
-    ``synth_payloads=True`` fills each with :func:`synthesize_ppm` so the
-    REAL decode path can be driven (and oracle-checked) without external
-    media files."""
+    ``synth_payloads=True`` fills each with a deterministic synthesized
+    image (:func:`synthesize_ppm` or, with ``synth_format='png'``,
+    :func:`synthesize_png`) so the REAL decode paths can be driven (and
+    oracle-checked) without external media files."""
+    synth = synthesize_png if synth_format == "png" else synthesize_ppm
 
     def explode(batch: pa.Table) -> pa.Table:
         rows = []
@@ -288,7 +308,7 @@ def media_inventory(
                             "doc_id": doc_id,
                             "media_ref": ref,
                             "media_type": "image",
-                            "payload": synthesize_ppm(ref) if synth_payloads else b"",
+                            "payload": synth(ref) if synth_payloads else b"",
                         }
                     )
         return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
