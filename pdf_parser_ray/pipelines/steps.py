@@ -215,9 +215,16 @@ class _EmptyBlockSchemaDivergenceFilter:
     re-pins typed schemas after pandas stages. REAL divergences (two
     non-empty schemas disagreeing — an actual wiring bug) still warn."""
 
+    _EMPTY_NEW_SCHEMAS = (
+        "new schema: .",  # schema-less Arrow empty block
+        "new schema: PandasBlockSchema(names=[], types=[]).",  # empty pandas
+    )
+
     def filter(self, record: Any) -> bool:
         msg = record.getMessage()
-        return not ("different schema" in msg and "new schema: ." in msg)
+        if "different schema" not in msg:
+            return True
+        return not any(s in msg for s in self._EMPTY_NEW_SCHEMAS)
 
 
 def _silence_empty_block_schema_warning() -> None:
