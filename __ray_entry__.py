@@ -288,7 +288,27 @@ def _q_knn_ivf_indexed(sf_dir: str):
         f"{os.path.abspath(src)}:{os.path.getmtime(src)}:16".encode()
     ).hexdigest()[:12]
     index_dir = f"/tmp/pdf_parser_ray_ivf_{key}"
-    if not os.path.isdir(index_dir):
+
+    def cache_valid() -> bool:
+        # don't trust a bare directory at a predictable /tmp path: a tmp
+        # cleaner can prune artifacts inside it; require the build's three
+        # outputs (centroids, meta, at least one list partition)
+        try:
+            import glob as _glob
+            import json as _json
+
+            with open(os.path.join(index_dir, "meta.json")) as f:
+                meta = _json.load(f)
+            return (
+                meta.get("n_centroids") == 16
+                and os.path.exists(os.path.join(index_dir, "centroids.npy"))
+                and bool(_glob.glob(os.path.join(index_dir, "lists", "*", "*.parquet")))
+            )
+        except (OSError, ValueError):
+            return False
+
+    if not cache_valid():
+        shutil.rmtree(index_dir, ignore_errors=True)
         scratch = f"{index_dir}.build.{os.getpid()}"
         build_ivf_index(ray.data.read_parquet(src), scratch, n_centroids=16)
         try:
@@ -511,7 +531,13 @@ def _q_events_json(sf_dir: str):
     """JSON scalar extraction from the events props column: one vectorized
     RE2 kernel per batch (``pc.extract_regex``) — no per-row Python. A
     missing/unparsable ``k`` contributes 0 to the sum, same as the SQL
-    oracle's NULL-skipping SUM."""
+    oracle's NULL-skipping SUM.
+
+    Assumption (holds for the driver-generated events table, every props
+    is a flat ``{"k": <int>}``): the regex reads the first top-level
+    integer ``"k"`` key. Nested objects / float values / a ``"k"`` inside
+    an earlier string value would diverge from the json_extract oracle —
+    for arbitrary JSON swap in a per-row json.loads stage."""
     import ray.data
     from ray.data.aggregate import Count, Sum
 

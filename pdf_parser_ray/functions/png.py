@@ -61,13 +61,20 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("Adam7 interlacing unsupported")
     if color_type not in _CHANNELS:
         raise ValueError(f"bad color type {color_type}")
-    if w <= 0 or h <= 0 or w * h > 64_000_000:
+    # feature-extraction context: refuse oversized images up front (the
+    # left-dependent unfilters iterate per pixel — 8M px ≈ seconds, and a
+    # bigger claim is more likely a malicious header than a real payload)
+    if w <= 0 or h <= 0 or w * h > 8_000_000:
         raise ValueError("bad dimensions")
 
     ch = _CHANNELS[color_type]
     stride = w * ch
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    # bounded inflate: a decompression bomb must fail the length check,
+    # not allocate its full claimed output first
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected or d.decompress(b"", 1):
         raise ValueError("decompressed length mismatch")
 
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -83,21 +90,33 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
             ).reshape(stride)
         elif f == 2:  # Up (uint8 addition wraps mod 256 per spec)
             cur = line + prev
-        elif f == 3:  # Average
-            cur = np.empty(stride, dtype=np.uint8)
-            for x in range(stride):
-                left = int(cur[x - ch]) if x >= ch else 0
-                cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            cur = np.empty(stride, dtype=np.uint8)
-            for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0
-                b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
-                p = a + b - c
-                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
-                cur[x] = (int(line[x]) + pred) & 0xFF
+        elif f == 3:  # Average — per-pixel loop, vectorized across channels
+            lp = line.reshape(w, ch).astype(np.int16)
+            up = prev.reshape(w, ch).astype(np.int16)
+            rec = np.empty((w, ch), dtype=np.int16)
+            left = np.zeros(ch, dtype=np.int16)
+            for x in range(w):
+                left = (lp[x] + ((left + up[x]) >> 1)) & 0xFF
+                rec[x] = left
+            cur = rec.astype(np.uint8).reshape(stride)
+        elif f == 4:  # Paeth — per-pixel loop, vectorized across channels
+            lp = line.reshape(w, ch).astype(np.int16)
+            up = prev.reshape(w, ch).astype(np.int16)
+            rec = np.empty((w, ch), dtype=np.int16)
+            left = np.zeros(ch, dtype=np.int16)
+            upleft = np.zeros(ch, dtype=np.int16)
+            for x in range(w):
+                p = left + up[x] - upleft
+                pa_ = np.abs(p - left)
+                pb = np.abs(p - up[x])
+                pc_ = np.abs(p - upleft)
+                pred = np.where(
+                    (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, up[x], upleft)
+                )
+                left = (lp[x] + pred) & 0xFF
+                rec[x] = left
+                upleft = up[x]
+            cur = rec.astype(np.uint8).reshape(stride)
         else:
             raise ValueError(f"bad filter byte {f}")
         out[y] = cur

@@ -16,6 +16,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from pdf_parser_ray.functions.hashing import md5_bucket
+from pdf_parser_ray.functions.tables import schema_pin
 
 # order matters: URLs first (emails can appear inside URLs), then emails,
 # then phone-ish number runs on the already-redacted text
@@ -152,21 +153,15 @@ def _exact_topk(
         agg = agg.sort_values([val_name, key_name], ascending=[False, True]).head(k)
         return agg[[key_name, val_name]]
 
-    out_schema = pa.schema([(key_name, pa.string()), (val_name, pa.int64())])
-
-    def pin(batch: pa.Table) -> pa.Table:
-        # pandas map_groups emits schema-less empty blocks for empty
-        # shuffle partitions; pin so downstream unions/joins see one type
-        if set(out_schema.names) <= set(batch.column_names):
-            return batch.select(out_schema.names).cast(out_schema)
-        return pa.Table.from_pylist([], schema=out_schema)
-
     return (
         ds.select_columns([text_col])
         .map_batches(partials, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(bucket_topk, batch_format="pandas")
-        .map_batches(pin, batch_format="pyarrow")
+        .map_batches(
+            schema_pin(pa.schema([(key_name, pa.string()), (val_name, pa.int64())])),
+            batch_format="pyarrow",
+        )
         .sort([val_name, key_name], descending=[True, False])
         .limit(k)
     )
@@ -430,9 +425,13 @@ def _tfidf_join_path(
     def doc_topk(group: pd.DataFrame) -> pd.DataFrame:
         out_doc, out_tok, out_score = [], [], []
         for doc, g in group.groupby("doc", sort=False):
+            # int(c)/int(df): pandas hands back np.int64, and
+            # round(np.float64, 6) uses numpy's scaled-double rounding —
+            # one ULP off Python's correctly-rounded decimal round at
+            # 6th-decimal boundaries, which would break route equality
             scored = sorted(
                 (
-                    (-round(c * math.log(n_total / df), 6), t_)
+                    (-round(int(c) * math.log(n_total / int(df)), 6), t_)
                     for t_, c, df in zip(g["token"], g["tf"], g["df"])
                 )
             )[:k]
@@ -520,18 +519,21 @@ def pack_shards(
         g = g.assign(shard_id=g["_rb"].astype("int64") * (1 << 32) + local)
         return g[[id_col, "n_tokens", "shard_id"]]
 
-    def pin(batch: pa.Table) -> pa.Table:
-        schema = pa.schema(
-            [(id_col, pa.int64()), ("n_tokens", pa.int64()), ("shard_id", pa.int64())]
-        )
-        if set(schema.names) <= set(batch.column_names):
-            return batch.select(schema.names).cast(schema)
-        return pa.Table.from_pylist([], schema=schema)
-
     return (
         ds.select_columns([id_col, text_col])
         .map_batches(count_tokens, batch_format="pyarrow")
         .groupby("_rb")
         .map_groups(pack, batch_format="pandas")
-        .map_batches(pin, batch_format="pyarrow")
+        .map_batches(
+            schema_pin(
+                pa.schema(
+                    [
+                        (id_col, pa.int64()),
+                        ("n_tokens", pa.int64()),
+                        ("shard_id", pa.int64()),
+                    ]
+                )
+            ),
+            batch_format="pyarrow",
+        )
     )

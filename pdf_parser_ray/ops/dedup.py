@@ -33,6 +33,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from pdf_parser_ray.functions.hashing import md5_64
+from pdf_parser_ray.functions.tables import schema_pin
 
 _MERSENNE = (1 << 61) - 1
 
@@ -174,16 +175,11 @@ def _global_pair_dedupe(
     def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
         return group.drop_duplicates(subset=[col_a, col_b])[list(out_schema.names)]
 
-    def pin(batch: pa.Table) -> pa.Table:
-        if set(out_schema.names) <= set(batch.column_names):
-            return batch.select(out_schema.names).cast(out_schema)
-        return pa.Table.from_pylist([], schema=out_schema)
-
     return (
         pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
         .groupby("_pb")
         .map_groups(dedup_pairs, batch_format="pandas")
-        .map_batches(pin, batch_format="pyarrow")
+        .map_batches(schema_pin(out_schema), batch_format="pyarrow")
     )
 
 
@@ -684,12 +680,7 @@ def embedding_near_dup(
     if n_tables == 1:
         # still pin the schema: pandas map_groups emits schema-less empty
         # blocks that break downstream union/join
-        def pin(batch: pa.Table) -> pa.Table:
-            if set(out_schema.names) <= set(batch.column_names):
-                return batch.select(out_schema.names).cast(out_schema)
-            return pa.Table.from_pylist([], schema=out_schema)
-
-        return candidates.map_batches(pin, batch_format="pyarrow")
+        return candidates.map_batches(schema_pin(out_schema), batch_format="pyarrow")
 
     # the same pair can surface from several tables: coarse-bucket dedupe
     return _global_pair_dedupe(candidates, out_schema)
@@ -992,12 +983,23 @@ def update_band_store(
     else is read back from the store. Changing any MinHash parameter
     invalidates every manifest (the signature no longer matches).
 
+    One store serves ONE corpus: fragments whose key is not in the current
+    file list are pruned (their documents are no longer part of the corpus,
+    and ghost band rows would otherwise generate dead candidate pairs on
+    every run and grow the store without bound).
+
     Returns {"files_total", "files_hashed_now", "files_skipped_resume"}.
     """
     from pdf_parser_ray.state.checkpoint import _write_json_atomic
 
     os.makedirs(os.path.join(store_dir, "bands"), exist_ok=True)
     os.makedirs(os.path.join(store_dir, "_manifest"), exist_ok=True)
+    live_keys = {_band_store_key(p) for p in files}
+    for man in glob.glob(os.path.join(store_dir, "_manifest", "*.json")):
+        key = os.path.splitext(os.path.basename(man))[0]
+        if key not in live_keys:
+            os.remove(man)
+            shutil.rmtree(os.path.join(store_dir, "bands", key), ignore_errors=True)
     stats = {
         "files_total": len(files),
         "files_hashed_now": 0,
@@ -1008,7 +1010,9 @@ def update_band_store(
         sig = {
             "path": os.path.abspath(path),
             "size": st.st_size,
-            "mtime": int(st.st_mtime),
+            # nanosecond mtime: a same-size rewrite within the same second
+            # must not be mistaken for the already-hashed fragment
+            "mtime_ns": st.st_mtime_ns,
             "num_perm": num_perm,
             "band_size": band_size,
             "shingle_size": shingle_size,

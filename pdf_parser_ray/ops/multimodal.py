@@ -215,7 +215,7 @@ class MediaDecoder:
 
             try:
                 w, h, pixels = decode_png(payload)
-            except (ValueError, zlib.error, struct_error, IndexError):
+            except (ValueError, zlib.error, struct_error, IndexError, MemoryError):
                 return {
                     "width": 0,
                     "height": 0,

@@ -187,18 +187,17 @@ def fragmented_doc_ids(
         agg = group.groupby("doc_id", as_index=False)["n"].sum()
         return agg[agg["n"] > 1][["doc_id", "n"]]
 
-    def pin(batch: pa.Table) -> pa.Table:
-        schema = pa.schema([("doc_id", pa.string()), ("n", pa.int64())])
-        if set(schema.names) <= set(batch.column_names):
-            return batch.select(schema.names).cast(schema)
-        return pa.Table.from_pylist([], schema=schema)
+    from pdf_parser_ray.functions.tables import schema_pin
 
     return (
         ds.select_columns([id_col])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(dups, batch_format="pandas")
-        .map_batches(pin, batch_format="pyarrow")
+        .map_batches(
+            schema_pin(pa.schema([("doc_id", pa.string()), ("n", pa.int64())])),
+            batch_format="pyarrow",
+        )
     )
 
 
@@ -248,39 +247,43 @@ def extract_hybrid(
     document fragmented across corpus rows would have its fragments
     assembled independently (duplicate doc_id results). Enforcement:
     extract_fused always raises on a duplicate doc_id within a batch (free,
-    catches adjacent fragments, the common writer pattern);
-    ``strict_fragment_check=True`` additionally runs the exact distributed
-    id-count pass (:func:`fragmented_doc_ids`) before any wrong row can be
-    produced, and ``on_fragments`` picks the policy:
+    catches adjacent fragments, the common writer pattern), and
+    ``on_fragments`` picks the corpus-wide policy:
 
-    - ``"raise"`` (default): fail loudly — the caller chose the wrong API.
-    - ``"route"``: self-heal — the fragmented doc_ids (at 100 TB, writers
-      WILL split giant documents across storage blocks) detour through
-      :func:`extract`, whose groupby merges fragments; whole-doc rows keep
-      the map-only fast path. Output is identical to running the whole
-      corpus through ``extract()``. The fragmented id set broadcasts via
-      ray.put — it is the giant-doc tail (bounded fraction of docs), never
-      corpus-sized; a corpus fragmented wholesale belongs on ``extract()``.
+    - ``"raise"`` (default): with ``strict_fragment_check=True``, run the
+      exact distributed id-count pass (:func:`fragmented_doc_ids`) and
+      fail loudly before any wrong row is produced.
+    - ``"route"``: self-heal — ALWAYS runs the census (a routing request
+      without it would silently emit duplicate doc_id rows): the
+      fragmented doc_ids (at 100 TB, writers WILL split giant documents
+      across storage blocks) detour through :func:`extract`, whose
+      groupby merges fragments; whole-doc rows keep the map-only fast
+      path. Output is identical to running the whole corpus through
+      ``extract()``. The fragmented id set broadcasts via ray.put — it is
+      the giant-doc tail (bounded fraction of docs), never corpus-sized;
+      a corpus fragmented wholesale belongs on ``extract()``.
     """
 
     def make():
         return corpus_factory() if callable(corpus_factory) else corpus_factory
 
+    if on_fragments not in ("raise", "route"):
+        raise ValueError(
+            f"on_fragments must be 'raise' or 'route', got {on_fragments!r}"
+        )
+
     frag_ref = None
-    if strict_fragment_check:
-        if on_fragments == "route":
-            frag_ids = {
-                r["doc_id"]
-                for r in fragmented_doc_ids(make())
-                .select_columns(["doc_id"])
-                .take_all()
-            }
-            if frag_ids:
-                frag_ref = ray.put(frag_ids)
-        elif on_fragments == "raise":
-            assert_whole_doc_rows(make())
-        else:
-            raise ValueError(f"on_fragments must be 'raise' or 'route', got {on_fragments!r}")
+    if on_fragments == "route":
+        # routing implies the census — a routing request without the exact
+        # id-count pass would silently produce duplicate doc_id rows
+        frag_ids = sorted(
+            r["doc_id"]
+            for r in fragmented_doc_ids(make()).select_columns(["doc_id"]).take_all()
+        )
+        if frag_ids:
+            frag_ref = ray.put(pa.array(frag_ids, pa.string()))
+    elif strict_fragment_check:
+        assert_whole_doc_rows(make())
 
     def only(ds: ray.data.Dataset, fragmented: bool) -> ray.data.Dataset:
         if frag_ref is None:
@@ -288,10 +291,11 @@ def extract_hybrid(
 
         def f(batch: pa.Table, *, _ref=frag_ref) -> pa.Table:
             members = ray.get(_ref)  # plasma: one copy per node
-            ids = pa.compute.cast(batch["doc_id"], pa.string()).to_pylist()
-            return batch.filter(
-                pa.array([(i in members) == fragmented for i in ids])
-            )
+            ids = pa.compute.cast(batch["doc_id"], pa.string())
+            mask = pa.compute.is_in(ids, value_set=members)
+            if not fragmented:
+                mask = pa.compute.invert(mask)
+            return batch.filter(mask)
 
         return ds.map_batches(f, batch_format="pyarrow")
 
