@@ -318,6 +318,23 @@ def _q_knn_ivf_indexed(sf_dir: str):
     return knn_ivf_index(index_dir, _query_vector(sf_dir), k=10, n_probe=16)
 
 
+def _q_knn_join(sf_dir: str):
+    """Multi-query brute-force kNN: the query MATRIX (first 8 vectors)
+    broadcasts once, every corpus batch emits local per-query top-k."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pdf_parser_ray.ops.similarity import knn_join
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mask = pc.less(t["vec_id"], pa.scalar(8, pa.int64()))
+    qt = t.filter(mask)
+    queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_pylist()
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_join(ds, queries, qids, k=5)
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means (deterministic init, fixed iterations)
     -> cluster sizes. Iterative ML fitting: no SQL oracle (the driver
@@ -743,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _q_knn,
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_indexed": _q_knn_ivf_indexed,
+        "knn_join": _q_knn_join,
         "kmeans_clusters": _q_kmeans_clusters,
         # relational engine surface
         "pricing_summary": _q_pricing,
@@ -1187,6 +1205,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cosine "
             "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
             "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+        # multi-query kNN: cross join + per-query ROW_NUMBER cut
+        "knn_join": (
+            "SELECT query_id, vec_id, cosine FROM ("
+            "  SELECT q.vec_id AS query_id, e.vec_id, "
+            "    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "      CAST(q.embedding AS DOUBLE[])), 6) AS cosine, "
+            "    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+            "      ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "        CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rn "
+            "  FROM embeddings e CROSS JOIN "
+            "    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q"
+            ") WHERE rn <= 5"
         ),
         # exact all-pairs near-dup: compare on the ROUNDED cosine so the
         # >= cut can never straddle a 6th-decimal boundary differently

@@ -158,6 +158,11 @@ def run_secondary() -> dict[str, float]:
         "top_ngrams",
         "approx_distinct",
         "tfidf_top_terms",
+        # round-3 operator families
+        "knn_join",
+        "minhash_dedup_resumable",
+        "media_features_png",
+        "price_quantiles_routed",
     ]
     out: dict[str, float] = {}
     for name in chosen:

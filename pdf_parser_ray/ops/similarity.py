@@ -67,6 +67,94 @@ def knn_bruteforce(
     return partials.sort(["cosine", id_col], descending=[True, False]).limit(k)
 
 
+def knn_join(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Batch kNN: the exact top-k corpus neighbors for EVERY row of a
+    query matrix — the brute-force multi-query baseline the single-query
+    :func:`knn_bruteforce` generalizes from.
+
+    Scale shape: the (q x d) query matrix broadcasts ONCE via ray.put
+    (never re-shipped per batch); each corpus batch does one matmul and
+    emits its LOCAL per-query top-k (≤ q*k rows per batch regardless of
+    batch size); one groupby(query_id) merges the partials. Same
+    (rounded-cosine desc, id asc) determinism contract as the other kNN
+    ops, so the cross-join + ROW_NUMBER SQL oracle matches exactly.
+
+    Returns (query_id, id_col, cosine) rows, k per query."""
+    import pandas as pd
+
+    q_mat = np.asarray(queries, dtype=np.float64)
+    norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    ref = ray.put((q_mat / norms, np.asarray(query_ids)))
+
+    class LocalTopK:
+        def __init__(self, ref, k: int):
+            self.q, self.qids = ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            ids = np.asarray(batch[id_col].to_pylist())
+            if len(ids) == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        id_col: pa.array([], batch[id_col].type),
+                        "cosine": pa.array([], pa.float64()),
+                    }
+                )
+            sims = np.round(_unit(vecs) @ self.q.T, 6)  # (n, q)
+            out_q, out_id, out_s = [], [], []
+            for j in range(sims.shape[1]):
+                order = np.lexsort((ids, -sims[:, j]))[: self.k]
+                out_q.extend([self.qids[j]] * len(order))
+                out_id.extend(ids[order])
+                out_s.extend(sims[order, j])
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q),
+                    id_col: pa.array(out_id),
+                    "cosine": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["cosine", id_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return g[["query_id", id_col, "cosine"]]
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        LocalTopK,
+        fn_constructor_kwargs={"ref": ref, "k": k},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    from pdf_parser_ray.functions.tables import schema_pin
+
+    try:
+        id_type = ds.schema().base_schema.field(id_col).type
+    except Exception:
+        id_type = pa.int64()
+    out_schema = pa.schema(
+        [("query_id", pa.int64()), (id_col, id_type), ("cosine", pa.float64())]
+    )
+    return (
+        partials.groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+        .map_batches(schema_pin(out_schema), batch_format="pyarrow")
+        .sort(["query_id", "cosine", id_col], descending=[False, True, False])
+    )
+
+
 def _min_id_rows(
     ds: ray.data.Dataset, n: int, id_col: str, vec_col: str
 ) -> list:

@@ -1036,6 +1036,30 @@ def test_tfidf_handles_sentinel_lookalike_token(ray_session):
     assert set(out[out.doc_id == 1].token) >= {"\x00__n_docs__"}
 
 
+def test_knn_join_matches_per_query_bruteforce(ray_session):
+    """Batch kNN must equal running single-query knn_bruteforce per query
+    (same ids, same rounded cosines, same tie-breaks)."""
+    rng = np.random.RandomState(5)
+    vecs = rng.standard_normal((60, 8))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(60)]
+    ).repartition(4)
+    qids = [3, 11, 40]
+    out = (
+        similarity.knn_join(ds, vecs[qids], qids, k=4)
+        .to_pandas()
+        .sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(qids) * 4
+    for q in qids:
+        single = similarity.knn_bruteforce(ds, vecs[q], k=4).to_pandas()
+        got = out[out.query_id == q].reset_index(drop=True)
+        assert list(got.vec_id) == list(single.vec_id)
+        assert list(got.cosine) == list(single.cosine)
+        assert got.vec_id.iloc[0] == q  # self is its own nearest neighbor
+
+
 def test_kmeans_recovers_blobs(ray_session):
     rng = np.random.RandomState(11)
     a = rng.standard_normal((60, 8)) + 10.0
