@@ -300,7 +300,8 @@ def _q_knn_ivf_indexed(sf_dir: str):
             with open(os.path.join(index_dir, "meta.json")) as f:
                 meta = _json.load(f)
             return (
-                meta.get("n_centroids") == 16
+                isinstance(meta, dict)
+                and meta.get("n_centroids") == 16
                 and os.path.exists(os.path.join(index_dir, "centroids.npy"))
                 and bool(_glob.glob(os.path.join(index_dir, "lists", "*", "*.parquet")))
             )
@@ -326,9 +327,12 @@ def _q_knn_join(sf_dir: str):
 
     from pdf_parser_ray.ops.similarity import knn_join
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    mask = pc.less(t["vec_id"], pa.scalar(8, pa.int64()))
-    qt = t.filter(mask)
+    # row-group predicate pushdown: the driver keeps 8 rows, never the table
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 8)],
+    )
     queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
     qids = qt["vec_id"].to_pylist()
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")

@@ -23,11 +23,16 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+def decode_png(
+    payload: bytes, max_pixels: int = 64_000_000
+) -> tuple[int, int, np.ndarray]:
     """(width, height, flat uint8 pixel array) from a baseline PNG.
 
     Palette images are expanded to RGB. Raises ValueError (or zlib.error)
-    on anything malformed or outside the supported baseline."""
+    on anything malformed or outside the supported baseline.
+    ``max_pixels`` bounds accepted dimensions — batch feature-extraction
+    callers pass a lower cap because the left-dependent unfilters iterate
+    per pixel."""
     if payload[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG signature")
     i = 8
@@ -61,20 +66,18 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("Adam7 interlacing unsupported")
     if color_type not in _CHANNELS:
         raise ValueError(f"bad color type {color_type}")
-    # feature-extraction context: refuse oversized images up front (the
-    # left-dependent unfilters iterate per pixel — 8M px ≈ seconds, and a
-    # bigger claim is more likely a malicious header than a real payload)
-    if w <= 0 or h <= 0 or w * h > 8_000_000:
+    if w <= 0 or h <= 0 or w * h > max_pixels:
         raise ValueError("bad dimensions")
 
     ch = _CHANNELS[color_type]
     stride = w * ch
     expected = h * (stride + 1)
     # bounded inflate: a decompression bomb must fail the length check,
-    # not allocate its full claimed output first
+    # not allocate its full claimed output first; d.eof keeps the
+    # end-of-stream + adler32 verification a plain zlib.decompress gives
     d = zlib.decompressobj()
     raw = d.decompress(b"".join(idat), expected + 1)
-    if len(raw) != expected or d.decompress(b"", 1):
+    if len(raw) != expected or not d.eof:
         raise ValueError("decompressed length mismatch")
 
     out = np.zeros((h, stride), dtype=np.uint8)

@@ -1000,6 +1000,11 @@ def update_band_store(
         if key not in live_keys:
             os.remove(man)
             shutil.rmtree(os.path.join(store_dir, "bands", key), ignore_errors=True)
+    # ALSO prune orphan band dirs (a crash in the write-bands-then-manifest
+    # window leaves a dir with no manifest; read_band_store globs bands/*)
+    for band_dir in glob.glob(os.path.join(store_dir, "bands", "*")):
+        if os.path.basename(band_dir) not in live_keys:
+            shutil.rmtree(band_dir, ignore_errors=True)
     stats = {
         "files_total": len(files),
         "files_hashed_now": 0,

@@ -214,8 +214,11 @@ class MediaDecoder:
             from pdf_parser_ray.functions.png import decode_png
 
             try:
-                w, h, pixels = decode_png(payload)
-            except (ValueError, zlib.error, struct_error, IndexError, MemoryError):
+                # 8M-px cap for this batch stage: the left-dependent
+                # unfilters iterate per pixel, and a bigger claim in this
+                # corpus is a malformed header, not a real payload
+                w, h, pixels = decode_png(payload, max_pixels=8_000_000)
+            except (ValueError, zlib.error, struct_error, IndexError):
                 return {
                     "width": 0,
                     "height": 0,

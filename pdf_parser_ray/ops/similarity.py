@@ -74,6 +74,7 @@ def knn_join(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    id_type: "pa.DataType | None" = None,
 ) -> ray.data.Dataset:
     """Batch kNN: the exact top-k corpus neighbors for EVERY row of a
     query matrix — the brute-force multi-query baseline the single-query
@@ -140,10 +141,15 @@ def knn_join(
     )
     from pdf_parser_ray.functions.tables import schema_pin
 
-    try:
-        id_type = ds.schema().base_schema.field(id_col).type
-    except Exception:
-        id_type = pa.int64()
+    if id_type is None:
+        # metadata-only for file reads; pass id_type explicitly when the
+        # upstream is a UDF pipeline (schema() would execute part of it)
+        try:
+            id_type = ds.schema().base_schema.field(id_col).type
+        except Exception as exc:
+            raise ValueError(
+                f"could not infer the {id_col!r} column type; pass id_type="
+            ) from exc
     out_schema = pa.schema(
         [("query_id", pa.int64()), (id_col, id_type), ("cosine", pa.float64())]
     )
