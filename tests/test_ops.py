@@ -912,6 +912,38 @@ def test_tfidf_join_path_equals_broadcast(ray_session):
     assert got.doc_id.dtype == want.doc_id.dtype
 
 
+def test_tfidf_join_path_adversarial_route_equality(ray_session):
+    """Route equality under adversarial inputs: unicode tokens, repeated
+    whitespace, planted score TIES (tie-break by token must agree across
+    routes), shared tokens across many docs, multi-block partitioning."""
+    rng = np.random.RandomState(13)
+    vocab = (
+        ["café", "naïve", "中文", "x" * 80, "a", "b.c", "0"]
+        + [f"tok{i}" for i in range(40)]
+    )
+    rows = []
+    for i in range(60):
+        n = rng.randint(1, 30)
+        toks = [vocab[j] for j in rng.randint(0, len(vocab), size=n)]
+        # planted tie: two distinct tokens with identical tf in the same doc
+        if i % 7 == 0:
+            toks += ["tie_a", "tie_b"]
+        sep = "  " if i % 3 else "\t\n "
+        rows.append({"doc_id": i, "text": sep.join(toks)})
+    ds = ray.data.from_items(rows).repartition(5)
+    key = ["doc_id", "token"]
+    from pdf_parser_ray.ops.curation import tfidf_top_terms
+
+    want = tfidf_top_terms(ds, k=4).to_pandas().sort_values(key).reset_index(drop=True)
+    got = (
+        tfidf_top_terms(ds, k=4, broadcast_max_vocab=0)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_tfidf_join_path_string_ids_and_empty_text(ray_session):
     from pdf_parser_ray.ops.curation import tfidf_top_terms
 
