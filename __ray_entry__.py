@@ -187,6 +187,17 @@ def _q_exact_dedup(sf_dir: str):
     return exact_dedup(ds)
 
 
+def _q_exact_dedup_ids(sf_dir: str):
+    """Hash-only exact dedup (kept-id set; text never shuffles) — the
+    100-TB path beside exact_dedup's text-comparing variant."""
+    import ray.data
+
+    from pdf_parser_ray.ops.dedup import exact_dedup_ids
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup_ids(ds)
+
+
 def _q_minhash_pairs(sf_dir: str):
     import ray.data
 
@@ -753,6 +764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         # dedup
         "exact_dedup": _q_exact_dedup,
+        "exact_dedup_ids": _q_exact_dedup_ids,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -1051,6 +1063,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text"
+        ),
+        "exact_dedup_ids": (
+            "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
         "extract_stats": _EXTRACT_BASE_SQL + (
             " SELECT d.doc_id, d.p AS total_pages, d.p AS pages_with_text, "

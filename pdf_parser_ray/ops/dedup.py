@@ -75,6 +75,61 @@ def exact_dedup(
     )
 
 
+def exact_dedup_ids(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Scale path of :func:`exact_dedup`: the kept (min-id-per-distinct-
+    text) id SET, shuffling only (digest, id) rows — document text never
+    leaves its block.
+
+    Equality key = the full 128-bit md5 (hex), domain-separated so a null
+    text can never merge with the empty string (SQL GROUP BY keeps NULL
+    its own group). Collision math: P(any collision) ≈ n²/2¹²⁹ — under
+    1e-18 even at 10¹² documents, vs exact_dedup which additionally
+    compares the real text inside each group (and therefore ships it
+    through the shuffle). Per-batch pre-aggregation (min id per digest)
+    bounds shuffle rows at distinct-texts-per-batch."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = pc.cast(batch[text_col], pa.string()).to_pylist()
+        ids = batch[id_col].to_pylist()
+        best: dict = {}
+        for i, t in zip(ids, texts):
+            d = (
+                hashlib.md5(b"\x01" + t.encode()).hexdigest()
+                if t is not None
+                else hashlib.md5(b"\x00").hexdigest()
+            )
+            prev = best.get(d)
+            if prev is None or i < prev:
+                best[d] = i
+        digests = list(best)
+        return pa.table(
+            {
+                "h": pa.array(digests, pa.string()),
+                id_col: pa.array([best[d] for d in digests], type=batch[id_col].type),
+                "_b": pa.array(
+                    [int(d[:4], 16) % _DEDUP_BUCKETS for d in digests], pa.int64()
+                ),
+            }
+        )
+
+    def min_per_digest(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby("h", as_index=False)[id_col].min()[[id_col]]
+
+    try:
+        id_type = ds.schema().base_schema.field(id_col).type
+    except Exception:
+        id_type = pa.int64()
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(min_per_digest, batch_format="pandas")
+        .map_batches(schema_pin(pa.schema([(id_col, id_type)])), batch_format="pyarrow")
+    )
+
+
 # ---- MinHash + LSH --------------------------------------------------------
 
 

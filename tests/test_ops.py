@@ -32,6 +32,25 @@ def test_exact_dedup(docs_with_dups):
     assert "a1" in set(out.doc_id) and "a2" not in set(out.doc_id)
 
 
+def test_exact_dedup_ids_matches_text_route(ray_session, docs_with_dups):
+    """The hash-only id route keeps exactly the ids the text-comparing
+    route keeps — including the null-vs-empty-text distinction (SQL
+    GROUP BY keeps NULL its own group)."""
+    want = sorted(dedup.exact_dedup(docs_with_dups).to_pandas().doc_id)
+    got = sorted(dedup.exact_dedup_ids(docs_with_dups).to_pandas().doc_id)
+    assert got == want
+
+    rows = [
+        {"doc_id": 1, "text": None},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": None},  # dup of 1, NOT of 2
+        {"doc_id": 4, "text": ""},  # dup of 2
+    ]
+    ds = ray.data.from_items(rows)
+    got2 = sorted(dedup.exact_dedup_ids(ds).to_pandas().doc_id)
+    assert got2 == [1, 2]
+
+
 def test_minhash_finds_planted_near_dup(docs_with_dups):
     pairs = dedup.minhash_candidate_pairs(docs_with_dups, num_perm=64, band_size=4)
     verified = dedup.verify_pairs_jaccard(pairs, docs_with_dups, threshold=0.5).to_pandas()
