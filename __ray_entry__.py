@@ -17,6 +17,18 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# driver-run hygiene: drop the benign "new schema: ." warning Ray 2.49
+# emits for schema-less empty blocks (a logging filter, no Ray state —
+# safe at import; the driver owns ray.init)
+try:
+    import ray.data  # noqa: F401 — run its logging dictConfig FIRST (it
+    # resets child loggers, wiping filters installed before it)
+    from pdf_parser_ray.pipelines.steps import _silence_empty_block_schema_warning
+
+    _silence_empty_block_schema_warning()
+except Exception:  # pragma: no cover — never block the driver on logging
+    pass
+
 
 def _round_cols(ds, cols: dict[str, int]):
     """Round float columns so Ray and DuckDB value-hashes agree despite
@@ -206,6 +218,18 @@ def _q_minhash_pairs(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     pairs = minhash_candidate_pairs(ds)
     return verify_pairs_jaccard(pairs, ds, threshold=0.8)
+
+
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # exact inverted-index all-pairs (superset of the MinHash-verified set:
+    # no banding recall loss); threshold 0.6 exercises the partial-sum path
+    # on pairs the 0.8 MinHash family never surfaces
+    return ngram_jaccard_pairs(ds, threshold=0.6)
 
 
 def _q_simhash(sf_dir: str):
@@ -766,6 +790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "exact_dedup_ids": _q_exact_dedup_ids,
         "minhash_pairs": _q_minhash_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1406,6 +1431,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_pairs": _minhash_base_sql()
         + "SELECT doc_a, doc_b, round_even(j, 6) AS jaccard FROM verified WHERE j >= 0.8",
+        # exact inverted-index Jaccard: same shingle CTE as the MinHash
+        # oracle, but pairs come from sharing >=1 shingle (posting-list
+        # self-join) — no banding. The op intersects 64-bit shingle
+        # hashes; the oracle intersects the strings (identical absent
+        # md5_64 collisions). Filter on the unrounded ratio, round_even
+        # in the SELECT — the op's Python round() is half-even too.
+        "ngram_jaccard_pairs": (
+            "WITH toks AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "regexp_extract_all(lower(text), '\\S+') AS tk FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) = 0 THEN [] "
+            "WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')] "
+            "ELSE list_transform(range(len(tk)-4), i -> "
+            "array_to_string(list_slice(tk, i+1, i+5), ' ')) END) AS sgl FROM toks), "
+            "posts AS (SELECT doc_id, len(sgl) AS sz, unnest(sgl) AS g FROM sh), "
+            "cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "MIN(a.sz) AS sz_a, MIN(b.sz) AS sz_b, COUNT(*) AS inter "
+            "FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id "
+            "GROUP BY a.doc_id, b.doc_id) "
+            "SELECT doc_a, doc_b, "
+            "round_even(inter::DOUBLE / (sz_a + sz_b - inter), 6) AS jaccard "
+            "FROM cand WHERE inter::DOUBLE / (sz_a + sz_b - inter) >= 0.6"
+        ),
         "minhash_dedup": _minhash_base_sql()
         + (
             "SELECT doc_id FROM documents "

@@ -310,19 +310,160 @@ def pairs_from_band_rows(bands: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def _word_ngrams(t: str, n: int) -> set[str]:
+    """Distinct word n-gram set — the one shingle convention shared by
+    MinHasher, the Jaccard verify, and the inverted-index pipeline
+    (< n tokens collapse to a single joined shingle, empty -> empty set)."""
+    tokens = (t or "").lower().split()
+    if len(tokens) < n:
+        return {" ".join(tokens)} if tokens else set()
+    return {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
+
+
 def ngram_jaccard(text_a: str, text_b: str, n: int = 5) -> float:
     """Exact word n-gram Jaccard similarity (the verify step after LSH)."""
-
-    def grams(t: str) -> set[str]:
-        tokens = (t or "").lower().split()
-        if len(tokens) < n:
-            return {" ".join(tokens)} if tokens else set()
-        return {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
-
-    ga, gb = grams(text_a), grams(text_b)
+    ga, gb = _word_ngrams(text_a, n), _word_ngrams(text_b, n)
     if not ga or not gb:
         return 0.0
     return len(ga & gb) / len(ga | gb)
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    n: int = 5,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: Optional[int] = None,
+) -> ray.data.Dataset:
+    """EXACT all-pairs n-gram Jaccard via a distributed inverted index —
+    the non-probabilistic sibling of the MinHash pipeline (no banding
+    recall loss; every pair with true Jaccard >= ``threshold`` is found).
+
+    Stages (text never leaves stage 1; both shuffles move hashes + ids):
+
+    1. map_batches: per doc the DISTINCT shingle set (`_word_ngrams`,
+       same convention as MinHasher), exploded to postings rows
+       (gram_hash, doc_id, set_size).
+    2. groupby coarse gram-hash buckets: inside a bucket every posting of
+       a gram is present, so df==1 grams drop losslessly and a vectorized
+       self-merge yields per-pair intersection PARTIALS, pre-aggregated
+       (one row per pair per bucket) before the next shuffle.
+    3. re-bucket on the pair, sum partials -> exact |A∩B|; jaccard =
+       inter / (|A| + |B| - inter); keep pairs >= threshold.
+
+    ``max_df`` drops grams whose posting list exceeds it — the standard
+    hot-shingle guard at web scale (a boilerplate gram in d docs emits
+    d²/2 pair partials); None (default) = exact. With a cap the result
+    may miss pairs whose overlap is ONLY boilerplate — document-level
+    recall for genuinely near-duplicate pages is unaffected in practice.
+
+    Jaccard is computed over 64-bit gram hashes (|sets| and intersections
+    both), so a cross-doc hash collision is self-consistent; collision
+    odds per corpus are ~n_grams²/2⁶⁵.
+    """
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = pc.cast(batch[text_col], pa.string()).to_pylist()
+        out_g, out_doc, out_sz = [], [], []
+        for doc, t in zip(ids, texts):
+            hashes = {md5_64(g) for g in _word_ngrams(t, n)}
+            for gh in hashes:
+                out_g.append(gh)
+                out_doc.append(str(doc))
+                out_sz.append(len(hashes))
+        return pa.table(
+            {
+                "gh": pa.array(out_g, pa.int64()),
+                "doc": pa.array(out_doc, pa.string()),
+                "sz": pa.array(out_sz, pa.int64()),
+                "_b": pa.array([g % _DEDUP_BUCKETS for g in out_g], pa.int64()),
+            }
+        )
+
+    _PARTIAL_COLS = ["doc_a", "doc_b", "sz_a", "sz_b", "inter"]
+
+    def pair_partials(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["gh", "doc", "sz"]]
+        counts = g.groupby("gh")["doc"].transform("size")
+        keep = counts > 1
+        if max_df is not None:
+            keep &= counts <= max_df
+        g = g[keep]
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype=str),
+                    "doc_b": pd.Series([], dtype=str),
+                    "sz_a": pd.Series([], dtype="int64"),
+                    "sz_b": pd.Series([], dtype="int64"),
+                    "inter": pd.Series([], dtype="int64"),
+                }
+            )
+        m = g.merge(g, on="gh")
+        m = m[m.doc_x < m.doc_y]
+        part = (
+            m.groupby(["doc_x", "doc_y", "sz_x", "sz_y"], as_index=False)
+            .size()
+            .rename(
+                columns={
+                    "doc_x": "doc_a",
+                    "doc_y": "doc_b",
+                    "sz_x": "sz_a",
+                    "sz_y": "sz_b",
+                    "size": "inter",
+                }
+            )
+        )
+        return part[_PARTIAL_COLS]
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        keys = [
+            h % _DEDUP_BUCKETS
+            for h in _md5_64(
+                [
+                    f"{a}|{b}"
+                    for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist())
+                ]
+            )
+        ]
+        return batch.append_column("_pb", pa.array(keys, pa.int64()))
+
+    def finalize(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby(["doc_a", "doc_b", "sz_a", "sz_b"], as_index=False)[
+            "inter"
+        ].sum()
+        union = agg["sz_a"] + agg["sz_b"] - agg["inter"]
+        j = agg["inter"] / union
+        # filter on the UNROUNDED value (SQL-oracle parity: WHERE j >= t
+        # wraps round_even(j, 6) in the SELECT), round via Python float —
+        # round(np.float64, 6) disagrees with round(float, 6) at ties
+        keep = j >= threshold
+        agg = agg.loc[keep].copy()
+        agg["jaccard"] = [round(float(v), 6) for v in j[keep]]
+        return agg[["doc_a", "doc_b", "jaccard"]]
+
+    partial_schema = pa.schema(
+        [
+            ("doc_a", pa.string()),
+            ("doc_b", pa.string()),
+            ("sz_a", pa.int64()),
+            ("sz_b", pa.int64()),
+            ("inter", pa.int64()),
+        ]
+    )
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(postings, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(pair_partials, batch_format="pandas")
+        .map_batches(schema_pin(partial_schema), batch_format="pyarrow")
+        .map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(finalize, batch_format="pandas")
+        .map_batches(schema_pin(_VERIFIED_SCHEMA), batch_format="pyarrow")
+    )
 
 
 _VERIFIED_SCHEMA = pa.schema(

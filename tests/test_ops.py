@@ -66,6 +66,48 @@ def test_ngram_jaccard_scalar():
     assert dedup.ngram_jaccard("", "") == 0.0
 
 
+def test_ngram_jaccard_pairs_exact_all_pairs(docs_with_dups):
+    """The inverted-index pipeline equals brute-force scalar Jaccard on
+    every pair above threshold — it is EXACT, so it is also a superset of
+    the MinHash-verified pair set at the same threshold."""
+    out = dedup.ngram_jaccard_pairs(docs_with_dups, threshold=0.3).to_pandas()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out.itertuples()}
+
+    rows = docs_with_dups.to_pandas()
+    want = {}
+    for i in range(len(rows)):
+        for k in range(i + 1, len(rows)):
+            a, b = rows.iloc[i], rows.iloc[k]
+            pair = tuple(sorted((a.doc_id, b.doc_id)))
+            j = dedup.ngram_jaccard(a.text, b.text)
+            if j >= 0.3:
+                want[pair] = round(float(j), 6)
+    assert got == want
+    assert ("a1", "a2") in got and got[("a1", "a2")] == 1.0
+
+    mh = dedup.verify_pairs_jaccard(
+        dedup.minhash_candidate_pairs(docs_with_dups), docs_with_dups, threshold=0.3
+    ).to_pandas()
+    assert {(r.doc_a, r.doc_b) for r in mh.itertuples()} <= set(got)
+
+
+def test_ngram_jaccard_pairs_max_df_guard(ray_session):
+    """max_df drops hot grams: two docs overlapping ONLY via a gram shared
+    by every doc lose that pair; genuinely near-dup pairs survive."""
+    boiler = "copyright footer boilerplate navigation menu"
+    rows = [
+        {"doc_id": f"p{i}", "text": f"unique body {i} " * 3 + boiler}
+        for i in range(6)
+    ]
+    rows.append({"doc_id": "q1", "text": "real duplicate content sentence here body"})
+    rows.append({"doc_id": "q2", "text": "real duplicate content sentence here body"})
+    ds = ray.data.from_items(rows)
+    capped = dedup.ngram_jaccard_pairs(ds, threshold=0.05, max_df=3).to_pandas()
+    pairs = {(r.doc_a, r.doc_b) for r in capped.itertuples()}
+    assert ("q1", "q2") in pairs
+    assert not any(a.startswith("p") for a, _ in pairs)
+
+
 def test_simhash_near_for_similar(docs_with_dups):
     out = dedup.simhash_table(docs_with_dups).to_pandas().set_index("doc_id")
     assert out.loc["a1", "simhash"] == out.loc["a2", "simhash"]
