@@ -232,6 +232,55 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(ds, threshold=0.6)
 
 
+def _split_documents(sf_dir: str):
+    """Deterministic train/test split of the documents table: doc_id % 10
+    == 0 is the held-out side (used by the cross-corpus queries so the op
+    and the SQL oracle agree on the exact same partition)."""
+    import ray.data
+
+    def side(held_out: bool):
+        def f(batch):
+            m = (batch["doc_id"].to_numpy(zero_copy_only=False) % 10) == 0
+            return batch.filter(pa.array(m if held_out else ~m))
+
+        return f
+
+    def read():
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+    held = read().map_batches(side(True), batch_format="pyarrow")
+    rest = read().map_batches(side(False), batch_format="pyarrow")
+    return held, rest
+
+
+def _q_contamination_check(sf_dir: str):
+    from pdf_parser_ray.ops.crosscorpus import contamination_scores
+
+    test, train = _split_documents(sf_dir)
+    return contamination_scores(test, train, n=5)
+
+
+def _q_bloom_novel_docs(sf_dir: str):
+    from pdf_parser_ray.ops.crosscorpus import bloom_filter_novel
+
+    cand, ref = _split_documents(sf_dir)
+    return bloom_filter_novel(cand, ref, m_bits=1 << 20, k=4)
+
+
+def _q_gopher_rules(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.text_analysis import gopher_rules
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # min_stop_hits=1: the synthetic corpus carries only "the" from the
+    # required-stopword bank, so the Gopher default (2) would zero the
+    # keep flag for every doc and the gate would never exercise it
+    return gopher_rules(ds, min_stop_hits=1)
+
+
 def _q_simhash(sf_dir: str):
     import ray.data
 
@@ -792,6 +841,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "simhash": _q_simhash,
+        # cross-corpus
+        "contamination_check": _q_contamination_check,
+        "bloom_novel_docs": _q_bloom_novel_docs,
+        "gopher_rules": _q_gopher_rules,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -1452,6 +1505,84 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_a, doc_b, "
             "round_even(inter::DOUBLE / (sz_a + sz_b - inter), 6) AS jaccard "
             "FROM cand WHERE inter::DOUBLE / (sz_a + sz_b - inter) >= 0.6"
+        ),
+        # cross-corpus contamination: same shingle CTE; train side is the
+        # distinct gram universe, hits counted per test doc. The op hits on
+        # 64-bit gram hashes, the oracle on strings (identical absent
+        # md5_64 collisions). SUM is HUGEINT in DuckDB -> CAST to BIGINT.
+        "contamination_check": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '\\S+') AS tk FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) = 0 THEN [] "
+            "WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')] "
+            "ELSE list_transform(range(len(tk)-4), i -> "
+            "array_to_string(list_slice(tk, i+1, i+5), ' ')) END) AS sgl FROM toks), "
+            "train AS (SELECT DISTINCT unnest(sgl) AS g FROM sh WHERE doc_id % 10 <> 0), "
+            "test AS (SELECT doc_id, len(sgl) AS sz, unnest(sgl) AS g "
+            "FROM sh WHERE doc_id % 10 = 0), "
+            "hits AS (SELECT doc_id, MIN(sz) AS sz, "
+            "SUM(CASE WHEN g IN (SELECT g FROM train) THEN 1 ELSE 0 END) AS h "
+            "FROM test GROUP BY doc_id) "
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(sz AS BIGINT) AS n_grams, "
+            "CAST(h AS BIGINT) AS n_hits, round_even(h::DOUBLE / sz, 6) AS contamination "
+            "FROM hits"
+        ),
+        # Bloom membership replayed exactly: double-hash bases from the
+        # domain-separated md5 (chr(1)||text / chr(0) for NULL —
+        # crosscorpus._bloom_hashes), k=4 probe positions per doc; novel =
+        # some probed position set by NO reference doc. FPs (all 4
+        # positions covered by other texts) are deterministic, so the
+        # oracle reproduces them too.
+        "bloom_novel_docs": (
+            "WITH keyed AS (SELECT doc_id, CASE WHEN text IS NULL THEN chr(0) "
+            "ELSE chr(1) || text END AS kt FROM documents), "
+            "h AS (SELECT doc_id, "
+            "CAST(('0x'||substr(md5(kt),1,16))::UBIGINT % 1048576 AS BIGINT) AS h1, "
+            "CAST(('0x'||substr(md5(kt),17,16))::UBIGINT % 1048576 AS BIGINT) AS h2 "
+            "FROM keyed), "
+            "refpos AS (SELECT DISTINCT (h1 + i.range * h2) % 1048576 AS pos "
+            "FROM h, range(4) i WHERE doc_id % 10 <> 0), "
+            "cand AS (SELECT doc_id, (h1 + i.range * h2) % 1048576 AS pos "
+            "FROM h, range(4) i WHERE doc_id % 10 = 0) "
+            "SELECT doc_id, BOOL_OR(pos NOT IN (SELECT pos FROM refpos)) AS novel "
+            "FROM cand GROUP BY doc_id"
+        ),
+        # Gopher rules: every counter is one RE2 regexp over the text —
+        # the exact patterns the op's Arrow count_substring_regex kernels
+        # compile (both are RE2, so counts match by construction). keep
+        # compares UNROUNDED double ratios on both sides.
+        "gopher_rules": (
+            "WITH c AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents), "
+            "n AS (SELECT doc_id, "
+            "len(regexp_extract_all(t, '\\S+'))::DOUBLE AS nw, "
+            "len(regexp_extract_all(t, '\\S'))::DOUBLE AS nsc, "
+            "(len(regexp_extract_all(t, '#')) + "
+            "len(regexp_extract_all(t, '\\.\\.\\.|…')))::DOUBLE AS nsym, "
+            "len(regexp_extract_all(t, '\\S*[A-Za-z]\\S*'))::DOUBLE AS naw, "
+            "(len(regexp_extract_all(t, chr(10))) + 1)::DOUBLE AS nl, "
+            "len(regexp_extract_all(t, '(?:^|' || chr(10) || ')[ \\t]*[-*•]'))::DOUBLE AS nb, "
+            "len(regexp_extract_all(t, '(?:\\.\\.\\.|…)[ \\t]*(?:' || chr(10) || '|$)'))::DOUBLE AS ne, "
+            + "".join(
+                f"(CASE WHEN regexp_matches(lower(t), '\\b{w}\\b') THEN 1 ELSE 0 END) + "
+                for w in ("the", "be", "to", "of", "and", "that", "have")
+            )
+            + "(CASE WHEN regexp_matches(lower(t), '\\bwith\\b') THEN 1 ELSE 0 END) AS nstop "
+            "FROM c), "
+            "r AS (SELECT doc_id, nw, nstop, "
+            "CASE WHEN nw > 0 THEN nsc / GREATEST(nw, 1.0) ELSE 0.0 END AS mwl, "
+            "CASE WHEN nw > 0 THEN nsym / GREATEST(nw, 1.0) ELSE 0.0 END AS symr, "
+            "CASE WHEN nw > 0 THEN naw / GREATEST(nw, 1.0) ELSE 0.0 END AS af, "
+            "nb / nl AS bf, ne / nl AS ef FROM n) "
+            "SELECT doc_id, CAST(nw AS BIGINT) AS n_words, "
+            "round_even(mwl, 6) AS mean_word_len, "
+            "round_even(symr, 6) AS symbol_ratio, "
+            "round_even(af, 6) AS frac_alpha_words, "
+            "round_even(bf, 6) AS frac_bullet_lines, "
+            "round_even(ef, 6) AS frac_ellipsis_lines, "
+            "CAST(nstop AS BIGINT) AS n_stop_hits, "
+            "(nw >= 50 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0 "
+            "AND symr <= 0.1 AND bf < 0.9 AND ef < 0.3 AND af >= 0.8 "
+            "AND nstop >= 1) AS keep FROM r"
         ),
         "minhash_dedup": _minhash_base_sql()
         + (

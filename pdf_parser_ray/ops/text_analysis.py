@@ -208,3 +208,92 @@ def heading_strategy_stats(
         .aggregate(Sum("n", alias_name="n_lines"))
         .sort("strategy")
     )
+
+
+# ---- Gopher-style quality rules -------------------------------------------
+
+# the required-stopword bank from the Gopher rule set (Rae et al. 2021,
+# "Scaling Language Models" §A1.1 — public)
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop_hits: int = 2,
+) -> ray.data.Dataset:
+    """Gopher-style document quality rules as explicit per-doc columns plus
+    a composite ``keep`` flag — the rule-based sibling of the weighted
+    :func:`quality_score`.
+
+    Rules (Rae et al. 2021 §A1.1): word count in [min_words, max_words];
+    mean word length in [3, 10]; symbol-to-word ratio (#, ellipsis)
+    <= 0.1; < 90% of lines bullet-started; < 30% of lines
+    ellipsis-ended; >= 80% of words contain an alphabetic character;
+    >= 2 distinct required stopwords present.
+
+    Every counter is ONE Arrow ``count_substring_regex`` / boolean kernel
+    over the batch (RE2 — semantically identical to DuckDB's
+    ``regexp_extract_all``, which is what makes the op hash-oracle-able).
+    Rule comparisons use the UNROUNDED double ratios; the reported ratio
+    columns round half-even (Python round op-side, ``round_even``
+    SQL-side — the integer-ratio convention from the dedup family).
+    Null text coalesces to '' (one empty line, zero words, keep=false).
+    """
+
+    def rules(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        f = lambda arr: arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        n_words = f(pc.count_substring_regex(text, r"\S+"))
+        n_schars = f(pc.count_substring_regex(text, r"\S"))
+        n_sym = f(pc.count_substring(text, "#")) + f(
+            pc.count_substring_regex(text, r"\.\.\.|…")
+        )
+        n_alpha_w = f(pc.count_substring_regex(text, r"\S*[A-Za-z]\S*"))
+        n_lines = f(pc.count_substring(text, "\n")) + 1.0
+        n_bullet = f(pc.count_substring_regex(text, r"(?:^|\n)[ \t]*[-*•]"))
+        n_ell_end = f(pc.count_substring_regex(text, r"(?:\.\.\.|…)[ \t]*(?:\n|$)"))
+        n_stop = np.zeros(len(n_words), dtype=np.int64)
+        low = pc.utf8_lower(text)
+        for w in _GOPHER_STOPWORDS:
+            n_stop += (
+                pc.match_substring_regex(low, rf"\b{w}\b")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+
+        words_safe = np.maximum(n_words, 1.0)
+        mwl = np.where(n_words > 0, n_schars / words_safe, 0.0)
+        sym_ratio = np.where(n_words > 0, n_sym / words_safe, 0.0)
+        alpha_frac = np.where(n_words > 0, n_alpha_w / words_safe, 0.0)
+        bullet_frac = n_bullet / n_lines
+        ell_frac = n_ell_end / n_lines
+        keep = (
+            (n_words >= min_words)
+            & (n_words <= max_words)
+            & (mwl >= 3.0)
+            & (mwl <= 10.0)
+            & (sym_ratio <= 0.1)
+            & (bullet_frac < 0.9)
+            & (ell_frac < 0.3)
+            & (alpha_frac >= 0.8)
+            & (n_stop >= min_stop_hits)
+        )
+        r6 = lambda xs: pa.array([round(float(x), 6) for x in xs], pa.float64())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words.astype(np.int64)),
+                "mean_word_len": r6(mwl),
+                "symbol_ratio": r6(sym_ratio),
+                "frac_alpha_words": r6(alpha_frac),
+                "frac_bullet_lines": r6(bullet_frac),
+                "frac_ellipsis_lines": r6(ell_frac),
+                "n_stop_hits": pa.array(n_stop),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return ds.map_batches(rules, batch_format="pyarrow")

@@ -1310,3 +1310,166 @@ def test_pack_shards_null_doc_id(ray_session):
     )
     out = pack_shards(ds, token_budget=10, range_size=100).to_pandas()
     assert sorted(out.doc_id) == [0, 2]  # null-id row dropped, no crash
+
+
+# ---- cross-corpus ---------------------------------------------------------
+
+
+def test_contamination_scores_planted(ray_session):
+    from pdf_parser_ray.ops import crosscorpus
+
+    train = ray.data.from_items(
+        [
+            {"doc_id": 100, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+            {"doc_id": 101, "text": "one two three four five six seven eight nine"},
+        ]
+    )
+    test = ray.data.from_items(
+        [
+            # exact copy of a train doc -> every gram contaminated
+            {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+            # no 5-gram shared with train (different word order kills all)
+            {"doc_id": 2, "text": "theta eta zeta epsilon delta gamma beta alpha"},
+            # empty shingle set -> omitted from output entirely
+            {"doc_id": 3, "text": ""},
+            {"doc_id": 4, "text": None},
+        ]
+    )
+    out = (
+        crosscorpus.contamination_scores(test, train, n=5)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert set(out.index) == {"1", "2"}
+    assert out.loc["1", "contamination"] == 1.0
+    assert out.loc["1", "n_grams"] == out.loc["1", "n_hits"] == 4
+    assert out.loc["2", "contamination"] == 0.0 and out.loc["2", "n_hits"] == 0
+
+
+def test_contamination_scores_partial_overlap(ray_session):
+    from pdf_parser_ray.ops import crosscorpus
+    from pdf_parser_ray.ops.dedup import _word_ngrams
+
+    train_text = "the quick brown fox jumps over the lazy dog tonight"
+    test_text = "the quick brown fox jumps straight into the cold river water"
+    train = ray.data.from_items([{"doc_id": 0, "text": train_text}])
+    test = ray.data.from_items([{"doc_id": 1, "text": test_text}])
+    out = crosscorpus.contamination_scores(test, train, n=5).to_pandas()
+    grams_test = _word_ngrams(test_text, 5)
+    hits = len(grams_test & _word_ngrams(train_text, 5))
+    assert out.loc[0, "n_grams"] == len(grams_test)
+    assert out.loc[0, "n_hits"] == hits == 1  # only "the quick brown fox jumps"
+    assert out.loc[0, "contamination"] == round(hits / len(grams_test), 6)
+
+
+def test_bloom_filter_novel_membership(ray_session):
+    from pdf_parser_ray.ops import crosscorpus
+
+    ref = ray.data.from_items(
+        [{"doc_id": i, "text": f"reference document number {i}"} for i in range(20)]
+    )
+    cand = ray.data.from_items(
+        [
+            {"doc_id": 100, "text": "reference document number 7"},  # exact member
+            {"doc_id": 101, "text": "a wholly novel candidate text"},
+            {"doc_id": 102, "text": "reference document number 21"},  # near miss
+        ]
+    )
+    out = (
+        crosscorpus.bloom_filter_novel(cand, ref, m_bits=1 << 16, k=4)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # no false negatives ever: the exact member MUST be flagged not-novel
+    assert not out.loc[100, "novel"]
+    assert bool(out.loc[101, "novel"]) and bool(out.loc[102, "novel"])
+
+
+def test_bloom_filter_null_vs_empty_text(ray_session):
+    """Domain separation: a null reference text must not claim the empty
+    string (and vice versa) — distinct md5 keys chr(0) vs chr(1)."""
+    from pdf_parser_ray.ops import crosscorpus
+
+    ref = ray.data.from_items([{"doc_id": 0, "text": None}])
+    cand = ray.data.from_items(
+        [{"doc_id": 1, "text": ""}, {"doc_id": 2, "text": None}]
+    )
+    out = (
+        crosscorpus.bloom_filter_novel(cand, ref, m_bits=1 << 12, k=4)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert bool(out.loc[1, "novel"])  # '' is NOT the null text
+    assert not out.loc[2, "novel"]  # null matches null
+
+
+def test_bloom_filter_false_positives_deterministic(ray_session):
+    """With a deliberately tiny filter, false positives appear — and match
+    a brute-force replay of the probe positions exactly (the determinism
+    that makes the op hash-oracle-able)."""
+    import numpy as np
+
+    from pdf_parser_ray.ops import crosscorpus
+
+    m, k = 512, 4
+    ref_rows = [{"doc_id": i, "text": f"ref text {i}"} for i in range(300)]
+    cand_rows = [{"doc_id": 1000 + i, "text": f"cand text {i}"} for i in range(40)]
+    out = (
+        crosscorpus.bloom_filter_novel(
+            ray.data.from_items(cand_rows),
+            ray.data.from_items(ref_rows),
+            m_bits=m,
+            k=k,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    set_bits = set()
+    for r in ref_rows:
+        h1, h2 = crosscorpus._bloom_hashes(r["text"], m)
+        set_bits.update(crosscorpus._positions(h1, h2, k, m))
+    expect_fp = 0
+    for r in cand_rows:
+        h1, h2 = crosscorpus._bloom_hashes(r["text"], m)
+        maybe = all(p in set_bits for p in crosscorpus._positions(h1, h2, k, m))
+        assert bool(out.loc[r["doc_id"], "novel"]) == (not maybe)
+        expect_fp += maybe
+    assert expect_fp > 0  # the tiny filter really does produce FPs
+    assert 0 < np.count_nonzero(
+        np.unpackbits(crosscorpus.build_bloom_filter(
+            ray.data.from_items(ref_rows), m, k
+        ))
+    ) <= len(set_bits)
+
+
+def test_gopher_rules_each_rule(ray_session):
+    from pdf_parser_ray.ops import text_analysis
+
+    good = "the fine words flow onward with quiet measure and " + " ".join(
+        f"token{i}" for i in range(60)
+    )
+    rows = [
+        {"doc_id": 0, "text": good},
+        {"doc_id": 1, "text": "too short with the and"},  # word-count rule
+        {"doc_id": 2, "text": ("a " * 80) + "the with"},  # mean word len < 3
+        {"doc_id": 3, "text": good + " " + "#" * 1 * 40},  # symbol ratio
+        {"doc_id": 4, "text": "the with\n" + "\n".join(f"- b{i} x" for i in range(30))},
+        {"doc_id": 5, "text": "the with start\n" + "\n".join(f"line {i} trails off...." for i in range(30))},
+        {"doc_id": 6, "text": "the with " + " ".join("123456" for _ in range(60))},  # alpha frac
+        {"doc_id": 7, "text": " ".join(f"blargle{i} flimflam" for i in range(40))},  # no stopwords
+        {"doc_id": 8, "text": None},  # null -> zero words, keep false
+    ]
+    out = (
+        text_analysis.gopher_rules(ray.data.from_items(rows), min_stop_hits=2)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert bool(out.loc[0, "keep"])
+    for i in range(1, 9):
+        assert not out.loc[i, "keep"], f"doc {i} should fail"
+    assert out.loc[1, "n_words"] == 5
+    assert out.loc[4, "frac_bullet_lines"] >= 0.9
+    assert out.loc[5, "frac_ellipsis_lines"] >= 0.3
+    assert out.loc[6, "frac_alpha_words"] < 0.8
+    assert out.loc[7, "n_stop_hits"] == 0
+    assert out.loc[8, "n_words"] == 0 and out.loc[8, "mean_word_len"] == 0.0
