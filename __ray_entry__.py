@@ -17,17 +17,20 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# driver-run hygiene: drop the benign "new schema: ." warning Ray 2.49
-# emits for schema-less empty blocks (a logging filter, no Ray state —
-# safe at import; the driver owns ray.init)
-try:
-    import ray.data  # noqa: F401 — run its logging dictConfig FIRST (it
-    # resets child loggers, wiping filters installed before it)
-    from pdf_parser_ray.pipelines.steps import _silence_empty_block_schema_warning
+def _install_log_hygiene() -> None:
+    """Drop the benign "new schema: ." warning Ray 2.49 emits for
+    schema-less empty blocks. Must run AFTER ray.data's logging dictConfig
+    (it resets child loggers, wiping earlier filters) — so this is called
+    lazily from entry() and each query callable, NOT at module import:
+    importing this module must stay cheap for consumers that only want the
+    oracle_sql() strings and never touch Ray."""
+    try:
+        import ray.data  # noqa: F401 — runs its logging dictConfig first
+        from pdf_parser_ray.pipelines.steps import _silence_empty_block_schema_warning
 
-    _silence_empty_block_schema_warning()
-except Exception:  # pragma: no cover — never block the driver on logging
-    pass
+        _silence_empty_block_schema_warning()
+    except Exception:  # pragma: no cover — never block the driver on logging
+        pass
 
 
 def _round_cols(ds, cols: dict[str, int]):
@@ -70,6 +73,7 @@ def entry() -> Any:
     """Flagship: documents -> span corpus -> render/assemble shuffle ->
     per-doc result; returns the north-invariant (doc_id, spans) table plus
     count columns."""
+    _install_log_hygiene()
     from pdf_parser_ray.pipelines import extract
     from pdf_parser_ray.sources import corpus_from_documents
 
@@ -822,7 +826,17 @@ def _q_media_features_png(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    return {
+    import functools
+
+    def hygienic(fn):
+        @functools.wraps(fn)
+        def wrapped(sf_dir: str):
+            _install_log_hygiene()
+            return fn(sf_dir)
+
+        return wrapped
+
+    raw = {
         # flagship extraction family
         "extract_doc_pages": _q_extract_doc_pages,
         "extract_stats": _q_extract_stats,
@@ -897,6 +911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus-level validation report (reference step 5)
         "validation_summary": _q_validation_summary,
     }
+    return {k: hygienic(v) for k, v in raw.items()}
 
 
 # FNV-1a 32-bit over the stringified doc_id — the synthgen page-media hash

@@ -38,11 +38,8 @@ import ray.data
 
 from pdf_parser_ray.functions.hashing import md5_64
 from pdf_parser_ray.functions.tables import schema_pin
-from pdf_parser_ray.ops.dedup import _word_ngrams
-
-# coarse shuffle-key cardinality — same sizing rationale as
-# dedup._DEDUP_BUCKETS (tiny-group overhead vs per-bucket memory)
-_BUCKETS = 256
+from pdf_parser_ray.ops.dedup import _DEDUP_BUCKETS as _BUCKETS
+from pdf_parser_ray.ops.dedup import shingle_hash_sets
 
 _CONTAM_SCHEMA = pa.schema(
     [
@@ -100,8 +97,8 @@ def contamination_scores(
     def train_postings(batch: pa.Table) -> pa.Table:
         texts = pc.cast(batch[text_col], pa.string()).to_pylist()
         hashes: set[int] = set()
-        for t in texts:
-            hashes.update(md5_64(g) for g in _word_ngrams(t, n))
+        for s in shingle_hash_sets(texts, n):
+            hashes.update(s)
         gh = list(hashes)
         return pa.table(
             {
@@ -117,8 +114,7 @@ def contamination_scores(
         ids = batch[id_col].to_pylist()
         texts = pc.cast(batch[text_col], pa.string()).to_pylist()
         out_g, out_doc, out_sz = [], [], []
-        for doc, t in zip(ids, texts):
-            hashes = {md5_64(g) for g in _word_ngrams(t, n)}
+        for doc, hashes in zip(ids, shingle_hash_sets(texts, n)):
             for gh in hashes:
                 out_g.append(gh)
                 out_doc.append(str(doc))
@@ -229,8 +225,15 @@ def build_bloom_filter(
     batch), one groupby on the position's slice of bit-space packs each
     slice locally, and the driver assembles ``_BLOOM_SLICES`` rows
     totalling m_bits/8 bytes — the take_all here is on a reduction-sized
-    result by construction."""
-    slice_bits = -(-m_bits // _BLOOM_SLICES)
+    result by construction.
+
+    ``m_bits`` must be a multiple of 8·``_BLOOM_SLICES`` (any power of two
+    ≥ 2⁹) so every slice packs to whole bytes — validated HERE, not just in
+    the novel-filter wrapper: a misaligned slice would silently overwrite
+    its neighbour's first byte and break the no-false-negative contract."""
+    if m_bits % (8 * _BLOOM_SLICES):
+        raise ValueError(f"m_bits must be a multiple of {8 * _BLOOM_SLICES}")
+    slice_bits = m_bits // _BLOOM_SLICES
 
     def positions(batch: pa.Table) -> pa.Table:
         texts = pc.cast(batch[text_col], pa.string()).to_pylist()
@@ -260,13 +263,13 @@ def build_bloom_filter(
         .map_groups(pack_slice, batch_format="pandas")
         .take_all()
     )
-    bitmap = np.zeros(_BLOOM_SLICES * slice_bits // 8, dtype=np.uint8)
+    bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
     slice_bytes = slice_bits // 8
     for row in rows:
         sid = int(row["slice_id"])
         buf = np.frombuffer(row["bits"], dtype=np.uint8)
         bitmap[sid * slice_bytes : sid * slice_bytes + len(buf)] = buf
-    return bitmap[: m_bits // 8]
+    return bitmap
 
 
 def bloom_filter_novel(
@@ -285,9 +288,8 @@ def bloom_filter_novel(
     flagged not-novel) occurs iff all k probed bits happen to be set,
     P ≈ (set_bits/m)^k — and is DETERMINISTIC given the corpus and
     (m_bits, k), which is what makes the op hash-oracle-able. Size m at
-    ~10 bits per expected distinct reference text for ~1% FP."""
-    if m_bits % (8 * _BLOOM_SLICES):
-        raise ValueError(f"m_bits must be a multiple of {8 * _BLOOM_SLICES}")
+    ~10 bits per expected distinct reference text for ~1% FP.
+    ``m_bits`` alignment is validated by :func:`build_bloom_filter`."""
     bitmap_ref = ray.put(build_bloom_filter(ref_ds, m_bits, k, text_col))
 
     class Probe:

@@ -100,9 +100,14 @@ def exact_dedup_ids(
                 if t is not None
                 else hashlib.md5(b"\x00").hexdigest()
             )
-            prev = best.get(d)
-            if prev is None or i < prev:
+            # SQL MIN semantics: a null id never wins over a non-null one;
+            # a digest seen only with null ids keeps None (-> NULL row)
+            if d not in best:
                 best[d] = i
+            else:
+                prev = best[d]
+                if i is not None and (prev is None or i < prev):
+                    best[d] = i
         digests = list(best)
         return pa.table(
             {
@@ -115,7 +120,19 @@ def exact_dedup_ids(
         )
 
     def min_per_digest(group: pd.DataFrame) -> pd.DataFrame:
-        return group.groupby("h", as_index=False)[id_col].min()[[id_col]]
+        if not group[id_col].isna().any():
+            return group.groupby("h", as_index=False)[id_col].min()[[id_col]]
+
+        # null-id route (rare): SQL MIN skips NULLs; an all-null digest
+        # emits a NULL row. Kept off the hot path — groupby.min on an
+        # all-null object/float group would raise or NaN-poison the
+        # downstream int cast.
+        def safe_min(s: pd.Series):
+            nn = s.dropna()
+            return nn.min() if len(nn) else None
+
+        agg = group.groupby("h", as_index=False)[id_col].agg(safe_min)
+        return agg[[id_col]].astype(object).where(agg[[id_col]].notna(), None)
 
     try:
         id_type = ds.schema().base_schema.field(id_col).type
@@ -158,16 +175,13 @@ class MinHasher:
         self.shingle_size = shingle_size
 
     def signature(self, text: str) -> Optional[np.ndarray]:
-        tokens = (text or "").lower().split()
-        k = self.shingle_size
-        if len(tokens) < k:
-            shingles = [" ".join(tokens)] if tokens else []
-        else:
-            shingles = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+        # one shingle convention for the whole dedup family (_word_ngrams);
+        # the ngram_jaccard_pairs superset test relies on the sharing
+        shingles = _word_ngrams(text, self.shingle_size)
         if not shingles:
             return None
         base = np.array(
-            [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") % self._P for s in set(shingles)],
+            [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") % self._P for s in shingles],
             dtype=np.int64,
         )
         # (num_perm, n_shingles) universal hash, min over shingles
@@ -320,6 +334,14 @@ def _word_ngrams(t: str, n: int) -> set[str]:
     return {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
 
 
+def shingle_hash_sets(texts: list, n: int) -> "list[set[int]]":
+    """Per-text distinct 64-bit shingle-hash sets (md5_64 over
+    :func:`_word_ngrams`) — the postings builder shared by
+    :func:`ngram_jaccard_pairs` and the cross-corpus contamination op
+    (one place to change the posting convention for both families)."""
+    return [{md5_64(g) for g in _word_ngrams(t, n)} for t in texts]
+
+
 def ngram_jaccard(text_a: str, text_b: str, n: int = 5) -> float:
     """Exact word n-gram Jaccard similarity (the verify step after LSH)."""
     ga, gb = _word_ngrams(text_a, n), _word_ngrams(text_b, n)
@@ -367,8 +389,7 @@ def ngram_jaccard_pairs(
         ids = batch[id_col].to_pylist()
         texts = pc.cast(batch[text_col], pa.string()).to_pylist()
         out_g, out_doc, out_sz = [], [], []
-        for doc, t in zip(ids, texts):
-            hashes = {md5_64(g) for g in _word_ngrams(t, n)}
+        for doc, hashes in zip(ids, shingle_hash_sets(texts, n)):
             for gh in hashes:
                 out_g.append(gh)
                 out_doc.append(str(doc))

@@ -1473,3 +1473,20 @@ def test_gopher_rules_each_rule(ray_session):
     assert out.loc[6, "frac_alpha_words"] < 0.8
     assert out.loc[7, "n_stop_hits"] == 0
     assert out.loc[8, "n_words"] == 0 and out.loc[8, "mean_word_len"] == 0.0
+
+
+def test_exact_dedup_ids_null_id(ray_session):
+    """SQL MIN semantics for null ids: a null id never wins over a
+    non-null one; an all-null-id text keeps a single NULL row (review
+    finding: the old comparison raised TypeError on None < int)."""
+    rows = [
+        {"doc_id": 5, "text": "x"},
+        {"doc_id": None, "text": "x"},   # loses to 5 regardless of order
+        {"doc_id": None, "text": "only nulls"},
+        {"doc_id": 2, "text": "y"},
+    ]
+    out = dedup.exact_dedup_ids(ray.data.from_items(rows)).take_all()
+    got = sorted(
+        (r["doc_id"] for r in out), key=lambda v: (v is None, v if v is not None else 0)
+    )
+    assert got == [2, 5, None]
