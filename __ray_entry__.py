@@ -273,6 +273,26 @@ def _q_bloom_novel_docs(sf_dir: str):
     return bloom_filter_novel(cand, ref, m_bits=1 << 20, k=4)
 
 
+def _q_chunk_documents(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.curation import chunk_documents
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # window 40 / stride 30: the synthetic docs run 10-99 words, so longer
+    # docs fan out to 2-3 overlapping chunks and short ones stay whole
+    return chunk_documents(ds, window=40, stride=30)
+
+
+def _q_normalize_text(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.curation import normalize_text
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return normalize_text(ds)
+
+
 def _q_gopher_rules(sf_dir: str):
     import ray.data
 
@@ -859,6 +879,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_check": _q_contamination_check,
         "bloom_novel_docs": _q_bloom_novel_docs,
         "gopher_rules": _q_gopher_rules,
+        "chunk_documents": _q_chunk_documents,
+        "normalize_text": _q_normalize_text,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -1561,6 +1583,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM h, range(4) i WHERE doc_id % 10 = 0) "
             "SELECT doc_id, BOOL_OR(pos NOT IN (SELECT pos FROM refpos)) AS novel "
             "FROM cand GROUP BY doc_id"
+        ),
+        # context-window chunking: the chunk rule (i*stride start, tail
+        # chunk always emitted, whitespace-normalized rejoin) replayed
+        # over regexp_extract_all token lists
+        "chunk_documents": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk "
+            "FROM documents), "
+            "n AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0), "
+            "c AS (SELECT doc_id, tk, n, CASE WHEN n <= 40 THEN 1 "
+            "ELSE 1 + CAST(CEIL((n - 40) / 30.0) AS BIGINT) END AS nc FROM n), "
+            "e AS (SELECT doc_id, tk, n, unnest(range(nc)) AS i FROM c) "
+            "SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, "
+            "CAST(LEAST(i*30 + 40, n) - i*30 AS BIGINT) AS n_tokens, "
+            "array_to_string(list_slice(tk, i*30 + 1, LEAST(i*30 + 40, n)), ' ') "
+            "AS chunk_text FROM e"
+        ),
+        # normalization: both sides are RE2 regexp_replace; trim is the
+        # '^ | $' regex, NOT TRIM() (SQL TRIM strips only ASCII spaces)
+        "normalize_text": (
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'), "
+            "'^ | $', '', 'g') AS norm_text, "
+            "LENGTH(regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'), "
+            "'^ | $', '', 'g')) AS n_chars "
+            "FROM documents"
         ),
         # Gopher rules: every counter is one RE2 regexp over the text —
         # the exact patterns the op's Arrow count_substring_regex kernels

@@ -163,6 +163,11 @@ def run_secondary() -> dict[str, float]:
         "minhash_dedup_resumable",
         "media_features_png",
         "price_quantiles_routed",
+        # cross-corpus + rule-filter family
+        "ngram_jaccard_pairs",
+        "contamination_check",
+        "bloom_novel_docs",
+        "gopher_rules",
     ]
     out: dict[str, float] = {}
     for name in chosen:

@@ -537,3 +537,90 @@ def pack_shards(
             batch_format="pyarrow",
         )
     )
+
+
+# ---- context-window chunking ----------------------------------------------
+
+
+def chunk_documents(
+    ds: ray.data.Dataset,
+    window: int = 256,
+    stride: int = 192,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Split each document into overlapping token windows — the
+    context-window packing step before tokenization/training.
+
+    Chunk rule (deterministic, SQL-expressible): tokens = whitespace
+    split; chunk i covers tokens [i*stride, min(i*stride + window, n));
+    n_chunks = 1 for 0 < n <= window, else 1 + ceil((n - window) /
+    stride) — so the final chunk always covers the tail and no chunk is
+    empty. Docs with no tokens emit no rows. ``chunk_text`` re-joins
+    with single spaces (the split-rejoin normalizes whitespace — the
+    oracle's array_to_string does the same).
+
+    A pure map stage: no shuffle, each batch fans out to its own chunk
+    rows (flat_map shape inside one map_batches), so it streams at any
+    corpus size. ``stride < window`` gives overlap; ``stride == window``
+    gives disjoint chunks.
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = pc.cast(batch[text_col], pa.string()).to_pylist()
+        out_id, out_ck, out_nt, out_tx = [], [], [], []
+        for doc, t in zip(ids, texts):
+            toks = (t or "").split()
+            n = len(toks)
+            if n == 0:
+                continue
+            n_chunks = 1 if n <= window else 1 + -(-(n - window) // stride)
+            for i in range(n_chunks):
+                lo = i * stride
+                hi = min(lo + window, n)
+                out_id.append(doc)
+                out_ck.append(i)
+                out_nt.append(hi - lo)
+                out_tx.append(" ".join(toks[lo:hi]))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, type=batch[id_col].type),
+                "chunk_id": pa.array(out_ck, pa.int64()),
+                "n_tokens": pa.array(out_nt, pa.int64()),
+                "chunk_text": pa.array(out_tx, pa.string()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        chunks, batch_format="pyarrow"
+    )
+
+
+def normalize_text(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Canonical text normalization: lowercase, collapse every whitespace
+    run to one space, strip the ends. Three RE2/utf8 Arrow kernels per
+    batch — byte-identical to the DuckDB regexp_replace oracle (both
+    engines are RE2; trim is done by regex, NOT TRIM(), because SQL TRIM
+    strips only ASCII spaces while the collapse step has already turned
+    all whitespace into spaces). Null text stays null.
+    """
+
+    def norm(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch[text_col], pa.string())
+        low = pc.utf8_lower(text)
+        collapsed = pc.replace_substring_regex(low, r"\s+", " ")
+        stripped = pc.replace_substring_regex(collapsed, r"^ | $", "")
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "norm_text": stripped,
+                "n_chars": pc.cast(pc.utf8_length(stripped), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")

@@ -1490,3 +1490,72 @@ def test_exact_dedup_ids_null_id(ray_session):
         (r["doc_id"] for r in out), key=lambda v: (v is None, v if v is not None else 0)
     )
     assert got == [2, 5, None]
+
+
+def test_chunk_documents_rule(ray_session):
+    from pdf_parser_ray.ops import curation
+
+    text_12 = " ".join(f"w{i}" for i in range(12))
+    rows = [
+        {"doc_id": 1, "text": text_12},          # 12 toks, window 5 stride 3
+        {"doc_id": 2, "text": "a b"},            # n <= window -> one chunk
+        {"doc_id": 3, "text": ""},               # no tokens -> no rows
+        {"doc_id": 4, "text": None},
+        {"doc_id": 5, "text": "  x   y  "},      # rejoin normalizes spaces
+    ]
+    out = (
+        curation.chunk_documents(
+            ray.data.from_items(rows), window=5, stride=3
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out.doc_id == 1]
+    # n=12: n_chunks = 1 + ceil(7/3) = 4; starts 0,3,6,9
+    assert list(d1.chunk_id) == [0, 1, 2, 3]
+    assert list(d1.n_tokens) == [5, 5, 5, 3]
+    assert d1.iloc[0].chunk_text == "w0 w1 w2 w3 w4"
+    assert d1.iloc[3].chunk_text == "w9 w10 w11"  # tail chunk covers the end
+    # every token index is covered by at least one chunk
+    covered = set()
+    for _, r in d1.iterrows():
+        covered.update(range(r.chunk_id * 3, r.chunk_id * 3 + r.n_tokens))
+    assert covered == set(range(12))
+    assert list(out[out.doc_id == 2].chunk_text) == ["a b"]
+    assert not set(out.doc_id) & {3, 4}
+    assert list(out[out.doc_id == 5].chunk_text) == ["x y"]
+
+
+def test_chunk_documents_disjoint_when_stride_equals_window(ray_session):
+    from pdf_parser_ray.ops import curation
+
+    text = " ".join(f"t{i}" for i in range(10))
+    out = (
+        curation.chunk_documents(
+            ray.data.from_items([{"doc_id": 0, "text": text}]), window=4, stride=4
+        )
+        .to_pandas()
+        .sort_values("chunk_id")
+    )
+    assert list(out.n_tokens) == [4, 4, 2]
+    assert " ".join(out.chunk_text) == text  # exact disjoint partition
+
+
+def test_normalize_text(ray_session):
+    from pdf_parser_ray.ops import curation
+
+    rows = [
+        {"doc_id": 1, "text": "  Hello\t\tWORLD \n again  "},
+        {"doc_id": 2, "text": None},
+        {"doc_id": 3, "text": "   "},
+    ]
+    out = (
+        curation.normalize_text(ray.data.from_items(rows))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "norm_text"] == "hello world again"
+    assert out.loc[1, "n_chars"] == 17
+    assert out.loc[2, "norm_text"] is None or out.loc[2, "norm_text"] != out.loc[2, "norm_text"]  # null stays null
+    assert out.loc[3, "norm_text"] == ""
