@@ -293,6 +293,17 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(ds)
 
 
+def _q_global_rank(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.relational import global_rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return global_rank(ds, score_col="n_chars", id_col="doc_id", descending=True)
+
+
 def _q_gopher_rules(sf_dir: str):
     import ray.data
 
@@ -881,6 +892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": _q_gopher_rules,
         "chunk_documents": _q_chunk_documents,
         "normalize_text": _q_normalize_text,
+        "global_rank": _q_global_rank,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -1598,6 +1610,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(LEAST(i*30 + 40, n) - i*30 AS BIGINT) AS n_tokens, "
             "array_to_string(list_slice(tk, i*30 + 1, LEAST(i*30 + 40, n)), ' ') "
             "AS chunk_text FROM e"
+        ),
+        # global row-number ranking: rank = histogram-bucket offset +
+        # within-bucket sort index == ROW_NUMBER (score DESC, id); the
+        # percentile goes through printf decimal rounding on both sides
+        "global_rank": (
+            "WITH r AS (SELECT doc_id, n_chars, "
+            "ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rnk, "
+            "COUNT(*) OVER () AS n FROM documents) "
+            "SELECT doc_id, n_chars, CAST(rnk AS BIGINT) AS rank, "
+            "CAST(printf('%.6f', rnk / CAST(n AS DOUBLE)) AS DOUBLE) AS percentile "
+            "FROM r"
         ),
         # normalization: both sides are RE2 regexp_replace; trim is the
         # '^ | $' regex, NOT TRIM() (SQL TRIM strips only ASCII spaces)

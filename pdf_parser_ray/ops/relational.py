@@ -700,3 +700,112 @@ def exact_quantiles(
         v = lo_v + (h - lo) * (hi_v - lo_v)
         out.append({"q": float(q), "value": float(f"{v:.6f}")})
     return ray.data.from_items(out)
+
+
+# ---- global ranking --------------------------------------------------------
+
+
+def global_rank(
+    ds: ray.data.Dataset,
+    score_col: str,
+    id_col: str = "doc_id",
+    descending: bool = True,
+    num_buckets: int = 64,
+    cuts: "list[float] | None" = None,
+) -> ray.data.Dataset:
+    """Global ROW_NUMBER ranking by ``score_col`` (ties broken by
+    ``id_col``), plus the rank/N percentile — the corpus-wide "sort
+    quality scores and keep the top X%" primitive Ray Data has no
+    operator for (no zip-with-index / row-number).
+
+    Distributed shape (histogram + prefix sum): (1) bucketize every row by
+    score range (equal scores ALWAYS share a bucket, so the id
+    tie-break never straddles buckets); (2) tiny per-bucket count
+    groupby -> driver prefix-sums ~num_buckets offsets; (3) groupby
+    bucket, sort WITHIN each bucket, rank = bucket offset + local
+    index. The shuffle moves only (id, score, bucket); each bucket
+    (~N/num_buckets rows) must fit one worker — size ``num_buckets``
+    to the corpus, or pass quantile ``cuts`` (e.g. from
+    :func:`approx_quantiles`) when the score distribution is skewed;
+    default cuts are equal-width between min and max. Null scores rank
+    last (DuckDB's NULLS LAST), ordered by id. ``percentile`` goes
+    through printf-style decimal rounding (``float(f"{x:.6f}")``) for
+    oracle parity.
+    """
+    from pdf_parser_ray.functions.tables import schema_pin
+
+    ds = ds.select_columns([id_col, score_col])
+    if cuts is None:
+        mm = ds.aggregate(Min(score_col, alias_name="lo"), Max(score_col, alias_name="hi"))
+        lo, hi = mm.get("lo"), mm.get("hi")
+        if lo is None or hi is None or float(lo) == float(hi):
+            cuts_arr = np.array([], dtype=np.float64)
+        else:
+            cuts_arr = np.linspace(float(lo), float(hi), num_buckets + 1)[1:-1]
+    else:
+        cuts_arr = np.asarray(sorted(float(c) for c in cuts), dtype=np.float64)
+    null_bucket = len(cuts_arr) + 1  # one past the highest real bucket
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        score = batch[score_col]
+        isnull = pc.is_null(score).to_numpy(zero_copy_only=False)
+        s = pc.fill_null(pc.cast(score, pa.float64()), 0.0).to_numpy(
+            zero_copy_only=False
+        )
+        b = np.searchsorted(cuts_arr, s, side="left").astype(np.int32)
+        b[isnull] = null_bucket
+        return pa.table(
+            {id_col: batch[id_col], score_col: score, "bucket": pa.array(b)}
+        )
+
+    bucketized = ds.map_batches(bucketize, batch_format="pyarrow")
+    counts = bucketized.groupby("bucket").aggregate(Count(alias_name="n")).take_all()
+    by_bucket = {int(r["bucket"]): int(r["n"]) for r in counts}
+    real = sorted(b for b in by_bucket if b != null_bucket)
+    order = (list(reversed(real)) if descending else real) + (
+        [null_bucket] if null_bucket in by_bucket else []
+    )
+    offsets: dict[int, int] = {}
+    total = 0
+    for b in order:
+        offsets[b] = total
+        total += by_bucket[b]
+
+    score_type = ds.schema().base_schema.field(score_col).type
+    id_type = ds.schema().base_schema.field(id_col).type
+    out_schema = pa.schema(
+        [
+            (id_col, id_type),
+            (score_col, score_type),
+            ("rank", pa.int64()),
+            ("percentile", pa.float64()),
+        ]
+    )
+
+    def rank_group(group: pa.Table) -> pa.Table:
+        b = group["bucket"][0].as_py()
+        if b == null_bucket:
+            ordered = group.sort_by([(id_col, "ascending")])
+        else:
+            ordered = group.sort_by(
+                [
+                    (score_col, "descending" if descending else "ascending"),
+                    (id_col, "ascending"),
+                ]
+            )
+        ranks = offsets[b] + 1 + np.arange(ordered.num_rows, dtype=np.int64)
+        pct = [float(f"{r / total:.6f}") for r in ranks]
+        return pa.table(
+            {
+                id_col: ordered[id_col],
+                score_col: ordered[score_col],
+                "rank": pa.array(ranks),
+                "percentile": pa.array(pct, pa.float64()),
+            }
+        )
+
+    return (
+        bucketized.groupby("bucket")
+        .map_groups(rank_group, batch_format="pyarrow")
+        .map_batches(schema_pin(out_schema), batch_format="pyarrow")
+    )

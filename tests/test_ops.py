@@ -1559,3 +1559,83 @@ def test_normalize_text(ray_session):
     assert out.loc[1, "n_chars"] == 17
     assert out.loc[2, "norm_text"] is None or out.loc[2, "norm_text"] != out.loc[2, "norm_text"]  # null stays null
     assert out.loc[3, "norm_text"] == ""
+
+
+def test_global_rank_ties_and_nulls(ray_session):
+    from pdf_parser_ray.ops.relational import global_rank
+
+    rows = [
+        {"doc_id": 3, "s": 10},
+        {"doc_id": 1, "s": 10},
+        {"doc_id": 2, "s": 50},
+        {"doc_id": 4, "s": None},
+        {"doc_id": 5, "s": 7},
+    ]
+    out = (
+        global_rank(
+            ray.data.from_items(rows), "s", id_col="doc_id", num_buckets=4
+        )
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    # DESC, ties by id, nulls last
+    assert list(out.doc_id) == [2, 1, 3, 5, 4]
+    assert list(out["rank"]) == [1, 2, 3, 4, 5]
+    assert out.percentile.iloc[0] == 0.2
+    assert out.percentile.iloc[4] == 1.0
+
+
+def test_global_rank_matches_pandas_many_buckets(ray_session):
+    import numpy as np
+
+    from pdf_parser_ray.ops.relational import global_rank
+
+    rng = np.random.RandomState(7)
+    scores = rng.randint(0, 40, size=300)  # heavy ties across bucket cuts
+    rows = [{"doc_id": int(i), "s": int(s)} for i, s in enumerate(scores)]
+    for desc in (True, False):
+        out = (
+            global_rank(
+                ray.data.from_items(rows),
+                "s",
+                id_col="doc_id",
+                descending=desc,
+                num_buckets=16,
+            )
+            .to_pandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        want = sorted(rows, key=lambda r: (-r["s"] if desc else r["s"], r["doc_id"]))
+        assert list(out.doc_id) == [r["doc_id"] for r in want]
+        assert list(out["rank"]) == list(range(1, 301))
+
+
+def test_global_rank_custom_cuts_equal_scores_share_bucket(ray_session):
+    from pdf_parser_ray.ops.relational import global_rank
+
+    # a cut landing exactly ON a tied score value must not split the tie
+    rows = [{"doc_id": i, "s": s} for i, s in enumerate([5, 10, 10, 15])]
+    out = (
+        global_rank(
+            ray.data.from_items(rows), "s", id_col="doc_id",
+            descending=False, cuts=[10.0],
+        )
+        .to_pandas()
+        .sort_values("rank")
+    )
+    assert list(out.doc_id) == [0, 1, 2, 3]
+    assert list(out["rank"]) == [1, 2, 3, 4]
+
+
+def test_global_rank_constant_scores_single_bucket(ray_session):
+    from pdf_parser_ray.ops.relational import global_rank
+
+    rows = [{"doc_id": i, "s": 9} for i in range(5)]
+    out = (
+        global_rank(ray.data.from_items(rows), "s", id_col="doc_id")
+        .to_pandas()
+        .sort_values("rank")
+    )
+    assert list(out.doc_id) == [0, 1, 2, 3, 4]
