@@ -475,6 +475,20 @@ def _q_kmeans_clusters(sf_dir: str):
     )
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup: kmeans clusters then within-cluster smaller-id cosine
+    drop; threshold 0.4 sits inside the blob-overlap band of the
+    synthetic embeddings so both keep=true and keep=false rows appear."""
+    import ray.data
+
+    from pdf_parser_ray.ops.dedup import semantic_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semantic_dedup(ds, k=8, n_iters=5, threshold=0.4)
+
+
 def _q_minhash_dedup(sf_dir: str):
     import ray.data
 
@@ -904,6 +918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_indexed": _q_knn_ivf_indexed,
         "knn_join": _q_knn_join,
         "kmeans_clusters": _q_kmeans_clusters,
+        "semantic_dedup": _q_semantic_dedup,
         # relational engine surface
         "pricing_summary": _q_pricing,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -1065,7 +1080,7 @@ def _embedding_lsh_sql(
     )
 
 
-def _kmeans_sql(k: int = 8, n_iters: int = 5, dim: int = 64) -> str:
+def _kmeans_asg_sql(k: int = 8, n_iters: int = 5, dim: int = 64) -> str:
     """Lloyd's k-means UNROLLED in SQL (fixed n_iters makes it non-
     iterative): init = vectors of the k smallest vec_ids, each iteration
     assigns by squared-euclidean argmin (same expansion the op uses — the
@@ -1073,7 +1088,11 @@ def _kmeans_sql(k: int = 8, n_iters: int = 5, dim: int = 64) -> str:
     differences there cannot flip an argmin) and recomputes per-dimension
     means rounded through printf('%.9f'), the identical correctly-rounded
     decimal path as the op's float(f"{x:.9f}") centroid rounding. Empty
-    clusters keep their previous centroid (the COALESCE)."""
+    clusters keep their previous centroid (the COALESCE).
+
+    Returns the WITH clause ending after the final assignment CTE
+    ``a{n_iters+1}`` (vec_id, cluster) — shared by the kmeans_clusters
+    and semantic_dedup oracles (``e`` holds the DOUBLE[] vectors)."""
     parts = [
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), ",
         (
@@ -1102,11 +1121,35 @@ def _kmeans_sql(k: int = 8, n_iters: int = 5, dim: int = 64) -> str:
             f"LEFT JOIN (SELECT cluster, list(m ORDER BY j) AS c FROM u{i} "
             "GROUP BY cluster) nn ON p.cluster = nn.cluster)"
         )
-    parts.append(
-        f" SELECT CAST(cluster AS INT) AS cluster, COUNT(*)::BIGINT AS size "
+    return "".join(parts)
+
+
+def _kmeans_sql(k: int = 8, n_iters: int = 5, dim: int = 64) -> str:
+    return (
+        _kmeans_asg_sql(k, n_iters, dim)
+        + f" SELECT CAST(cluster AS INT) AS cluster, COUNT(*)::BIGINT AS size "
         f"FROM a{n_iters + 1} GROUP BY cluster ORDER BY cluster"
     )
-    return "".join(parts)
+
+
+def _semantic_dedup_sql(
+    k: int = 8, n_iters: int = 5, dim: int = 64, threshold: float = 0.9
+) -> str:
+    """semantic_dedup oracle: the kmeans assignment CTE, then within each
+    cluster a smaller-id neighbor with ROUND(cosine, 6) >= threshold
+    marks a vector as dropped (the embedding_near_dup rounding
+    convention, so the cut cannot disagree with the op)."""
+    a = f"a{n_iters + 1}"
+    return (
+        _kmeans_asg_sql(k, n_iters, dim)
+        + f", pairs AS (SELECT b.vec_id AS dup FROM {a} a "
+        + f"JOIN {a} b ON a.cluster = b.cluster AND a.vec_id < b.vec_id "
+        + "JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id "
+        + "WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= "
+        + f"{threshold}) "
+        + "SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster, "
+        + f"a.vec_id NOT IN (SELECT dup FROM pairs) AS keep FROM {a} a"
+    )
 
 
 # the SimHash computation (ops/dedup.py simhash_table) ending in a `shfull`
@@ -1825,6 +1868,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # deterministic-init fixed-iteration Lloyd's unrolls into plain SQL
         "kmeans_clusters": _kmeans_sql(k=8, n_iters=5, dim=64),
+        "semantic_dedup": _semantic_dedup_sql(k=8, n_iters=5, dim=64, threshold=0.4),
         # rows-only remainder: validation_summary (aggregates the
         # TOC/section doclogic counts, which have no closed form — pinned
         # by the golden-anchor tests).

@@ -1446,3 +1446,99 @@ def connected_components_distributed(
         )
 
     return labels.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---- semantic dedup (SemDeDup) ---------------------------------------------
+
+
+def semantic_dedup(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    n_iters: int = 5,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    k-means-cluster the embeddings, then WITHIN each cluster drop every
+    vector that has a smaller-id neighbor with cosine >= threshold.
+    Returns one row per input vector: (id, cluster, keep).
+
+    Scale shape: the quadratic cosine pass is confined to one cluster at
+    a time — pick ``k`` proportional to corpus size so clusters stay
+    ~constant-sized (SemDeDup uses k in the tens of thousands at web
+    scale). Cluster assignment reuses the *final* centroid matrix from
+    :func:`~pdf_parser_ray.ops.similarity.kmeans` (deterministic init,
+    fixed iterations, 9-decimal centroid rounding) broadcast via
+    ray.put, so no join is needed to attach vectors to clusters — one
+    extra map pass recomputes the argmin the same way kmeans' own
+    assignment pass does. Cosine compares on the 6-decimal-rounded
+    similarity (the embedding_near_dup convention) so a SQL
+    ``ROUND(list_cosine_similarity(..), 6) >= t`` oracle can never
+    disagree at the cut.
+    """
+    from pdf_parser_ray.ops.similarity import kmeans
+
+    ds = ds.select_columns([id_col, vec_col])
+    _, centroids = kmeans(ds, k=k, n_iters=n_iters, id_col=id_col, vec_col=vec_col)
+    c_ref = ray.put(centroids)
+
+    class AssignWithVec:
+        def __init__(self, ref):
+            self.c = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], batch[id_col].type),
+                        vec_col: pa.array([], batch[vec_col].type),
+                        "cluster": pa.array([], pa.int32()),
+                    }
+                )
+            vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            d2 = (
+                (vecs**2).sum(axis=1, keepdims=True)
+                - 2.0 * vecs @ self.c.T
+                + (self.c**2).sum(axis=1)[None, :]
+            )
+            return batch.append_column(
+                "cluster", pa.array(np.argmin(d2, axis=1).astype(np.int32))
+            )
+
+    clustered = ds.map_batches(
+        AssignWithVec,
+        fn_constructor_kwargs={"ref": c_ref},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    id_type = ds.schema().base_schema.field(id_col).type
+    out_schema = pa.schema(
+        [(id_col, id_type), ("cluster", pa.int32()), ("keep", pa.bool_())]
+    )
+
+    def dedupe(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col].to_pylist())
+        vecs = np.asarray(group[vec_col].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        sims = np.round(unit @ unit.T, 6)
+        # drop i when some j in the same cluster has a smaller id and
+        # rounded cosine over the threshold
+        dup = ((sims >= threshold) & (ids[None, :] < ids[:, None])).any(axis=1)
+        return pa.table(
+            {
+                id_col: group[id_col],
+                "cluster": group["cluster"],
+                "keep": pa.array(~dup),
+            }
+        )
+
+    return (
+        clustered.groupby("cluster")
+        .map_groups(dedupe, batch_format="pyarrow")
+        .map_batches(schema_pin(out_schema), batch_format="pyarrow")
+    )

@@ -1639,3 +1639,49 @@ def test_global_rank_constant_scores_single_bucket(ray_session):
         .sort_values("rank")
     )
     assert list(out.doc_id) == [0, 1, 2, 3, 4]
+
+
+def test_semantic_dedup_planted_blob_dups(ray_session):
+    import numpy as np
+
+    from pdf_parser_ray.ops.dedup import semantic_dedup
+
+    # two well-separated blobs, ids interleaved so the deterministic
+    # kmeans init (two smallest ids) lands one centroid in each blob
+    rng = np.random.RandomState(3)
+    base = {0: rng.randn(8), 1: rng.randn(8) + 12.0}
+    rows = [
+        {"vec_id": vid, "embedding": (base[vid % 2] + 1e-3 * rng.randn(8)).tolist()}
+        for vid in range(10)
+    ]
+    out = (
+        semantic_dedup(
+            ray.data.from_items(rows), k=2, n_iters=3, threshold=0.99
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert len(out) == 10
+    # every vector in a blob is a near-dup of the blob's min id: only the
+    # min id of each blob survives
+    assert sorted(out[out.keep].vec_id) == [0, 1]
+    # each blob maps to a single cluster
+    assert out[out.vec_id % 2 == 0].cluster.nunique() == 1
+    assert out[out.vec_id % 2 == 1].cluster.nunique() == 1
+
+
+def test_semantic_dedup_dissimilar_all_kept(ray_session):
+    import numpy as np
+
+    from pdf_parser_ray.ops.dedup import semantic_dedup
+
+    # orthogonal-ish random vectors: nothing crosses a 0.99 cosine cut
+    rng = np.random.RandomState(9)
+    rows = [
+        {"vec_id": i, "embedding": rng.randn(16).tolist()} for i in range(12)
+    ]
+    out = semantic_dedup(
+        ray.data.from_items(rows), k=3, n_iters=2, threshold=0.99
+    ).to_pandas()
+    assert out.keep.all()
+    assert len(out) == 12
