@@ -293,6 +293,15 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(ds)
 
 
+def _q_lm_surprisal(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.curation import lm_surprisal
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return lm_surprisal(ds)
+
+
 def _q_global_rank(sf_dir: str):
     import ray.data
 
@@ -907,6 +916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "normalize_text": _q_normalize_text,
         "global_rank": _q_global_rank,
+        "lm_surprisal": _q_lm_surprisal,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -1653,6 +1663,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(LEAST(i*30 + 40, n) - i*30 AS BIGINT) AS n_tokens, "
             "array_to_string(list_slice(tk, i*30 + 1, LEAST(i*30 + 40, n)), ' ') "
             "AS chunk_text FROM e"
+        ),
+        # unigram-LM surprisal: integer-quantized log2 inverse frequency —
+        # bit_length(N // c) is LENGTH(bin(..)) (bin() has no leading
+        # zeros), so every aggregate is exact integer math on both sides;
+        # only the per-doc mean is a float, through printf on both sides
+        "lm_surprisal": (
+            r"WITH toks AS (SELECT doc_id, "
+            r"unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents), "
+            r"cnt AS (SELECT tok, COUNT(*)::BIGINT AS c FROM toks GROUP BY tok), "
+            r"tot AS (SELECT COUNT(*)::BIGINT AS n FROM toks), "
+            r"st AS (SELECT t.doc_id, LENGTH(bin((SELECT n FROM tot) // c.c)) AS s "
+            r"FROM toks t JOIN cnt c ON t.tok = c.tok) "
+            r"SELECT doc_id, COUNT(*)::BIGINT AS n_tokens, "
+            r"SUM(s)::BIGINT AS total_surprisal, "
+            r"CAST(printf('%.6f', SUM(s) / CAST(COUNT(*) AS DOUBLE)) AS DOUBLE) "
+            r"AS mean_surprisal FROM st GROUP BY doc_id"
         ),
         # global row-number ranking: rank = histogram-bucket offset +
         # within-bucket sort index == ROW_NUMBER (score DESC, id); the

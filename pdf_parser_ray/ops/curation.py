@@ -10,6 +10,7 @@ uses, so the SQL oracles match byte-for-byte.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -624,3 +625,243 @@ def normalize_text(
         )
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+# ---- unigram-LM surprisal scoring ------------------------------------------
+
+
+def lm_surprisal(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_max_vocab: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Per-document unigram language-model surprisal — the "how surprising
+    is this doc under the corpus itself" quality signal (the cheap stand-in
+    for perplexity filtering a la CCNet).
+
+    Surprisal is INTEGER-quantized: for corpus token count c and corpus
+    size N, ``surprisal(t) = bit_length(N // c)`` — floor-log2 of the
+    inverse frequency computed in pure integer arithmetic, so every
+    aggregate (per-doc totals, either route) is exact on any engine and
+    any summation order; only the final per-doc mean touches floats, and
+    it goes through printf-style decimal rounding. A float ``ln``-based
+    score would hang the hash gate on engine ULP differences.
+
+    Two passes, the tf-idf shape: pass 1 counts corpus token occurrences
+    (per-batch dict partials + one vocabulary-sized token groupby); pass
+    2 routes by measured vocabulary size — at or below
+    ``broadcast_max_vocab`` the count table broadcasts via ray.put and
+    docs score locally; above it (unbounded web vocab) the counts never
+    leave the cluster: (doc, token, tf) rows co-partition with
+    (token, c) rows on hash(token), then ONE integer-sum groupby per doc
+    (:func:`_lm_surprisal_join_path`). Identical output by construction —
+    pinned by a forced-route equality test. Docs with no tokens emit no
+    row (the chunk_documents convention).
+
+    Output: (id, n_tokens, total_surprisal, mean_surprisal).
+    """
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def tf_partials(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in pc.cast(batch[text_col], pa.string()).to_pylist():
+            for tok in (text or "").lower().split():
+                counts[tok] = counts.get(tok, 0) + 1
+        toks = list(counts)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "c": pa.array([counts[t_] for t_ in toks], pa.int64()),
+            }
+        )
+
+    cnt_table = (
+        ds.select_columns([text_col])
+        .map_batches(tf_partials, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()  # vocab-sized; pinned once for N + count + either route
+    )
+    n_total = int(cnt_table.sum("c") or 0)
+    try:
+        id_type = ds.schema().base_schema.field(id_col).type
+    except Exception:
+        id_type = pa.int64()
+    out_schema = pa.schema(
+        [
+            (id_col, id_type),
+            ("n_tokens", pa.int64()),
+            ("total_surprisal", pa.int64()),
+            ("mean_surprisal", pa.float64()),
+        ]
+    )
+    if n_total == 0:
+        return ray.data.from_arrow(pa.Table.from_pylist([], schema=out_schema))
+    if cnt_table.count() > broadcast_max_vocab:
+        return _lm_surprisal_join_path(
+            ds, cnt_table, n_total, text_col, id_col, out_schema
+        )
+
+    surp: dict[str, int] = {}
+    for batch in cnt_table.iter_batches(batch_format="pyarrow"):
+        for tok, c in zip(batch["token"].to_pylist(), batch["c"].to_pylist()):
+            surp[tok] = (n_total // int(c)).bit_length()
+    ref = _ray.put(surp)
+
+    class Score:
+        def __init__(self, ref):
+            self.surp = _ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_id, out_n, out_t, out_m = [], [], [], []
+            for doc_id, text in zip(
+                batch[id_col].to_pylist(),
+                pc.cast(batch[text_col], pa.string()).to_pylist(),
+            ):
+                toks = (text or "").lower().split()
+                if not toks:
+                    continue
+                total = sum(self.surp[t_] for t_ in toks)
+                out_id.append(doc_id)
+                out_n.append(len(toks))
+                out_t.append(total)
+                out_m.append(float(f"{total / len(toks):.6f}"))
+            return pa.table(
+                {
+                    id_col: pa.array(out_id, type=batch[id_col].type),
+                    "n_tokens": pa.array(out_n, pa.int64()),
+                    "total_surprisal": pa.array(out_t, pa.int64()),
+                    "mean_surprisal": pa.array(out_m, pa.float64()),
+                }
+            )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        Score,
+        fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def _lm_surprisal_join_path(
+    ds: ray.data.Dataset,
+    cnt_table: ray.data.Dataset,
+    n_total: int,
+    text_col: str,
+    id_col: str,
+    out_schema: pa.Schema,
+) -> ray.data.Dataset:
+    """Unbounded-vocabulary surprisal: co-partitioned token join (the
+    _tfidf_join_path message-passing shape), then per-doc INTEGER sums via
+    a plain Ray groupby — exact under any partitioning, so route equality
+    with the broadcast path is by construction."""
+    from ray.data.aggregate import Sum
+
+    id_type = out_schema.field(id_col).type
+    msg_schema = pa.schema(
+        [
+            ("token", pa.string()),
+            ("side", pa.int8()),  # 0 = (doc, tf) row, 1 = (token, c) row
+            ("doc", pa.string()),
+            ("tf", pa.int64()),
+            ("c", pa.int64()),
+            ("_tb", pa.int64()),
+        ]
+    )
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        docs, toks, tfs = [], [], []
+        ids = pc.cast(batch[id_col], pa.string()).to_pylist()
+        for doc_id, text in zip(
+            ids, pc.cast(batch[text_col], pa.string()).to_pylist()
+        ):
+            tf: dict[str, int] = {}
+            for tok in (text or "").lower().split():
+                tf[tok] = tf.get(tok, 0) + 1
+            docs.extend([doc_id] * len(tf))
+            toks.extend(tf)
+            tfs.extend(tf.values())
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "side": pa.array([0] * len(toks), pa.int8()),
+                "doc": pa.array(docs, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "c": pa.array([None] * len(toks), pa.int64()),
+                "_tb": pa.array(
+                    [md5_bucket(t_, _TFIDF_JOIN_BUCKETS) for t_ in toks],
+                    pa.int64(),
+                ),
+            }
+        ).cast(msg_schema)
+
+    def c_rows(batch: pa.Table) -> pa.Table:
+        toks = batch["token"].to_pylist()
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "side": pa.array([1] * len(toks), pa.int8()),
+                "doc": pa.array([None] * len(toks), pa.string()),
+                "tf": pa.array([None] * len(toks), pa.int64()),
+                "c": pc.cast(batch["c"], pa.int64()),
+                "_tb": pa.array(
+                    [md5_bucket(t_, _TFIDF_JOIN_BUCKETS) for t_ in toks],
+                    pa.int64(),
+                ),
+            }
+        ).cast(msg_schema)
+
+    def attach(group: pd.DataFrame) -> pd.DataFrame:
+        cs = group[group["side"] == 1][["token", "c"]]
+        tfs = group[group["side"] == 0][["doc", "token", "tf"]]
+        m = tfs.merge(cs, on="token", how="inner")
+        # nullable int64 reaches pandas as float64; counts < 2^53 so the
+        # int round-trip is exact
+        tf_i = m["tf"].astype("int64")
+        s = [(n_total // int(c)).bit_length() for c in m["c"]]
+        return pd.DataFrame(
+            {
+                "doc": m["doc"],
+                "nt": tf_i,
+                "ts": tf_i.to_numpy() * np.asarray(s, dtype=np.int64),
+            }
+        )
+
+    attach_schema = pa.schema(
+        [("doc", pa.string()), ("nt", pa.int64()), ("ts", pa.int64())]
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if "doc" not in batch.column_names or batch.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        nt = batch["nt"].to_pylist()
+        ts = batch["ts"].to_pylist()
+        return pa.table(
+            {
+                id_col: pc.cast(batch["doc"], id_type),
+                "n_tokens": pa.array([int(x) for x in nt], pa.int64()),
+                "total_surprisal": pa.array([int(x) for x in ts], pa.int64()),
+                "mean_surprisal": pa.array(
+                    [float(f"{int(t) / int(n):.6f}") for t, n in zip(ts, nt)],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    msgs = ds.select_columns([id_col, text_col]).map_batches(
+        tf_rows, batch_format="pyarrow"
+    )
+    cm = cnt_table.map_batches(c_rows, batch_format="pyarrow")
+    return (
+        msgs.union(cm)
+        .groupby("_tb")
+        .map_groups(attach, batch_format="pandas")
+        # pin to Arrow: pandas map_groups emits schema-less empty blocks
+        # that break the following groupby
+        .map_batches(schema_pin(attach_schema), batch_format="pyarrow")
+        .groupby("doc")
+        .aggregate(Sum("nt", alias_name="nt"), Sum("ts", alias_name="ts"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )

@@ -1685,3 +1685,58 @@ def test_semantic_dedup_dissimilar_all_kept(ray_session):
     ).to_pandas()
     assert out.keep.all()
     assert len(out) == 12
+
+
+def test_lm_surprisal_hand_computed(ray_session):
+    from pdf_parser_ray.ops.curation import lm_surprisal
+
+    # corpus: "a a b" + "a c" -> N=5; c(a)=3, c(b)=1, c(c)=1
+    # s(a) = bit_length(5//3=1) = 1; s(b) = s(c) = bit_length(5) = 3
+    rows = [
+        {"doc_id": 1, "text": "a a b"},
+        {"doc_id": 2, "text": "a c"},
+        {"doc_id": 3, "text": ""},       # no tokens -> no row
+        {"doc_id": 4, "text": None},     # null text -> no row
+    ]
+    out = (
+        lm_surprisal(ray.data.from_items(rows))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.doc_id) == [1, 2]
+    assert list(out.n_tokens) == [3, 2]
+    assert list(out.total_surprisal) == [1 + 1 + 3, 1 + 3]
+    assert list(out.mean_surprisal) == [
+        float(f"{5 / 3:.6f}"),
+        float(f"{4 / 2:.6f}"),
+    ]
+
+
+def test_lm_surprisal_route_equality(ray_session):
+    import numpy as np
+
+    from pdf_parser_ray.ops.curation import lm_surprisal
+
+    rng = np.random.RandomState(31)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(
+                vocab[j] for j in rng.randint(0, 40, rng.randint(1, 30))
+            ),
+        }
+        for i in range(60)
+    ]
+    ds = ray.data.from_items(rows)
+    broad = (
+        lm_surprisal(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    joined = (
+        lm_surprisal(ds, broadcast_max_vocab=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(broad, joined, check_dtype=False)
