@@ -302,6 +302,24 @@ def _q_lm_surprisal(sf_dir: str):
     return lm_surprisal(ds)
 
 
+def _q_assign_splits(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.curation import assign_splits
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return assign_splits(ds)
+
+
+def _q_dup_span_stats(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.dedup import dup_span_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dup_span_stats(ds, n=5)
+
+
 def _q_global_rank(sf_dir: str):
     import ray.data
 
@@ -917,6 +935,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize_text,
         "global_rank": _q_global_rank,
         "lm_surprisal": _q_lm_surprisal,
+        "assign_splits": _q_assign_splits,
+        "dup_span_stats": _q_dup_span_stats,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -1679,6 +1699,37 @@ def oracle_sql() -> dict[str, str]:
             r"SUM(s)::BIGINT AS total_surprisal, "
             r"CAST(printf('%.6f', SUM(s) / CAST(COUNT(*) AS DOUBLE)) AS DOUBLE) "
             r"AS mean_surprisal FROM st GROUP BY doc_id"
+        ),
+        # deterministic split: the op's md5_64 is digest[:8] big-endian >> 1,
+        # reproduced by the '0x'||substr(md5(..)) idiom shared with
+        # stratified_sample; cutoffs = floor(cum*10000) over insertion order
+        "assign_splits": (
+            "WITH b AS (SELECT doc_id, "
+            "CAST((('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,16))::UBIGINT >> 1) "
+            "% 10000 AS BIGINT) AS bucket FROM documents) "
+            "SELECT doc_id, bucket, CASE WHEN bucket < 8000 THEN 'train' "
+            "WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split FROM b"
+        ),
+        # duplicated-span stats: positional 5-gram occurrences (the <5-token
+        # doc collapses to one whole-doc gram, the chunk_documents window
+        # idiom); gram identity is the SAME md5_64 the op uses, so parity is
+        # exact even under hash collisions; only the fraction is a float,
+        # through printf on both sides
+        "dup_span_stats": (
+            r"WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk "
+            r"FROM documents), "
+            r"nz AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0), "
+            r"g AS (SELECT doc_id, CASE WHEN n < 5 THEN array_to_string(tk, ' ') "
+            r"ELSE array_to_string(list_slice(tk, i+1, i+5), ' ') END AS gram "
+            r"FROM (SELECT doc_id, tk, n, unnest(range(GREATEST(n-4, 1))) AS i FROM nz)), "
+            r"gh AS (SELECT doc_id, ('0x'||substr(md5(gram),1,16))::UBIGINT >> 1 AS h FROM g), "
+            r"nd AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM gh GROUP BY h), "
+            r"per AS (SELECT doc_id, COUNT(*)::BIGINT AS n_grams, "
+            r"SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams "
+            r"FROM gh JOIN nd USING(h) GROUP BY doc_id) "
+            r"SELECT doc_id, n_grams, n_dup_grams, "
+            r"CAST(printf('%.6f', n_dup_grams / CAST(n_grams AS DOUBLE)) AS DOUBLE) "
+            r"AS dup_fraction FROM per"
         ),
         # global row-number ranking: rank = histogram-bucket offset +
         # within-bucket sort index == ROW_NUMBER (score DESC, id); the

@@ -865,3 +865,69 @@ def _lm_surprisal_join_path(
         .aggregate(Sum("nt", alias_name="nt"), Sum("ts", alias_name="ts"))
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+# ---- deterministic train/val/test split ------------------------------------
+
+
+_SPLIT_BUCKETS = 10_000
+
+
+def assign_splits(
+    ds: ray.data.Dataset,
+    fractions: "dict[str, float] | None" = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment by content hash of the id —
+    the standard shuffle-free split for training corpora: stable under
+    re-partitioning, resumable re-runs, and corpus growth (a doc's split
+    never changes when other docs are added or the job is re-sharded).
+
+    Each row hashes ``salt + ":" + str(id)`` (md5_64) into one of 10,000
+    buckets; cumulative fraction cutoffs (floor(cum * 10000), insertion
+    order of ``fractions``) map buckets to split names. Rows with a null
+    id land in the LAST split (the remainder bucket) deterministically.
+
+    Pure map — no shuffle, no state; the exact bucket expression is
+    reproducible in SQL (see the `assign_splits` oracle), which is the
+    point: a split defined by an engine-portable hash can be audited by
+    any other engine touching the corpus.
+
+    Output: input row id + (bucket, split).
+    """
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    names = list(fractions)
+    cutoffs: list[int] = []
+    cum = 0.0
+    for name_ in names:
+        cum += fractions[name_]
+        cutoffs.append(int(cum * _SPLIT_BUCKETS))
+    cutoffs[-1] = _SPLIT_BUCKETS  # float-sum slack never orphans a bucket
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        buckets, splits = [], []
+        for i in ids:
+            if i is None:
+                buckets.append(_SPLIT_BUCKETS - 1)
+                splits.append(names[-1])
+                continue
+            b = md5_bucket(f"{salt}:{i}", _SPLIT_BUCKETS)
+            buckets.append(b)
+            for name_, cut in zip(names, cutoffs):
+                if b < cut:
+                    splits.append(name_)
+                    break
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "bucket": pa.array(buckets, pa.int64()),
+                "split": pa.array(splits, pa.string()),
+            }
+        )
+
+    return ds.select_columns([id_col]).map_batches(assign, batch_format="pyarrow")

@@ -1542,3 +1542,139 @@ def semantic_dedup(
         .map_groups(dedupe, batch_format="pyarrow")
         .map_batches(schema_pin(out_schema), batch_format="pyarrow")
     )
+
+
+# ---- exact duplicated-span statistics (suffix-array-lite) -------------------
+
+
+def _word_ngrams_positional(t: str, n: int) -> list[str]:
+    """POSITIONAL word n-grams (one per start offset, repeats kept) — the
+    occurrence-counting sibling of :func:`_word_ngrams` (same lowercase-
+    whitespace tokens, same <n-token collapse to one joined gram)."""
+    tokens = (t or "").lower().split()
+    if not tokens:
+        return []
+    if len(tokens) < n:
+        return [" ".join(tokens)]
+    return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+
+
+_DUP_SPAN_SCHEMA = pa.schema(
+    [
+        ("doc", pa.string()),
+        ("n_grams", pa.int64()),
+        ("n_dup_grams", pa.int64()),
+    ]
+)
+
+
+def dup_span_stats(
+    ds: ray.data.Dataset,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-document duplicated-span statistics — the exact-substring dedup
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (suffix-array-lite: fixed-width word n-grams instead of
+    arbitrary-length suffixes, which keeps it one inverted-index shuffle).
+
+    A POSITIONAL n-gram occurrence is *duplicated* when the same gram
+    appears in at least two DISTINCT documents (within-doc repeats alone
+    don't count). Output per doc with >=1 token:
+    (doc_id, n_grams, n_dup_grams, dup_fraction) — dup_fraction is the
+    share of the doc's gram occurrences covered by cross-doc duplicates,
+    the score one thresholds to drop boilerplate-heavy pages.
+
+    Stages (text never leaves stage 1; the shuffle moves gram hashes):
+
+    1. map_batches: positional grams -> DISTINCT (gram_hash, doc, occ)
+       postings (occ = within-doc occurrence count), bucketed on gram hash.
+    2. groupby bucket: every posting of a gram co-locates, so per-gram
+       distinct-doc counts are exact; per-doc partials (sum occ, sum occ
+       where ndocs>=2) pre-aggregate inside the bucket — the second
+       shuffle moves at most one row per (doc, bucket).
+    3. groupby doc: integer sums, then the fraction (printf-rounded for
+       oracle parity).
+
+    Gram identity is the 64-bit md5 (`md5_64`) — the SQL oracle hashes
+    identically, so parity is exact even under (negligible) collisions.
+    """
+    from ray.data.aggregate import Sum
+
+    try:
+        id_type = ds.schema().base_schema.field(id_col).type
+    except Exception:
+        id_type = pa.int64()
+    out_schema = pa.schema(
+        [
+            (id_col, id_type),
+            ("n_grams", pa.int64()),
+            ("n_dup_grams", pa.int64()),
+            ("dup_fraction", pa.float64()),
+        ]
+    )
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch[id_col], pa.string()).to_pylist()
+        texts = pc.cast(batch[text_col], pa.string()).to_pylist()
+        out_g, out_doc, out_occ = [], [], []
+        for doc, text in zip(ids, texts):
+            occ: dict[int, int] = {}
+            for g in _word_ngrams_positional(text, n):
+                gh = md5_64(g)
+                occ[gh] = occ.get(gh, 0) + 1
+            out_g.extend(occ)
+            out_doc.extend([doc] * len(occ))
+            out_occ.extend(occ.values())
+        return pa.table(
+            {
+                "gh": pa.array(out_g, pa.int64()),
+                "doc": pa.array(out_doc, pa.string()),
+                "occ": pa.array(out_occ, pa.int64()),
+                "_b": pa.array([g % _DEDUP_BUCKETS for g in out_g], pa.int64()),
+            }
+        )
+
+    def bucket_partials(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["gh", "doc", "occ"]]
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "doc": pd.Series([], dtype=str),
+                    "n_grams": pd.Series([], dtype="int64"),
+                    "n_dup_grams": pd.Series([], dtype="int64"),
+                }
+            )
+        # postings are distinct per (gh, doc): group size == distinct docs
+        ndocs = g.groupby("gh")["doc"].transform("size")
+        occ = g["occ"].astype("int64")
+        dup_occ = occ.where(ndocs > 1, 0)
+        agg = pd.DataFrame({"doc": g["doc"], "n_grams": occ, "n_dup_grams": dup_occ})
+        return agg.groupby("doc", as_index=False).sum()
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        tot = batch["n_grams"].to_pylist()
+        dup = batch["n_dup_grams"].to_pylist()
+        return pa.table(
+            {
+                id_col: pc.cast(batch["doc"], id_type),
+                "n_grams": pa.array([int(t) for t in tot], pa.int64()),
+                "n_dup_grams": pa.array([int(d) for d in dup], pa.int64()),
+                "dup_fraction": pa.array(
+                    [float(f"{int(d) / int(t):.6f}") for d, t in zip(dup, tot)],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(postings, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(bucket_partials, batch_format="pandas")
+        .map_batches(schema_pin(_DUP_SPAN_SCHEMA), batch_format="pyarrow")
+        .groupby("doc")
+        .aggregate(Sum("n_grams", alias_name="n_grams"), Sum("n_dup_grams", alias_name="n_dup_grams"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )

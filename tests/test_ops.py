@@ -1740,3 +1740,79 @@ def test_lm_surprisal_route_equality(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(broad, joined, check_dtype=False)
+
+
+def test_assign_splits_deterministic_and_complete(ray_session):
+    from pdf_parser_ray.functions.hashing import md5_bucket
+    from pdf_parser_ray.ops.curation import assign_splits
+
+    rows = [{"doc_id": i} for i in range(200)] + [{"doc_id": None}]
+    out = assign_splits(ray.data.from_items(rows)).to_pandas()
+    assert len(out) == 201
+    # every row gets exactly one split; buckets reproduce md5_bucket
+    got = out[out.doc_id.notna()]
+    for _, r in got.head(20).iterrows():
+        b = md5_bucket(f"split:{int(r.doc_id)}", 10_000)
+        assert r.bucket == b
+        assert r.split == ("train" if b < 8000 else "val" if b < 9000 else "test")
+    # null id lands in the last split deterministically
+    nrow = out[out.doc_id.isna()]
+    assert list(nrow.split) == ["test"] and list(nrow.bucket) == [9999]
+    # roughly proportional (hash uniformity, wide tolerance)
+    frac = (got.split == "train").mean()
+    assert 0.6 < frac < 0.95
+
+
+def test_assign_splits_custom_fractions_and_validation(ray_session):
+    import pytest as _pytest
+
+    from pdf_parser_ray.ops.curation import assign_splits
+
+    ds = ray.data.from_items([{"doc_id": i} for i in range(50)])
+    out = assign_splits(ds, fractions={"a": 0.5, "b": 0.5}).to_pandas()
+    assert set(out.split) <= {"a", "b"}
+    assert ((out.bucket < 5000) == (out.split == "a")).all()
+    with _pytest.raises(ValueError):
+        assign_splits(ds, fractions={"a": 0.5, "b": 0.2})
+
+
+def test_dup_span_stats_planted(ray_session):
+    from pdf_parser_ray.ops.dedup import dup_span_stats
+
+    shared = "alpha beta gamma delta epsilon"  # one 5-gram, in docs 1 and 2
+    rows = [
+        {"doc_id": 1, "text": shared + " zeta"},      # grams: 2, 1 dup
+        {"doc_id": 2, "text": "eta " + shared},       # grams: 2, 1 dup
+        {"doc_id": 3, "text": "unique words only here now indeed"},  # 2, 0
+        {"doc_id": 4, "text": "short"},                # <5 tokens -> 1 gram
+        {"doc_id": 5, "text": ""},                     # no tokens -> no row
+    ]
+    out = (
+        dup_span_stats(ray.data.from_items(rows), n=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.doc_id) == [1, 2, 3, 4]
+    assert list(out.n_grams) == [2, 2, 2, 1]
+    assert list(out.n_dup_grams) == [1, 1, 0, 0]
+    assert list(out.dup_fraction) == [0.5, 0.5, 0.0, 0.0]
+
+
+def test_dup_span_stats_within_doc_repeats_not_dup(ray_session):
+    from pdf_parser_ray.ops.dedup import dup_span_stats
+
+    # doc 1 repeats its own 5-gram twice; no other doc shares it ->
+    # occurrences counted, but nothing is cross-doc duplicated
+    rows = [
+        {"doc_id": 1, "text": "a b c d e a b c d e"},
+        {"doc_id": 2, "text": "v w x y z"},
+    ]
+    out = (
+        dup_span_stats(ray.data.from_items(rows), n=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.n_grams) == [6, 1]
+    assert list(out.n_dup_grams) == [0, 0]
