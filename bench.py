@@ -168,6 +168,12 @@ def run_secondary() -> dict[str, float]:
         "contamination_check",
         "bloom_novel_docs",
         "gopher_rules",
+        # curation/scoring additions
+        "lm_surprisal",
+        "dup_span_stats",
+        "assign_splits",
+        "semantic_dedup",
+        "global_rank",
     ]
     out: dict[str, float] = {}
     for name in chosen:
