@@ -1717,7 +1717,7 @@ def oracle_sql() -> dict[str, str]:
         # through printf on both sides
         "dup_span_stats": (
             r"WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk "
-            r"FROM documents), "
+            r"FROM documents WHERE doc_id IS NOT NULL), "
             r"nz AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0), "
             r"g AS (SELECT doc_id, CASE WHEN n < 5 THEN array_to_string(tk, ' ') "
             r"ELSE array_to_string(list_slice(tk, i+1, i+5), ' ') END AS gram "

@@ -10,6 +10,8 @@ uses, so the SQL oracles match byte-for-byte.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -720,14 +722,26 @@ def lm_surprisal(
                 batch[id_col].to_pylist(),
                 pc.cast(batch[text_col], pa.string()).to_pylist(),
             ):
-                toks = (text or "").lower().split()
-                if not toks:
+                # tokens absent from the vocab pass (possible only when a
+                # nondeterministic upstream re-executes differently between
+                # the two passes) are SKIPPED — the same answer the join
+                # route's inner merge gives, so route equality holds even
+                # off the deterministic-input happy path
+                scores = [
+                    s
+                    for s in (
+                        self.surp.get(t_)
+                        for t_ in (text or "").lower().split()
+                    )
+                    if s is not None
+                ]
+                if not scores:
                     continue
-                total = sum(self.surp[t_] for t_ in toks)
+                total = sum(scores)
                 out_id.append(doc_id)
-                out_n.append(len(toks))
+                out_n.append(len(scores))
                 out_t.append(total)
-                out_m.append(float(f"{total / len(toks):.6f}"))
+                out_m.append(float(f"{total / len(scores):.6f}"))
             return pa.table(
                 {
                     id_col: pa.array(out_id, type=batch[id_col].type),
@@ -885,9 +899,13 @@ def assign_splits(
     never changes when other docs are added or the job is re-sharded).
 
     Each row hashes ``salt + ":" + str(id)`` (md5_64) into one of 10,000
-    buckets; cumulative fraction cutoffs (floor(cum * 10000), insertion
-    order of ``fractions``) map buckets to split names. Rows with a null
-    id land in the LAST split (the remainder bucket) deterministically.
+    buckets; cumulative fraction cutoffs (exact decimal arithmetic via
+    Fraction — float accumulation would misplace boundary buckets, e.g.
+    0.07+0.58 -> 0.6499…, cutoff 6499 not 6500) map buckets to split
+    names in insertion order of ``fractions``. Rows with a null id get a
+    NULL bucket and land in the LAST split — the same answer SQL gives
+    (NULL hash -> every ``bucket < cut`` comparison is NULL -> CASE falls
+    through to the ELSE arm), keeping the oracle audit exact.
 
     Pure map — no shuffle, no state; the exact bucket expression is
     reproducible in SQL (see the `assign_splits` oracle), which is the
@@ -902,18 +920,20 @@ def assign_splits(
         raise ValueError(f"fractions must sum to 1, got {total}")
     names = list(fractions)
     cutoffs: list[int] = []
-    cum = 0.0
+    cum = Fraction(0)
     for name_ in names:
-        cum += fractions[name_]
+        # Fraction(str(f)) reads the decimal the caller wrote, so cutoffs
+        # are exact: 0.07 + 0.58 -> 65/100 -> 6500, never 6499
+        cum += Fraction(str(fractions[name_]))
         cutoffs.append(int(cum * _SPLIT_BUCKETS))
-    cutoffs[-1] = _SPLIT_BUCKETS  # float-sum slack never orphans a bucket
+    cutoffs[-1] = _SPLIT_BUCKETS  # rounding slack never orphans a bucket
 
     def assign(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         buckets, splits = [], []
         for i in ids:
             if i is None:
-                buckets.append(_SPLIT_BUCKETS - 1)
+                buckets.append(None)
                 splits.append(names[-1])
                 continue
             b = md5_bucket(f"{salt}:{i}", _SPLIT_BUCKETS)

@@ -1584,7 +1584,8 @@ def dup_span_stats(
     don't count). Output per doc with >=1 token:
     (doc_id, n_grams, n_dup_grams, dup_fraction) — dup_fraction is the
     share of the doc's gram occurrences covered by cross-doc duplicates,
-    the score one thresholds to drop boilerplate-heavy pages.
+    the score one thresholds to drop boilerplate-heavy pages. Rows with a
+    null id are dropped (unattributable; the SQL oracle filters the same).
 
     Stages (text never leaves stage 1; the shuffle moves gram hashes):
 
@@ -1620,6 +1621,11 @@ def dup_span_stats(
         texts = pc.cast(batch[text_col], pa.string()).to_pylist()
         out_g, out_doc, out_occ = [], [], []
         for doc, text in zip(ids, texts):
+            # null ids drop: their spans can't be attributed to a document,
+            # and pandas-groupby/SQL COUNT(DISTINCT) disagree on how a NULL
+            # doc should count — the oracle filters identically
+            if doc is None:
+                continue
             occ: dict[int, int] = {}
             for g in _word_ngrams_positional(text, n):
                 gh = md5_64(g)
@@ -1654,6 +1660,8 @@ def dup_span_stats(
         return agg.groupby("doc", as_index=False).sum()
 
     def finalize(batch: pa.Table) -> pa.Table:
+        if "doc" not in batch.column_names or batch.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
         tot = batch["n_grams"].to_pylist()
         dup = batch["n_dup_grams"].to_pylist()
         return pa.table(

@@ -1755,9 +1755,10 @@ def test_assign_splits_deterministic_and_complete(ray_session):
         b = md5_bucket(f"split:{int(r.doc_id)}", 10_000)
         assert r.bucket == b
         assert r.split == ("train" if b < 8000 else "val" if b < 9000 else "test")
-    # null id lands in the last split deterministically
+    # null id: NULL bucket (what SQL's md5(NULL) gives), last split (the
+    # CASE ELSE arm) — op and oracle agree on the null path
     nrow = out[out.doc_id.isna()]
-    assert list(nrow.split) == ["test"] and list(nrow.bucket) == [9999]
+    assert list(nrow.split) == ["test"] and nrow.bucket.isna().all()
     # roughly proportional (hash uniformity, wide tolerance)
     frac = (got.split == "train").mean()
     assert 0.6 < frac < 0.95
@@ -1816,3 +1817,31 @@ def test_dup_span_stats_within_doc_repeats_not_dup(ray_session):
     )
     assert list(out.n_grams) == [6, 1]
     assert list(out.n_dup_grams) == [0, 0]
+
+
+def test_assign_splits_exact_decimal_cutoffs(ray_session):
+    from pdf_parser_ray.ops.curation import assign_splits
+
+    # 0.07 + 0.58 accumulates to 0.6499999999999999 in floats; the cutoff
+    # must still be exactly 6500 (Fraction arithmetic), so a doc hashing
+    # to bucket 6499 is 'b', not 'c'
+    ds = ray.data.from_items([{"doc_id": i} for i in range(3000)])
+    out = assign_splits(ds, fractions={"a": 0.07, "b": 0.58, "c": 0.35}).to_pandas()
+    assert ((out.bucket < 700) == (out.split == "a")).all()
+    assert (
+        ((out.bucket >= 700) & (out.bucket < 6500)) == (out.split == "b")
+    ).all()
+    assert ((out.bucket >= 6500) == (out.split == "c")).all()
+
+
+def test_dup_span_stats_null_id_dropped(ray_session):
+    from pdf_parser_ray.ops.dedup import dup_span_stats
+
+    rows = [
+        {"doc_id": 1, "text": "a b c d e"},
+        {"doc_id": None, "text": "a b c d e"},  # unattributable: dropped,
+        # and it must NOT make doc 1's gram "duplicated"
+    ]
+    out = dup_span_stats(ray.data.from_items(rows), n=5).to_pandas()
+    assert list(out.doc_id) == [1]
+    assert list(out.n_dup_grams) == [0]
