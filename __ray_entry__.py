@@ -311,6 +311,19 @@ def _q_assign_splits(sf_dir: str):
     return assign_splits(ds)
 
 
+def _q_curate_corpus(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.curation import curate_corpus
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    # min_stop_hits=1: the synthetic corpus carries only "the" from the
+    # gopher stopword bank (same setting as the gopher_rules query)
+    return curate_corpus(ds, min_stop_hits=1)
+
+
 def _q_dup_span_stats(sf_dir: str):
     import ray.data
 
@@ -936,6 +949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank": _q_global_rank,
         "lm_surprisal": _q_lm_surprisal,
         "assign_splits": _q_assign_splits,
+        "curate_corpus": _q_curate_corpus,
         "dup_span_stats": _q_dup_span_stats,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1709,6 +1723,45 @@ def oracle_sql() -> dict[str, str]:
             "% 10000 AS BIGINT) AS bucket FROM documents) "
             "SELECT doc_id, bucket, CASE WHEN bucket < 8000 THEN 'train' "
             "WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split FROM b"
+        ),
+        # end-to-end curation composite: the gopher_rules keep condition
+        # (unrounded-double comparisons, proven bit-exact by that oracle)
+        # -> min-id-per-distinct-text window dedup -> the assign_splits
+        # hash CASE — the COMPOSITION gate-checked in one query
+        "curate_corpus": (
+            "WITH c AS (SELECT doc_id, lang, COALESCE(text, '') AS t FROM documents), "
+            "n AS (SELECT doc_id, lang, t, "
+            "len(regexp_extract_all(t, '\\S+'))::DOUBLE AS nw, "
+            "len(regexp_extract_all(t, '\\S'))::DOUBLE AS nsc, "
+            "(len(regexp_extract_all(t, '#')) + "
+            "len(regexp_extract_all(t, '\\.\\.\\.|…')))::DOUBLE AS nsym, "
+            "len(regexp_extract_all(t, '\\S*[A-Za-z]\\S*'))::DOUBLE AS naw, "
+            "(len(regexp_extract_all(t, chr(10))) + 1)::DOUBLE AS nl, "
+            "len(regexp_extract_all(t, '(?:^|' || chr(10) || ')[ \\t]*[-*•]'))::DOUBLE AS nb, "
+            "len(regexp_extract_all(t, '(?:\\.\\.\\.|…)[ \\t]*(?:' || chr(10) || '|$)'))::DOUBLE AS ne, "
+            + "".join(
+                f"(CASE WHEN regexp_matches(lower(t), '\\b{w}\\b') THEN 1 ELSE 0 END) + "
+                for w in ("the", "be", "to", "of", "and", "that", "have")
+            )
+            + "(CASE WHEN regexp_matches(lower(t), '\\bwith\\b') THEN 1 ELSE 0 END) AS nstop "
+            "FROM c), "
+            "r AS (SELECT doc_id, lang, t, nw, nstop, "
+            "CASE WHEN nw > 0 THEN nsc / GREATEST(nw, 1.0) ELSE 0.0 END AS mwl, "
+            "CASE WHEN nw > 0 THEN nsym / GREATEST(nw, 1.0) ELSE 0.0 END AS symr, "
+            "CASE WHEN nw > 0 THEN naw / GREATEST(nw, 1.0) ELSE 0.0 END AS af, "
+            "nb / nl AS bf, ne / nl AS ef FROM n), "
+            "k AS (SELECT doc_id, lang, t, CAST(nw AS BIGINT) AS n_words FROM r "
+            "WHERE nw >= 50 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0 "
+            "AND symr <= 0.1 AND bf < 0.9 AND ef < 0.3 AND af >= 0.8 AND nstop >= 1), "
+            "d AS (SELECT doc_id, lang, n_words, "
+            "ROW_NUMBER() OVER (PARTITION BY t ORDER BY doc_id) AS rn FROM k), "
+            "s AS (SELECT doc_id, lang, n_words FROM d WHERE rn = 1), "
+            "b AS (SELECT doc_id, lang, n_words, "
+            "CAST((('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,16))::UBIGINT >> 1) "
+            "% 10000 AS BIGINT) AS bucket FROM s) "
+            "SELECT doc_id, lang, n_words, bucket, "
+            "CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' "
+            "ELSE 'test' END AS split FROM b"
         ),
         # duplicated-span stats: positional 5-gram occurrences (the <5-token
         # doc collapses to one whole-doc gram, the chunk_documents window

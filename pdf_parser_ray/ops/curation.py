@@ -18,7 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from pdf_parser_ray.functions.hashing import md5_bucket
+from pdf_parser_ray.functions.hashing import md5_64, md5_bucket
 from pdf_parser_ray.functions.tables import schema_pin
 
 # order matters: URLs first (emails can appear inside URLs), then emails,
@@ -951,3 +951,117 @@ def assign_splits(
         )
 
     return ds.select_columns([id_col]).map_batches(assign, batch_format="pyarrow")
+
+
+# ---- end-to-end corpus curation ---------------------------------------------
+
+
+_CURATE_BUCKETS = 256
+
+
+def curate_corpus(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    min_stop_hits: int = 1,
+    fractions: "dict[str, float] | None" = None,
+    salt: str = "split",
+) -> ray.data.Dataset:
+    """The end-to-end training-data curation pipeline, composed from the
+    op families this package provides — the shape a real 100-TB corpus
+    run takes:
+
+    1. **quality gate** — Gopher rules (Rae et al. 2021 §A1.1) as one
+       vectorized map (:func:`~pdf_parser_ray.ops.text_analysis.
+       gopher_rules` with the text/lang columns passed through), then a
+       zero-copy Arrow filter on ``keep``. Map-only: no shuffle.
+    2. **exact dedup** — keep the min-id row per distinct surviving text:
+       md5-bucketed groupby, rows compared on the REAL text inside each
+       coarse bucket (collision-safe, the exact_dedup convention). The
+       ONLY shuffle, over the post-filter corpus.
+    3. **split assignment** — the engine-portable md5 bucket hash of
+       :func:`assign_splits`, inlined so the kept row's attribute columns
+       ride along. Map-only.
+
+    Output: (id, lang, n_words, bucket, split) for every kept document.
+
+    Every stage is individually hash-verified against its own SQL oracle
+    (`gopher_rules`, `exact_dedup`, `assign_splits`); this composite has
+    its own end-to-end oracle — filter + window-dedup + hash CASE in one
+    query — so the COMPOSITION is gate-checked too, not just the parts.
+    """
+    from pdf_parser_ray.ops.text_analysis import gopher_rules
+
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = list(fractions)
+    cutoffs: list[int] = []
+    cum = Fraction(0)
+    for name_ in names:
+        cum += Fraction(str(fractions[name_]))
+        cutoffs.append(int(cum * _SPLIT_BUCKETS))
+    cutoffs[-1] = _SPLIT_BUCKETS
+
+    flagged = gopher_rules(
+        ds, text_col=text_col, min_stop_hits=min_stop_hits,
+        passthrough=(text_col, lang_col),
+    )
+
+    def keep_filter(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.fill_null(batch["keep"], False))
+        texts = pc.cast(t[text_col], pa.string()).to_pylist()
+        return pa.table(
+            {
+                id_col: t[id_col],
+                lang_col: t[lang_col],
+                "n_words": t["n_words"],
+                text_col: t[text_col],
+                "_b": pa.array(
+                    [md5_64(x) % _CURATE_BUCKETS for x in texts], pa.int64()
+                ),
+            }
+        )
+
+    def first_per_text(group: pd.DataFrame) -> pd.DataFrame:
+        # min id per distinct text (SQL ROW_NUMBER ... ORDER BY id, NULLS
+        # LAST); compare on the real text, not its hash
+        g = group.sort_values(id_col, na_position="last").drop_duplicates(
+            subset=text_col, keep="first"
+        )
+        return g[[id_col, lang_col, "n_words"]]
+
+    deduped_schema = pa.schema(
+        [(id_col, pa.int64()), (lang_col, pa.string()), ("n_words", pa.int64())]
+    )
+
+    def split_assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        buckets, splits = [], []
+        for i in ids:
+            if i is None:
+                buckets.append(None)
+                splits.append(names[-1])
+                continue
+            b = md5_bucket(f"{salt}:{i}", _SPLIT_BUCKETS)
+            buckets.append(b)
+            for name_, cut in zip(names, cutoffs):
+                if b < cut:
+                    splits.append(name_)
+                    break
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                lang_col: batch[lang_col],
+                "n_words": pc.cast(batch["n_words"], pa.int64()),
+                "bucket": pa.array(buckets, pa.int64()),
+                "split": pa.array(splits, pa.string()),
+            }
+        )
+
+    return (
+        flagged.map_batches(keep_filter, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(first_per_text, batch_format="pandas")
+        .map_batches(schema_pin(deduped_schema), batch_format="pyarrow")
+        .map_batches(split_assign, batch_format="pyarrow")
+    )

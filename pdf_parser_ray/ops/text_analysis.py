@@ -223,6 +223,7 @@ def gopher_rules(
     min_words: int = 50,
     max_words: int = 100_000,
     min_stop_hits: int = 2,
+    passthrough: "tuple[str, ...]" = (),
 ) -> ray.data.Dataset:
     """Gopher-style document quality rules as explicit per-doc columns plus
     a composite ``keep`` flag — the rule-based sibling of the weighted
@@ -241,6 +242,11 @@ def gopher_rules(
     columns round half-even (Python round op-side, ``round_even``
     SQL-side — the integer-ratio convention from the dedup family).
     Null text coalesces to '' (one empty line, zero words, keep=false).
+
+    ``passthrough`` appends the named input columns to the output unchanged
+    (so a downstream stage — e.g. :func:`~pdf_parser_ray.ops.curation.
+    curate_corpus` — can filter on ``keep`` without a join back to the
+    corpus).
     """
 
     def rules(batch: pa.Table) -> pa.Table:
@@ -282,18 +288,19 @@ def gopher_rules(
             & (n_stop >= min_stop_hits)
         )
         r6 = lambda xs: pa.array([round(float(x), 6) for x in xs], pa.float64())
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_words": pa.array(n_words.astype(np.int64)),
-                "mean_word_len": r6(mwl),
-                "symbol_ratio": r6(sym_ratio),
-                "frac_alpha_words": r6(alpha_frac),
-                "frac_bullet_lines": r6(bullet_frac),
-                "frac_ellipsis_lines": r6(ell_frac),
-                "n_stop_hits": pa.array(n_stop),
-                "keep": pa.array(keep),
-            }
-        )
+        cols = {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words.astype(np.int64)),
+            "mean_word_len": r6(mwl),
+            "symbol_ratio": r6(sym_ratio),
+            "frac_alpha_words": r6(alpha_frac),
+            "frac_bullet_lines": r6(bullet_frac),
+            "frac_ellipsis_lines": r6(ell_frac),
+            "n_stop_hits": pa.array(n_stop),
+            "keep": pa.array(keep),
+        }
+        for c in passthrough:
+            cols[c] = batch[c]
+        return pa.table(cols)
 
     return ds.map_batches(rules, batch_format="pyarrow")

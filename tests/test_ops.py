@@ -1845,3 +1845,45 @@ def test_dup_span_stats_null_id_dropped(ray_session):
     out = dup_span_stats(ray.data.from_items(rows), n=5).to_pandas()
     assert list(out.doc_id) == [1]
     assert list(out.n_dup_grams) == [0]
+
+
+def test_curate_corpus_end_to_end(ray_session):
+    from pdf_parser_ray.ops.curation import curate_corpus
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and that is fine "
+        "to have be of " * 5
+    ).strip()
+    rows = [
+        {"doc_id": 1, "text": good, "lang": "en"},
+        {"doc_id": 2, "text": good, "lang": "de"},   # exact dup: min id wins
+        {"doc_id": 3, "text": "short", "lang": "en"},  # fails min_words
+        {"doc_id": 4, "text": good + " extra", "lang": "fr"},
+        {"doc_id": 5, "text": None, "lang": "en"},   # null text: filtered
+    ]
+    out = (
+        curate_corpus(ray.data.from_items(rows))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.doc_id) == [1, 4]
+    assert list(out.lang) == ["en", "fr"]  # the kept row's attrs, not the dup's
+    assert set(out.columns) == {"doc_id", "lang", "n_words", "bucket", "split"}
+    assert out.split.isin(["train", "val", "test"]).all()
+
+
+def test_curate_corpus_split_matches_assign_splits(ray_session):
+    from pdf_parser_ray.ops.curation import assign_splits, curate_corpus
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and that is fine "
+        "to have be of " * 5
+    ).strip()
+    rows = [{"doc_id": i, "text": f"{good} v{i}", "lang": "en"} for i in range(30)]
+    ds = ray.data.from_items(rows)
+    cur = curate_corpus(ds).to_pandas().set_index("doc_id")
+    spl = assign_splits(ds).to_pandas().set_index("doc_id")
+    for i in cur.index:
+        assert cur.loc[i, "split"] == spl.loc[i, "split"]
+        assert cur.loc[i, "bucket"] == spl.loc[i, "bucket"]
