@@ -174,6 +174,7 @@ def run_secondary() -> dict[str, float]:
         "assign_splits",
         "semantic_dedup",
         "global_rank",
+        "curate_corpus",
     ]
     out: dict[str, float] = {}
     for name in chosen:
