@@ -324,6 +324,19 @@ def _q_curate_corpus(sf_dir: str):
     return curate_corpus(ds, min_stop_hits=1)
 
 
+def _q_rebalance_sources(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.curation import rebalance_sources
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    # 3% uniform target: the synthetic corpus holds 20 ~5%-sized sources,
+    # so every source gets meaningfully downsampled
+    return rebalance_sources(ds, default_share=0.03)
+
+
 def _q_dup_span_stats(sf_dir: str):
     import ray.data
 
@@ -950,6 +963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_surprisal": _q_lm_surprisal,
         "assign_splits": _q_assign_splits,
         "curate_corpus": _q_curate_corpus,
+        "rebalance_sources": _q_rebalance_sources,
         "dup_span_stats": _q_dup_span_stats,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1762,6 +1776,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_words, bucket, "
             "CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' "
             "ELSE 'test' END AS split FROM b"
+        ),
+        # data-mixing rebalance: thresholds are ALL integer arithmetic
+        # (ppm * total // source_tokens), so the oracle recomputes them
+        # from the table itself — no float, no literals to keep in sync
+        "rebalance_sources": (
+            r"WITH t AS (SELECT doc_id, source, "
+            r"len(regexp_extract_all(COALESCE(text, ''), '\S+'))::BIGINT AS ntok "
+            r"FROM documents), "
+            r"agg AS (SELECT source, SUM(ntok)::BIGINT AS st FROM t GROUP BY source), "
+            r"tot AS (SELECT SUM(ntok)::BIGINT AS tt FROM t), "
+            r"th AS (SELECT source, CASE WHEN st = 0 THEN 1000000 "
+            r"ELSE LEAST(1000000, (30000 * (SELECT tt FROM tot)) // st) END AS thresh "
+            r"FROM agg) "
+            r"SELECT t.doc_id, t.source, t.ntok AS n_tokens "
+            r"FROM t JOIN th USING (source) "
+            r"WHERE (('0x'||substr(md5('mix:'||CAST(t.doc_id AS VARCHAR)),1,16))::UBIGINT >> 1) "
+            r"% 1000000 < thresh"
         ),
         # duplicated-span stats: positional 5-gram occurrences (the <5-token
         # doc collapses to one whole-doc gram, the chunk_documents window

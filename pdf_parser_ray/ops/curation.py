@@ -1065,3 +1065,113 @@ def curate_corpus(
         .map_batches(schema_pin(deduped_schema), batch_format="pyarrow")
         .map_batches(split_assign, batch_format="pyarrow")
     )
+
+
+# ---- data mixing: per-source token rebalancing ------------------------------
+
+
+_MIX_BUCKETS = 1_000_000
+
+
+def rebalance_sources(
+    ds: ray.data.Dataset,
+    targets: "dict[str, float] | None" = None,
+    default_share: float = 0.03,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> ray.data.Dataset:
+    """Domain-weight rebalancing (the DoReMi/data-mixing step): downsample
+    each source so it contributes at most its target share of the ORIGINAL
+    corpus token count, by deterministic per-doc hash — no shuffle of the
+    corpus, stable under re-partitioning and resume.
+
+    Two passes:
+
+    1. **stats** — per-source token totals: per-batch Arrow-kernel token
+       counts pre-aggregate to (source, tokens) partials, one
+       sources-sized groupby. The result broadcasts as a plain dict (a
+       corpus has dozens of sources, not millions).
+    2. **filter** — keep a doc when ``md5_bucket(salt:id, 1e6) <
+       thresh[source]`` with ``thresh = min(1e6, ppm * total_tokens //
+       source_tokens)`` — ALL integer arithmetic (ppm = the target share
+       scaled to parts-per-million through exact Fraction math), so the
+       SQL oracle recomputes identical thresholds from the same table
+       with no float anywhere. A source with zero tokens keeps
+       everything (nothing to downsample).
+
+    ``targets`` maps source -> share for specific sources;
+    ``default_share`` covers the rest (and a null source). Expected kept
+    tokens per source ~= min(source_tokens, share * total_tokens);
+    sampling is per-doc, so the realized share fluctuates by the doc-size
+    distribution — the standard trade for a one-pass deterministic mix.
+
+    Output: (id, source, n_tokens) for kept docs.
+    """
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    targets = targets or {}
+
+    def tok_partials(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        ntok = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        part = (
+            pa.table({"source": batch[source_col], "ntok": ntok})
+            .group_by("source")
+            .aggregate([("ntok", "sum")])
+        )
+        return part.rename_columns(["source", "ntok"])
+
+    stats = (
+        ds.select_columns([source_col, text_col])
+        .map_batches(tok_partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("ntok", alias_name="ntok"))
+        .take_all()  # sources-sized: dozens of rows
+    )
+    total = sum(int(r["ntok"] or 0) for r in stats)
+    thresh: dict = {}
+    for r in stats:
+        src = r["source"]
+        st = int(r["ntok"] or 0)
+        share = targets.get(src, default_share) if src is not None else default_share
+        ppm = int(Fraction(str(share)) * _MIX_BUCKETS)
+        thresh[src] = (
+            _MIX_BUCKETS if st == 0 else min(_MIX_BUCKETS, (ppm * total) // st)
+        )
+    ref = _ray.put(thresh)
+
+    class Keep:
+        def __init__(self, ref):
+            self.thresh = _ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+            ntok = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+            ids = batch[id_col].to_pylist()
+            srcs = batch[source_col].to_pylist()
+            mask = pa.array(
+                [
+                    i is not None
+                    and md5_bucket(f"{salt}:{i}", _MIX_BUCKETS)
+                    < self.thresh.get(s, _MIX_BUCKETS)
+                    for i, s in zip(ids, srcs)
+                ],
+                pa.bool_(),
+            )
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    source_col: batch[source_col],
+                    "n_tokens": ntok,
+                }
+            ).filter(mask)
+
+    return ds.select_columns([id_col, source_col, text_col]).map_batches(
+        Keep,
+        fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )

@@ -1887,3 +1887,46 @@ def test_curate_corpus_split_matches_assign_splits(ray_session):
     for i in cur.index:
         assert cur.loc[i, "split"] == spl.loc[i, "split"]
         assert cur.loc[i, "bucket"] == spl.loc[i, "bucket"]
+
+
+def test_rebalance_sources_threshold_math(ray_session):
+    from pdf_parser_ray.functions.hashing import md5_bucket
+    from pdf_parser_ray.ops.curation import rebalance_sources
+
+    # big: 90 docs x 10 tokens = 900; small: 10 docs x 10 = 100; total 1000
+    rows = [
+        {"doc_id": i, "source": "big", "text": "t " * 10} for i in range(90)
+    ] + [
+        {"doc_id": 100 + i, "source": "small", "text": "t " * 10}
+        for i in range(10)
+    ]
+    out = rebalance_sources(
+        ray.data.from_items(rows),
+        targets={"big": 0.5},
+        default_share=0.5,
+    ).to_pandas()
+    # thresh(big) = min(1e6, 500000*1000//900) = 555555; small: capped 1e6
+    assert (out[out.source == "small"].doc_id >= 100).all()
+    assert len(out[out.source == "small"]) == 10  # under target: keep all
+    kept_big = set(out[out.source == "big"].doc_id)
+    want_big = {
+        i for i in range(90) if md5_bucket(f"mix:{i}", 1_000_000) < 555_555
+    }
+    assert kept_big == want_big
+    assert (out.n_tokens == 10).all()
+
+
+def test_rebalance_sources_zero_token_source_kept(ray_session):
+    from pdf_parser_ray.ops.curation import rebalance_sources
+
+    rows = [
+        {"doc_id": 1, "source": "empty", "text": ""},
+        {"doc_id": 2, "source": "empty", "text": None},
+        {"doc_id": 3, "source": "full", "text": "a b c"},
+    ]
+    out = rebalance_sources(
+        ray.data.from_items(rows), default_share=1.0
+    ).to_pandas()
+    # zero-token source: nothing to downsample, all kept; share 1.0 keeps all
+    assert sorted(out.doc_id) == [1, 2, 3]
+    assert sorted(out.n_tokens) == [0, 0, 3]
