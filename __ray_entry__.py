@@ -324,6 +324,15 @@ def _q_curate_corpus(sf_dir: str):
     return curate_corpus(ds, min_stop_hits=1)
 
 
+def _q_surprisal_filter(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.curation import surprisal_filter
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return surprisal_filter(ds, keep_frac=0.9)
+
+
 def _q_rebalance_sources(sf_dir: str):
     import ray.data
 
@@ -964,6 +973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assign_splits": _q_assign_splits,
         "curate_corpus": _q_curate_corpus,
         "rebalance_sources": _q_rebalance_sources,
+        "surprisal_filter": _q_surprisal_filter,
         "dup_span_stats": _q_dup_span_stats,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1776,6 +1786,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_words, bucket, "
             "CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' "
             "ELSE 'test' END AS split FROM b"
+        ),
+        # perplexity filter composite: the lm_surprisal oracle's mean feeds
+        # ROW_NUMBER (asc, id tie-break) = global_rank's histogram+prefix
+        # ranking; the 90% cutoff is exact integer floor on both sides
+        "surprisal_filter": (
+            r"WITH toks AS (SELECT doc_id, "
+            r"unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents), "
+            r"cnt AS (SELECT tok, COUNT(*)::BIGINT AS c FROM toks GROUP BY tok), "
+            r"tot AS (SELECT COUNT(*)::BIGINT AS n FROM toks), "
+            r"st AS (SELECT t.doc_id, LENGTH(bin((SELECT n FROM tot) // c.c)) AS s "
+            r"FROM toks t JOIN cnt c ON t.tok = c.tok), "
+            r"sc AS (SELECT doc_id, "
+            r"CAST(printf('%.6f', SUM(s) / CAST(COUNT(*) AS DOUBLE)) AS DOUBLE) "
+            r"AS mean_surprisal FROM st GROUP BY doc_id), "
+            r"r AS (SELECT doc_id, mean_surprisal, "
+            r"ROW_NUMBER() OVER (ORDER BY mean_surprisal, doc_id) AS rank FROM sc) "
+            r"SELECT doc_id, mean_surprisal, CAST(rank AS BIGINT) AS rank FROM r "
+            r"WHERE rank <= (SELECT (COUNT(*) * 9) // 10 FROM sc)"
         ),
         # data-mixing rebalance: thresholds are ALL integer arithmetic
         # (ppm * total // source_tokens), so the oracle recomputes them

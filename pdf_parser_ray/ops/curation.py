@@ -1175,3 +1175,46 @@ def rebalance_sources(
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+
+
+# ---- perplexity-style filtering: keep the least-surprising fraction ---------
+
+
+def surprisal_filter(
+    ds: ray.data.Dataset,
+    keep_frac: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """CCNet-style perplexity filtering, composed from this package's own
+    primitives: score every doc with :func:`lm_surprisal` (integer-
+    quantized unigram surprisal), rank corpus-wide with
+    :func:`~pdf_parser_ray.ops.relational.global_rank` (distributed
+    ROW_NUMBER: ascending mean_surprisal, id tie-break), keep the
+    lowest-surprisal ``keep_frac`` of docs — rank <= floor(keep_frac * N)
+    with the cutoff in exact Fraction arithmetic.
+
+    The scored table (one row per doc — the reduction lm_surprisal
+    already produces) is materialized once: global_rank walks its input
+    three times (min/max, bucket counts, rank), and re-walking would
+    re-run the two-pass scorer each time.
+
+    Output: (id, mean_surprisal, rank) for kept docs.
+    """
+    from pdf_parser_ray.ops.relational import global_rank
+
+    scored = lm_surprisal(ds, text_col=text_col, id_col=id_col).materialize()
+    n = scored.count()
+    cutoff = int(Fraction(str(keep_frac)) * n)
+    ranked = global_rank(
+        scored.select_columns([id_col, "mean_surprisal"]),
+        "mean_surprisal",
+        id_col=id_col,
+        descending=False,
+    )
+
+    def cut(batch: pa.Table) -> pa.Table:
+        t = batch.select([id_col, "mean_surprisal", "rank"])
+        return t.filter(pc.less_equal(batch["rank"], cutoff))
+
+    return ranked.map_batches(cut, batch_format="pyarrow")

@@ -1930,3 +1930,33 @@ def test_rebalance_sources_zero_token_source_kept(ray_session):
     # zero-token source: nothing to downsample, all kept; share 1.0 keeps all
     assert sorted(out.doc_id) == [1, 2, 3]
     assert sorted(out.n_tokens) == [0, 0, 3]
+
+
+def test_surprisal_filter_keeps_least_surprising(ray_session):
+    from pdf_parser_ray.ops.curation import surprisal_filter
+
+    # common-word docs score low surprisal; the rare-word doc scores high
+    rows = [
+        {"doc_id": 1, "text": "a a a a"},
+        {"doc_id": 2, "text": "a a a b"},
+        {"doc_id": 3, "text": "a a b b"},
+        {"doc_id": 4, "text": "xyzzy quux plugh wibble"},
+    ]
+    out = (
+        surprisal_filter(ray.data.from_items(rows), keep_frac=0.75)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    # floor(0.75 * 4) = 3 kept; the rare-word doc 4 is cut
+    assert list(out.doc_id) == [1, 2, 3]
+    assert list(out["rank"]) == [1, 2, 3]
+    assert out.mean_surprisal.is_monotonic_increasing
+
+
+def test_surprisal_filter_cutoff_floor(ray_session):
+    from pdf_parser_ray.ops.curation import surprisal_filter
+
+    rows = [{"doc_id": i, "text": f"w{i} common common"} for i in range(7)]
+    out = surprisal_filter(ray.data.from_items(rows), keep_frac=0.5).to_pandas()
+    assert len(out) == 3  # floor(0.5 * 7)
