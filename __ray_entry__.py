@@ -324,6 +324,15 @@ def _q_curate_corpus(sf_dir: str):
     return curate_corpus(ds, min_stop_hits=1)
 
 
+def _q_dedup_lines(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.dedup import dedup_lines
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup_lines(ds, min_len=15)
+
+
 def _q_surprisal_filter(sf_dir: str):
     import ray.data
 
@@ -974,6 +983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": _q_curate_corpus,
         "rebalance_sources": _q_rebalance_sources,
         "surprisal_filter": _q_surprisal_filter,
+        "dedup_lines": _q_dedup_lines,
         "dup_span_stats": _q_dup_span_stats,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1786,6 +1796,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_words, bucket, "
             "CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' "
             "ELSE 'test' END AS split FROM b"
+        ),
+        # C4-style line dedup: winner = ROW_NUMBER over the SAME md5_64
+        # hash identity the op shuffles on (ORDER BY doc_id, idx); short
+        # lines never compete; reassembly = ordered string_agg
+        "dedup_lines": (
+            "WITH l0 AS (SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS ls "
+            "FROM documents WHERE doc_id IS NOT NULL), "
+            "e AS (SELECT doc_id, ls, unnest(range(len(ls))) AS i FROM l0), "
+            "ln AS (SELECT doc_id, i, ls[i+1] AS line FROM e), "
+            "w AS (SELECT doc_id, i, line, "
+            "CASE WHEN length(line) >= 15 THEN "
+            "ROW_NUMBER() OVER (PARTITION BY ('0x'||substr(md5(line),1,16))::UBIGINT >> 1 "
+            "ORDER BY doc_id, i) ELSE 1 END AS rn FROM ln) "
+            "SELECT doc_id, "
+            "COALESCE(string_agg(line, chr(10) ORDER BY i) FILTER (WHERE rn = 1), '') AS clean_text, "
+            "(COUNT(*) FILTER (WHERE rn = 1))::BIGINT AS n_lines_kept, "
+            "(COUNT(*) FILTER (WHERE rn > 1))::BIGINT AS n_lines_removed "
+            "FROM w GROUP BY doc_id"
         ),
         # perplexity filter composite: the lm_surprisal oracle's mean feeds
         # ROW_NUMBER (asc, id tie-break) = global_rank's histogram+prefix

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from pdf_parser_ray.functions.hashing import md5_64
+from pdf_parser_ray.functions.hashing import md5_64, md5_bucket
 from pdf_parser_ray.functions.tables import schema_pin
 
 _MERSENNE = (1 << 61) - 1
@@ -1684,5 +1684,262 @@ def dup_span_stats(
         .map_batches(schema_pin(_DUP_SPAN_SCHEMA), batch_format="pyarrow")
         .groupby("doc")
         .aggregate(Sum("n_grams", alias_name="n_grams"), Sum("n_dup_grams", alias_name="n_dup_grams"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+# ---- corpus-wide duplicated-line removal (C4-style) --------------------------
+
+
+def dedup_lines(
+    ds: ray.data.Dataset,
+    min_len: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_max_removals: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Corpus-wide duplicated-LINE removal — the C4/CCNet boilerplate
+    transform: every line of ``min_len``+ characters keeps only its FIRST
+    occurrence corpus-wide (ordered by (doc id, line index)); later
+    occurrences are deleted from their documents and the text reassembled.
+    Lines shorter than ``min_len`` (blank separators, bullets) are never
+    dedup candidates and always survive.
+
+    Stages:
+
+    1. map: explode candidate lines to (line_hash, doc, idx) rows — the
+       TEXT never enters the decision shuffle, only 64-bit md5 identities
+       (self-consistent; the SQL oracle hashes identically).
+    2. groupby hash bucket: every occurrence of a line co-locates; per
+       hash the (doc, idx)-min wins, all OTHER occurrences emit a removal
+       row (doc, idx). Removals-only output: a corpus dominated by unique
+       lines produces few rows here.
+    3. apply, routed by measured removal count: at or below
+       ``broadcast_max_removals`` the removal set broadcasts via ray.put
+       and a map pass rebuilds each doc in place (no corpus shuffle).
+       Above it, removal rows and corpus rows co-partition on hash(doc)
+       (:func:`_dedup_lines_join_path`) — text crosses the shuffle once.
+       Identical output by construction (route-equality test).
+
+    Output: (id, clean_text, n_lines_kept, n_lines_removed) — one row per
+    input doc (null text behaves as ''). Docs losing every candidate line
+    still emit their short-line residue.
+    """
+    try:
+        id_type = ds.schema().base_schema.field(id_col).type
+    except Exception:
+        id_type = pa.int64()
+    out_schema = pa.schema(
+        [
+            (id_col, id_type),
+            ("clean_text", pa.string()),
+            ("n_lines_kept", pa.int64()),
+            ("n_lines_removed", pa.int64()),
+        ]
+    )
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch[id_col], pa.string()).to_pylist()
+        texts = pc.cast(batch[text_col], pa.string()).to_pylist()
+        out_h, out_doc, out_idx = [], [], []
+        for doc, text in zip(ids, texts):
+            if doc is None:
+                continue
+            for idx, line in enumerate((text or "").split("\n")):
+                if len(line) >= min_len:
+                    out_h.append(md5_64(line))
+                    out_doc.append(doc)
+                    out_idx.append(idx)
+        return pa.table(
+            {
+                "lh": pa.array(out_h, pa.int64()),
+                "doc": pa.array(out_doc, pa.string()),
+                "idx": pa.array(out_idx, pa.int64()),
+                "_b": pa.array([h % _DEDUP_BUCKETS for h in out_h], pa.int64()),
+            }
+        )
+
+    removal_schema = pa.schema([("doc", pa.string()), ("idx", pa.int64())])
+
+    def losers(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["lh", "doc", "idx"]]
+        if g.empty:
+            return pd.DataFrame(
+                {"doc": pd.Series([], dtype=str), "idx": pd.Series([], dtype="int64")}
+            )
+        # numeric-string doc ids sort numerically when possible (the SQL
+        # ORDER BY doc_id is on the native type); fall back to string order
+        try:
+            order_key = g["doc"].astype("int64")
+        except (ValueError, TypeError):
+            order_key = g["doc"]
+        g = g.assign(_ord=order_key).sort_values(["lh", "_ord", "idx"])
+        dup = g.duplicated(subset="lh", keep="first")
+        return g.loc[dup, ["doc", "idx"]]
+
+    removals = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(candidates, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(losers, batch_format="pandas")
+        .map_batches(schema_pin(removal_schema), batch_format="pyarrow")
+        .materialize()  # removal-sized; pinned once for count + either route
+    )
+
+    if removals.count() > broadcast_max_removals:
+        return _dedup_lines_join_path(
+            ds, removals, min_len, text_col, id_col, out_schema
+        )
+
+    import ray as _ray
+
+    rem_set: set = set()
+    for b in removals.iter_batches(batch_format="pyarrow"):
+        rem_set.update(zip(b["doc"].to_pylist(), b["idx"].to_pylist()))
+    ref = _ray.put(rem_set)
+
+    class Rebuild:
+        def __init__(self, ref):
+            self.rem = _ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_pylist()
+            skeys = pc.cast(batch[id_col], pa.string()).to_pylist()
+            texts = pc.cast(batch[text_col], pa.string()).to_pylist()
+            out_t, out_k, out_r = [], [], []
+            for sk, text in zip(skeys, texts):
+                lines = (text or "").split("\n")
+                kept = [
+                    ln
+                    for i, ln in enumerate(lines)
+                    if sk is None or (sk, i) not in self.rem
+                ]
+                out_t.append("\n".join(kept))
+                out_k.append(len(kept))
+                out_r.append(len(lines) - len(kept))
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "clean_text": pa.array(out_t, pa.string()),
+                    "n_lines_kept": pa.array(out_k, pa.int64()),
+                    "n_lines_removed": pa.array(out_r, pa.int64()),
+                }
+            )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        Rebuild,
+        fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def _dedup_lines_join_path(
+    ds: ray.data.Dataset,
+    removals: ray.data.Dataset,
+    min_len: int,
+    text_col: str,
+    id_col: str,
+    out_schema: pa.Schema,
+) -> ray.data.Dataset:
+    """Scale path of :func:`dedup_lines`: removal rows and corpus rows
+    co-partition on hash(doc) — the corpus text crosses the shuffle ONCE
+    (the assemble-stage cost class), never a driver-sized removal set."""
+    id_type = out_schema.field(id_col).type
+    msg_schema = pa.schema(
+        [
+            ("doc", pa.string()),
+            ("side", pa.int8()),  # 0 = corpus row, 1 = removal row
+            ("text", pa.string()),
+            ("idx", pa.int64()),
+            ("_db", pa.int64()),
+        ]
+    )
+
+    def corpus_msgs(batch: pa.Table) -> pa.Table:
+        docs = pc.cast(batch[id_col], pa.string()).to_pylist()
+        texts = pc.cast(batch[text_col], pa.string()).to_pylist()
+        return pa.table(
+            {
+                "doc": pa.array(docs, pa.string()),
+                "side": pa.array([0] * len(docs), pa.int8()),
+                "text": pa.array([t if t is not None else None for t in texts], pa.string()),
+                "idx": pa.array([None] * len(docs), pa.int64()),
+                "_db": pa.array(
+                    [md5_bucket(d, _DEDUP_BUCKETS) if d is not None else 0 for d in docs],
+                    pa.int64(),
+                ),
+            }
+        ).cast(msg_schema)
+
+    def removal_msgs(batch: pa.Table) -> pa.Table:
+        docs = batch["doc"].to_pylist()
+        return pa.table(
+            {
+                "doc": pa.array(docs, pa.string()),
+                "side": pa.array([1] * len(docs), pa.int8()),
+                "text": pa.array([None] * len(docs), pa.string()),
+                "idx": pc.cast(batch["idx"], pa.int64()),
+                "_db": pa.array(
+                    [md5_bucket(d, _DEDUP_BUCKETS) for d in docs], pa.int64()
+                ),
+            }
+        ).cast(msg_schema)
+
+    def rebuild(group: pd.DataFrame) -> pd.DataFrame:
+        rem: dict[str, set[int]] = {}
+        for doc, idx in group.loc[group["side"] == 1, ["doc", "idx"]].itertuples(
+            index=False
+        ):
+            rem.setdefault(doc, set()).add(int(idx))
+        rows = group[group["side"] == 0]
+        out_doc, out_t, out_k, out_r = [], [], [], []
+        for doc, text in rows[["doc", "text"]].itertuples(index=False):
+            drop = rem.get(doc, ())
+            lines = (text if isinstance(text, str) else "").split("\n")
+            kept = [ln for i, ln in enumerate(lines) if i not in drop]
+            out_doc.append(doc)
+            out_t.append("\n".join(kept))
+            out_k.append(len(kept))
+            out_r.append(len(lines) - len(kept))
+        return pd.DataFrame(
+            {
+                "doc": out_doc,
+                "clean_text": out_t,
+                "n_lines_kept": pd.Series(out_k, dtype="int64"),
+                "n_lines_removed": pd.Series(out_r, dtype="int64"),
+            }
+        )
+
+    rebuilt_schema = pa.schema(
+        [
+            ("doc", pa.string()),
+            ("clean_text", pa.string()),
+            ("n_lines_kept", pa.int64()),
+            ("n_lines_removed", pa.int64()),
+        ]
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if "doc" not in batch.column_names or batch.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        return pa.table(
+            {
+                id_col: pc.cast(batch["doc"], id_type),
+                "clean_text": batch["clean_text"],
+                "n_lines_kept": batch["n_lines_kept"],
+                "n_lines_removed": batch["n_lines_removed"],
+            }
+        )
+
+    corpus = ds.select_columns([id_col, text_col]).map_batches(
+        corpus_msgs, batch_format="pyarrow"
+    )
+    rm = removals.map_batches(removal_msgs, batch_format="pyarrow")
+    return (
+        corpus.union(rm)
+        .groupby("_db")
+        .map_groups(rebuild, batch_format="pandas")
+        .map_batches(schema_pin(rebuilt_schema), batch_format="pyarrow")
         .map_batches(finalize, batch_format="pyarrow")
     )

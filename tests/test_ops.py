@@ -1960,3 +1960,62 @@ def test_surprisal_filter_cutoff_floor(ray_session):
     rows = [{"doc_id": i, "text": f"w{i} common common"} for i in range(7)]
     out = surprisal_filter(ray.data.from_items(rows), keep_frac=0.5).to_pandas()
     assert len(out) == 3  # floor(0.5 * 7)
+
+
+def test_dedup_lines_first_occurrence_wins(ray_session):
+    from pdf_parser_ray.ops.dedup import dedup_lines
+
+    boiler = "subscribe to our newsletter today"
+    rows = [
+        {"doc_id": 2, "text": f"{boiler}\nunique beta content line two"},
+        {"doc_id": 1, "text": f"unique alpha content line one\n{boiler}\nok"},
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": None},
+    ]
+    out = (
+        dedup_lines(ray.data.from_items(rows))
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    # first occurrence = min (doc_id, idx): doc 1 keeps the boilerplate
+    assert out.loc[1, "clean_text"] == f"unique alpha content line one\n{boiler}\nok"
+    assert out.loc[2, "clean_text"] == "unique beta content line two"
+    assert out.loc[2, "n_lines_removed"] == 1
+    # short lines ("ok") are never candidates even when repeated
+    assert out.loc[1, "n_lines_removed"] == 0
+    # empty/null docs: one empty line, kept
+    assert out.loc[3, "clean_text"] == "" and out.loc[3, "n_lines_kept"] == 1
+    assert out.loc[4, "clean_text"] == "" and out.loc[4, "n_lines_kept"] == 1
+
+
+def test_dedup_lines_route_equality(ray_session):
+    import numpy as np
+
+    from pdf_parser_ray.ops.dedup import dedup_lines
+
+    rng = np.random.RandomState(7)
+    bank = [f"repeated boilerplate line number {i}" for i in range(8)]
+    rows = [
+        {
+            "doc_id": i,
+            "text": "\n".join(
+                bank[j] if j < 8 else f"unique line {i}-{j} with enough length"
+                for j in rng.randint(0, 16, rng.randint(1, 10))
+            ),
+        }
+        for i in range(40)
+    ]
+    ds = ray.data.from_items(rows)
+    broad = dedup_lines(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    joined = (
+        dedup_lines(ds, broadcast_max_removals=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(broad, joined, check_dtype=False)
+    # every boilerplate line survives exactly once corpus-wide
+    all_text = "\n".join(broad.clean_text)
+    for b in bank:
+        assert all_text.count(b) <= 1
