@@ -1846,7 +1846,7 @@ def oracle_sql() -> dict[str, str]:
             r"ELSE LEAST(1000000, (30000 * (SELECT tt FROM tot)) // st) END AS thresh "
             r"FROM agg) "
             r"SELECT t.doc_id, t.source, t.ntok AS n_tokens "
-            r"FROM t JOIN th USING (source) "
+            r"FROM t JOIN th ON t.source IS NOT DISTINCT FROM th.source "
             r"WHERE (('0x'||substr(md5('mix:'||CAST(t.doc_id AS VARCHAR)),1,16))::UBIGINT >> 1) "
             r"% 1000000 < thresh"
         ),

@@ -887,6 +887,41 @@ def _lm_surprisal_join_path(
 _SPLIT_BUCKETS = 10_000
 
 
+def _split_cutoffs(fractions: "dict[str, float]") -> "tuple[list[str], list[int]]":
+    """Exact-decimal cumulative bucket cutoffs (Fraction(str(f)) reads the
+    decimal the caller wrote: 0.07 + 0.58 -> 65/100 -> 6500, never 6499).
+    The single definition behind assign_splits AND curate_corpus — the
+    'same split everywhere' contract is structural, not test-enforced."""
+    names = list(fractions)
+    cutoffs: list[int] = []
+    cum = Fraction(0)
+    for name_ in names:
+        cum += Fraction(str(fractions[name_]))
+        cutoffs.append(int(cum * _SPLIT_BUCKETS))
+    cutoffs[-1] = _SPLIT_BUCKETS  # rounding slack never orphans a bucket
+    return names, cutoffs
+
+
+def _bucket_and_split(
+    ids, names: "list[str]", cutoffs: "list[int]", salt: str
+) -> "tuple[list, list]":
+    """Per-id (bucket, split) under the md5 hash; null id -> (NULL bucket,
+    last split) — the SQL CASE-ELSE answer."""
+    buckets, splits = [], []
+    for i in ids:
+        if i is None:
+            buckets.append(None)
+            splits.append(names[-1])
+            continue
+        b = md5_bucket(f"{salt}:{i}", _SPLIT_BUCKETS)
+        buckets.append(b)
+        for name_, cut in zip(names, cutoffs):
+            if b < cut:
+                splits.append(name_)
+                break
+    return buckets, splits
+
+
 def assign_splits(
     ds: ray.data.Dataset,
     fractions: "dict[str, float] | None" = None,
@@ -918,30 +953,12 @@ def assign_splits(
     total = sum(fractions.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    names = list(fractions)
-    cutoffs: list[int] = []
-    cum = Fraction(0)
-    for name_ in names:
-        # Fraction(str(f)) reads the decimal the caller wrote, so cutoffs
-        # are exact: 0.07 + 0.58 -> 65/100 -> 6500, never 6499
-        cum += Fraction(str(fractions[name_]))
-        cutoffs.append(int(cum * _SPLIT_BUCKETS))
-    cutoffs[-1] = _SPLIT_BUCKETS  # rounding slack never orphans a bucket
+    names, cutoffs = _split_cutoffs(fractions)
 
     def assign(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        buckets, splits = [], []
-        for i in ids:
-            if i is None:
-                buckets.append(None)
-                splits.append(names[-1])
-                continue
-            b = md5_bucket(f"{salt}:{i}", _SPLIT_BUCKETS)
-            buckets.append(b)
-            for name_, cut in zip(names, cutoffs):
-                if b < cut:
-                    splits.append(name_)
-                    break
+        buckets, splits = _bucket_and_split(
+            batch[id_col].to_pylist(), names, cutoffs, salt
+        )
         return pa.table(
             {
                 id_col: batch[id_col],
@@ -994,13 +1011,7 @@ def curate_corpus(
     from pdf_parser_ray.ops.text_analysis import gopher_rules
 
     fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
-    names = list(fractions)
-    cutoffs: list[int] = []
-    cum = Fraction(0)
-    for name_ in names:
-        cum += Fraction(str(fractions[name_]))
-        cutoffs.append(int(cum * _SPLIT_BUCKETS))
-    cutoffs[-1] = _SPLIT_BUCKETS
+    names, cutoffs = _split_cutoffs(fractions)
 
     flagged = gopher_rules(
         ds, text_col=text_col, min_stop_hits=min_stop_hits,
@@ -1035,19 +1046,9 @@ def curate_corpus(
     )
 
     def split_assign(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        buckets, splits = [], []
-        for i in ids:
-            if i is None:
-                buckets.append(None)
-                splits.append(names[-1])
-                continue
-            b = md5_bucket(f"{salt}:{i}", _SPLIT_BUCKETS)
-            buckets.append(b)
-            for name_, cut in zip(names, cutoffs):
-                if b < cut:
-                    splits.append(name_)
-                    break
+        buckets, splits = _bucket_and_split(
+            batch[id_col].to_pylist(), names, cutoffs, salt
+        )
         return pa.table(
             {
                 id_col: batch[id_col],

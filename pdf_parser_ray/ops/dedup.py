@@ -1723,8 +1723,12 @@ def dedup_lines(
 
     Output: (id, clean_text, n_lines_kept, n_lines_removed) — one row per
     input doc (null text behaves as ''). Docs losing every candidate line
-    still emit their short-line residue.
+    still emit their short-line residue. Rows with a null id are dropped
+    entirely — their lines are unattributable, so they neither dedup
+    against the corpus nor appear in the output (the SQL oracle filters
+    identically).
     """
+    numeric_ids = _ids_are_integer(ds, id_col)
     try:
         id_type = ds.schema().base_schema.field(id_col).type
     except Exception:
@@ -1767,12 +1771,11 @@ def dedup_lines(
             return pd.DataFrame(
                 {"doc": pd.Series([], dtype=str), "idx": pd.Series([], dtype="int64")}
             )
-        # numeric-string doc ids sort numerically when possible (the SQL
-        # ORDER BY doc_id is on the native type); fall back to string order
-        try:
-            order_key = g["doc"].astype("int64")
-        except (ValueError, TypeError):
-            order_key = g["doc"]
+        # "first occurrence" must be ONE total order corpus-wide: decided
+        # once from the source schema (the connected_components numeric-id
+        # convention), never re-inferred per bucket — a per-group reparse
+        # would let numeric and lexicographic orders coexist across hashes
+        order_key = g["doc"].astype("int64") if numeric_ids else g["doc"]
         g = g.assign(_ord=order_key).sort_values(["lh", "_ord", "idx"])
         dup = g.duplicated(subset="lh", keep="first")
         return g.loc[dup, ["doc", "idx"]]
@@ -1803,7 +1806,7 @@ def dedup_lines(
             self.rem = _ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_pylist()
+            batch = batch.filter(pc.is_valid(batch[id_col]))  # null ids drop
             skeys = pc.cast(batch[id_col], pa.string()).to_pylist()
             texts = pc.cast(batch[text_col], pa.string()).to_pylist()
             out_t, out_k, out_r = [], [], []
@@ -1812,7 +1815,7 @@ def dedup_lines(
                 kept = [
                     ln
                     for i, ln in enumerate(lines)
-                    if sk is None or (sk, i) not in self.rem
+                    if (sk, i) not in self.rem
                 ]
                 out_t.append("\n".join(kept))
                 out_k.append(len(kept))
@@ -1857,17 +1860,17 @@ def _dedup_lines_join_path(
     )
 
     def corpus_msgs(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[id_col]))  # null ids drop
         docs = pc.cast(batch[id_col], pa.string()).to_pylist()
         texts = pc.cast(batch[text_col], pa.string()).to_pylist()
         return pa.table(
             {
                 "doc": pa.array(docs, pa.string()),
                 "side": pa.array([0] * len(docs), pa.int8()),
-                "text": pa.array([t if t is not None else None for t in texts], pa.string()),
+                "text": pa.array(texts, pa.string()),
                 "idx": pa.array([None] * len(docs), pa.int64()),
                 "_db": pa.array(
-                    [md5_bucket(d, _DEDUP_BUCKETS) if d is not None else 0 for d in docs],
-                    pa.int64(),
+                    [md5_bucket(d, _DEDUP_BUCKETS) for d in docs], pa.int64()
                 ),
             }
         ).cast(msg_schema)

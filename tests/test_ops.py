@@ -2019,3 +2019,19 @@ def test_dedup_lines_route_equality(ray_session):
     all_text = "\n".join(broad.clean_text)
     for b in bank:
         assert all_text.count(b) <= 1
+
+
+def test_dedup_lines_null_id_dropped_entirely(ray_session):
+    from pdf_parser_ray.ops.dedup import dedup_lines
+
+    line = "a duplicated line with enough length"
+    rows = [
+        {"doc_id": None, "text": line},
+        {"doc_id": 1, "text": line},
+    ]
+    ds = ray.data.from_items(rows)
+    for kw in ({}, {"broadcast_max_removals": 0}):
+        out = dedup_lines(ds, **kw).to_pandas()
+        # the null-id doc neither appears nor competes (oracle parity)
+        assert list(out.doc_id) == [1]
+        assert out.clean_text.iloc[0] == line
