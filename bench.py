@@ -175,6 +175,9 @@ def run_secondary() -> dict[str, float]:
         "semantic_dedup",
         "global_rank",
         "curate_corpus",
+        "rebalance_sources",
+        "surprisal_filter",
+        "dedup_lines",
     ]
     out: dict[str, float] = {}
     for name in chosen:
