@@ -42,6 +42,21 @@ def main(argv: list[str] | None = None) -> int:
     p_gen.add_argument("--seed", type=int, default=42)
     p_gen.add_argument("--max-pages", type=int, default=400)
 
+    p_cur = sub.add_parser(
+        "curate",
+        help="training-data curation: quality gate -> exact dedup -> splits",
+    )
+    p_cur.add_argument(
+        "--input", required=True, help="documents parquet (doc_id, text, lang)"
+    )
+    p_cur.add_argument("--output", required=True)
+    p_cur.add_argument("--min-stop-hits", type=int, default=1)
+    p_cur.add_argument(
+        "--fractions",
+        default="train=0.8,val=0.1,test=0.1",
+        help="comma-separated name=share split fractions (must sum to 1)",
+    )
+
     args = parser.parse_args(argv)
 
     import ray
@@ -84,6 +99,36 @@ def main(argv: list[str] | None = None) -> int:
             ds = synthetic_corpus(args.n_docs, args.seed, args.max_pages)
             write_corpus(ds, args.output)
             print(json.dumps({"output": args.output, "n_docs": args.n_docs}))
+        elif args.cmd == "curate":
+            import ray.data
+
+            from pdf_parser_ray.ops.curation import curate_corpus
+
+            fractions = {
+                k: float(v)
+                for k, v in (p.split("=") for p in args.fractions.split(","))
+            }
+            ds = ray.data.read_parquet(
+                args.input, columns=["doc_id", "text", "lang"]
+            )
+            out = curate_corpus(
+                ds, min_stop_hits=args.min_stop_hits, fractions=fractions
+            )
+            # one directory per split: a training job reads only its split,
+            # and a failed run resumes per-partition
+            out.write_parquet(args.output, partition_cols=["split"])
+            import pyarrow.dataset as pads
+
+            counts = (
+                pads.dataset(args.output, partitioning="hive")
+                .to_table(columns=["split"])
+                .column("split")
+            )
+            summary = {
+                str(k): int(v)
+                for k, v in zip(*[c.to_pylist() for c in counts.value_counts().flatten()])
+            }
+            print(json.dumps({"output": args.output, "kept_by_split": summary}))
     finally:
         ray.shutdown()
     return 0
