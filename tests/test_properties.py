@@ -127,3 +127,68 @@ def test_media_decoder_never_crashes_on_fuzz():
             assert set(out) == {"width", "height", "feature", "decode_ok"}
         except NotImplementedError:
             pass
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=6),
+            st.fractions(min_value="1/100", max_value=1),
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_split_cutoffs_partition_properties(parts):
+    """Cutoffs are a monotone partition of [0, 10000): every bucket maps to
+    exactly one split, and the last cutoff always closes the range —
+    regardless of how the (normalized) fractions decimal-round."""
+    from fractions import Fraction
+
+    from pdf_parser_ray.ops.curation import _bucket_and_split, _split_cutoffs
+
+    total = sum(f for _, f in parts)
+    fractions = {n: float(f / total) for n, f in parts}
+    names, cutoffs = _split_cutoffs(fractions)
+    assert names == [n for n, _ in parts]
+    assert cutoffs == sorted(cutoffs)
+    assert cutoffs[-1] == 10_000
+    # every bucket value resolves to exactly one split (spot a lattice)
+    probe = [0, 1, 4999, 5000, 9998, 9999] + cutoffs[:-1]
+    buckets, splits = _bucket_and_split(
+        list(range(len(probe))), names, cutoffs, "s"
+    )
+    assert len(splits) == len(probe)
+    assert set(splits) <= set(names)
+    # null id: NULL bucket, last split
+    b, s = _bucket_and_split([None], names, cutoffs, "s")
+    assert b == [None] and s == [names[-1]]
+
+
+@given(
+    st.text(
+        alphabet=st.sampled_from("ab \n"),
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=120, deadline=None)
+def test_positional_ngrams_counts(text, n):
+    """Positional n-gram law: token count t yields max(t-n+1, 1) grams for
+    t > 0 (the <n collapse), 0 for an empty doc; each full gram holds
+    exactly n tokens."""
+    from pdf_parser_ray.ops.dedup import _word_ngrams, _word_ngrams_positional
+
+    grams = _word_ngrams_positional(text, n)
+    t = len(text.lower().split())
+    if t == 0:
+        assert grams == []
+    elif t < n:
+        assert grams == [" ".join(text.lower().split())]
+    else:
+        assert len(grams) == t - n + 1
+        assert all(len(g.split(" ")) == n for g in grams)
+    # the distinct-set sibling sees exactly the distinct positional grams
+    assert _word_ngrams(text, n) == set(grams)
