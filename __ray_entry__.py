@@ -333,6 +333,12 @@ def _q_dedup_lines(sf_dir: str):
     return dedup_lines(ds, min_len=15)
 
 
+def _q_dedup_events(sf_dir: str):
+    from pdf_parser_ray.ops.streaming import dedup_events
+
+    return dedup_events(sf_dir, window_seconds=60)
+
+
 def _q_surprisal_filter(sf_dir: str):
     import ray.data
 
@@ -984,6 +990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rebalance_sources": _q_rebalance_sources,
         "surprisal_filter": _q_surprisal_filter,
         "dedup_lines": _q_dedup_lines,
+        "dedup_events": _q_dedup_events,
         "dup_span_stats": _q_dup_span_stats,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1796,6 +1803,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_words, bucket, "
             "CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' "
             "ELSE 'test' END AS split FROM b"
+        ),
+        # event debounce: LAG against the raw predecessor, ties (ts, id);
+        # gaps in integer epoch MICROSECONDS on both sides
+        "dedup_events": (
+            "WITH o AS (SELECT event_id, ts, user_id, event_type, "
+            "LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev "
+            "FROM events) "
+            "SELECT event_id, ts, user_id, event_type, "
+            "CAST(COALESCE(epoch_us(ts) - epoch_us(prev), -1) AS BIGINT) AS gap_us "
+            "FROM o WHERE prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 60000000"
         ),
         # C4-style line dedup: winner = ROW_NUMBER over the SAME md5_64
         # hash identity the op shuffles on (ORDER BY doc_id, idx); short

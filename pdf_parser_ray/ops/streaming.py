@@ -308,3 +308,73 @@ def hopping_window_agg(
         )
         .sort(["event_type", "window_start"])
     )
+
+
+def dedup_events(
+    sf_dir_or_ds,
+    window_seconds: int = 60,
+    ts_col: str = "ts",
+    key_cols: tuple = ("user_id", "event_type"),
+    id_col: str = "event_id",
+) -> ray.data.Dataset:
+    """Debounce-dedup over an event stream: drop an event when the SAME
+    key (default (user, event_type)) fired within ``window_seconds``
+    BEFORE it — the double-click / retry / bounce cleaner in every event
+    pipeline. Comparison is against the immediate RAW predecessor (SQL
+    LAG semantics, ties ordered by (ts, id)); an event suppressed by a
+    dropped predecessor is still dropped — the debounce convention, and
+    the one with an exact one-window SQL form.
+
+    Gaps compare in integer MICROSECONDS (timestamp[us] epoch view) —
+    never float epoch seconds, which round (the DuckDB DOUBLE->BIGINT
+    cast gotcha).
+
+    Same co-partition shape as :func:`sessionize`: hash(user) buckets,
+    one pandas sort + groupby-shift per bucket; only the key/ts/id
+    columns shuffle.
+
+    Output: kept events (id, ts, key cols, gap_us). ``gap_us`` is -1 for
+    a key's first event — a sentinel, not NULL, because kept gaps are
+    strictly positive (a zero/negative gap is by definition inside the
+    window) and an int64 column stays int64 on every engine, where a
+    nullable BIGINT reaches pandas as float and breaks value parity.
+    """
+    if isinstance(sf_dir_or_ds, str):
+        ds = ray.data.read_parquet(
+            f"{sf_dir_or_ds}/events.parquet",
+            columns=[id_col, ts_col, *key_cols],
+        )
+    else:
+        ds = sf_dir_or_ds
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_b",
+            pc.cast(
+                pc.bit_wise_and(
+                    batch[key_cols[0]], pa.scalar(_KEY_BUCKETS - 1, pa.int64())
+                ),
+                pa.int64(),
+            ),
+        )
+
+    window_us = int(window_seconds) * 1_000_000
+    keys = list(key_cols)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values([*keys, ts_col, id_col])
+        # normalize the storage unit BEFORE the integer view: a [s] or
+        # [ns] column viewed raw would scale every gap by 1e6
+        ts_us = group[ts_col].astype("datetime64[us]").astype("int64")
+        prev = ts_us.groupby([group[k] for k in keys]).shift()
+        gap = ts_us - prev
+        keep = prev.isna() | (gap > window_us)
+        out = group.loc[keep, [id_col, ts_col, *keys]].copy()
+        out["gap_us"] = gap[keep].fillna(-1).astype("int64")
+        return out
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -2035,3 +2035,42 @@ def test_dedup_lines_null_id_dropped_entirely(ray_session):
         # the null-id doc neither appears nor competes (oracle parity)
         assert list(out.doc_id) == [1]
         assert out.clean_text.iloc[0] == line
+
+
+def test_dedup_events_debounce_chain(ray_session):
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from pdf_parser_ray.ops.streaming import dedup_events
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)
+    rows = [
+        # user 1 "click": 0s kept, 30s dropped, 70s dropped (chain: raw
+        # predecessor at 30s is within the 60s window), 200s kept
+        {"event_id": 1, "ts": sec(0), "user_id": 1, "event_type": "click"},
+        {"event_id": 2, "ts": sec(30), "user_id": 1, "event_type": "click"},
+        {"event_id": 3, "ts": sec(70), "user_id": 1, "event_type": "click"},
+        {"event_id": 4, "ts": sec(200), "user_id": 1, "event_type": "click"},
+        # different event_type: independent stream
+        {"event_id": 5, "ts": sec(10), "user_id": 1, "event_type": "view"},
+        # tie timestamps: id order decides, second one dropped
+        {"event_id": 6, "ts": sec(0), "user_id": 2, "event_type": "click"},
+        {"event_id": 7, "ts": sec(0), "user_id": 2, "event_type": "click"},
+    ]
+    # from_items degrades datetime precision; build a [us] Arrow table
+    tbl = pa.Table.from_pylist(rows).set_column(
+        1, "ts", pa.Table.from_pylist(rows)["ts"].cast(pa.timestamp("us"))
+    )
+    out = (
+        dedup_events(ray.data.from_arrow(tbl), window_seconds=60)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.event_id) == [1, 4, 5, 6]
+    got = dict(zip(out.event_id, out.gap_us))
+    assert got[1] == -1 and got[5] == -1 and got[6] == -1
+    assert got[4] == 130_000_000  # vs raw predecessor at 70s
+    assert str(out.gap_us.dtype) == "int64"
