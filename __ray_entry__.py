@@ -333,6 +333,17 @@ def _q_dedup_lines(sf_dir: str):
     return dedup_lines(ds, min_len=15)
 
 
+def _q_quantize_embeddings(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.similarity import quantize_embeddings
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return quantize_embeddings(ds)
+
+
 def _q_dedup_events(sf_dir: str):
     from pdf_parser_ray.ops.streaming import dedup_events
 
@@ -991,6 +1002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "surprisal_filter": _q_surprisal_filter,
         "dedup_lines": _q_dedup_lines,
         "dedup_events": _q_dedup_events,
+        "quantize_embeddings": _q_quantize_embeddings,
         "dup_span_stats": _q_dup_span_stats,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1803,6 +1815,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_words, bucket, "
             "CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' "
             "ELSE 'test' END AS split FROM b"
+        ),
+        # int8 scalar quantization: FLOAT values promote to DOUBLE before
+        # the subtraction on both sides; min/max are exact aggregates;
+        # codes render to the canonical comma-joined string
+        "quantize_embeddings": (
+            "WITH x AS (SELECT vec_id, i, embedding[i+1]::DOUBLE AS v "
+            "FROM (SELECT vec_id, embedding, unnest(range(len(embedding))) AS i "
+            "FROM embeddings)), "
+            "mm AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY i), "
+            "c AS (SELECT vec_id, x.i, CASE WHEN mx = mn THEN 0 "
+            "ELSE LEAST(255, CAST(FLOOR((v - mn) * 255.0 / (mx - mn)) AS BIGINT)) END AS code "
+            "FROM x JOIN mm ON x.i = mm.i) "
+            "SELECT vec_id, array_to_string(list(code ORDER BY i), ',') AS codes "
+            "FROM c GROUP BY vec_id"
         ),
         # event debounce: LAG against the raw predecessor, ties (ts, id);
         # gaps in integer epoch MICROSECONDS on both sides

@@ -489,3 +489,111 @@ def kmeans(
         concurrency=(1, 8),
     )
     return assignments, centroids
+
+
+# ---- int8 scalar quantization -------------------------------------------------
+
+
+def quantize_embeddings(
+    ds: ray.data.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Per-dimension int8 scalar quantization — the ANN memory-compression
+    step (4x smaller vectors for IVF/brute-force shortlists):
+    ``code_d = min(255, floor((v_d - min_d) * 255.0 / (max_d - min_d)))``,
+    degenerate dimensions (min == max) code to 0.
+
+    Pass 1 computes per-dimension min/max (per-batch partials -> one
+    dims-sized groupby — min/max are exact, no float-summation order to
+    worry about); pass 2 broadcasts the dims-sized scale table and codes
+    every vector with one vectorized expression. All arithmetic is the
+    same double expression on both sides of the oracle — float32 inputs
+    promote to float64 BEFORE the subtraction, matching SQL's
+    FLOAT-to-DOUBLE promotion — so codes are bit-reproducible.
+
+    Codes are rendered to a comma-joined STRING before leaving the stage
+    (the rendering rule: list columns stringify differently across
+    engines; a rendered string is the one canonical form).
+
+    Output: (id, codes). Round-trip error is bounded by scale/2 per dim
+    (pinned by a dequantize test, not an oracle — reconstruction is a
+    float sum).
+    """
+    import ray as _ray
+    from ray.data.aggregate import Max, Min
+
+    def mm_partials(batch: pa.Table) -> pa.Table:
+        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        if vecs.size == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.float64()),
+                    "mx": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "dim": pa.array(range(vecs.shape[1]), pa.int64()),
+                "mn": pa.array(vecs.min(axis=0), pa.float64()),
+                "mx": pa.array(vecs.max(axis=0), pa.float64()),
+            }
+        )
+
+    mm = (
+        ds.select_columns([vec_col])
+        .map_batches(mm_partials, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .take_all()  # dims-sized
+    )
+    dims = sorted(int(r["dim"]) for r in mm)
+    mn = np.array([next(float(r["mn"]) for r in mm if r["dim"] == d) for d in dims])
+    mx = np.array([next(float(r["mx"]) for r in mm if r["dim"] == d) for d in dims])
+    ref = _ray.put((mn, mx))
+
+    class Code:
+        def __init__(self, ref):
+            self.mn, self.mx = _ray.get(ref)
+            self.degenerate = self.mx == self.mn
+            self.scale = np.where(self.degenerate, 1.0, self.mx - self.mn)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            if vecs.size == 0:
+                return pa.table(
+                    {
+                        id_col: batch[id_col],
+                        "codes": pa.array([""] * batch.num_rows, pa.string()),
+                    }
+                )
+            codes = np.minimum(
+                255, np.floor((vecs - self.mn) * 255.0 / self.scale)
+            ).astype(np.int64)
+            codes[:, self.degenerate] = 0
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "codes": pa.array(
+                        [",".join(map(str, row)) for row in codes], pa.string()
+                    ),
+                }
+            )
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        Code,
+        fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def dequantize_codes(codes: str, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
+    """Midpoint reconstruction for :func:`quantize_embeddings` codes —
+    the test-side round-trip: v ~ mn + (code + 0.5) * (mx - mn) / 255
+    (the quantizer's 255.0 divisor means bucket width (mx - mn) / 255;
+    code 255 is the half-open top bucket that only v == mx reaches)."""
+    c = np.array([int(x) for x in codes.split(",")], dtype=np.float64)
+    scale = np.where(mx == mn, 0.0, (mx - mn) / 255.0)
+    return mn + (c + 0.5) * scale

@@ -2074,3 +2074,30 @@ def test_dedup_events_debounce_chain(ray_session):
     assert got[1] == -1 and got[5] == -1 and got[6] == -1
     assert got[4] == 130_000_000  # vs raw predecessor at 70s
     assert str(out.gap_us.dtype) == "int64"
+
+
+def test_quantize_embeddings_roundtrip_bound(ray_session):
+    import numpy as np
+
+    from pdf_parser_ray.ops.similarity import dequantize_codes, quantize_embeddings
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(50, 8).astype(np.float32)
+    vecs[:, 3] = 1.25  # degenerate dimension
+    rows = [
+        {"vec_id": i, "embedding": vecs[i].tolist()} for i in range(50)
+    ]
+    out = quantize_embeddings(ray.data.from_items(rows)).to_pandas()
+    assert len(out) == 50
+    v64 = vecs.astype(np.float64)
+    mn, mx = v64.min(axis=0), v64.max(axis=0)
+    codes = {int(r.vec_id): r.codes for r in out.itertuples()}
+    for i in range(50):
+        c = np.array([int(x) for x in codes[i].split(",")])
+        assert c.min() >= 0 and c.max() <= 255
+        assert c[3] == 0  # degenerate dim codes to 0
+        recon = dequantize_codes(codes[i], mn, mx)
+        scale = np.where(mx == mn, 0.0, (mx - mn) / 255.0)
+        # midpoint reconstruction is within half a quantization step
+        assert (np.abs(recon - v64[i]) <= scale / 2 + 1e-12).all()
+        assert recon[3] == mn[3]
