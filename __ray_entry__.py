@@ -1835,7 +1835,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_events": (
             "WITH o AS (SELECT event_id, ts, user_id, event_type, "
             "LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev "
-            "FROM events) "
+            "FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL) "
             "SELECT event_id, ts, user_id, event_type, "
             "CAST(COALESCE(epoch_us(ts) - epoch_us(prev), -1) AS BIGINT) AS gap_us "
             "FROM o WHERE prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 60000000"

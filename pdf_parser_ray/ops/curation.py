@@ -890,8 +890,13 @@ _SPLIT_BUCKETS = 10_000
 def _split_cutoffs(fractions: "dict[str, float]") -> "tuple[list[str], list[int]]":
     """Exact-decimal cumulative bucket cutoffs (Fraction(str(f)) reads the
     decimal the caller wrote: 0.07 + 0.58 -> 65/100 -> 6500, never 6499).
-    The single definition behind assign_splits AND curate_corpus — the
-    'same split everywhere' contract is structural, not test-enforced."""
+    The single definition behind assign_splits, curate_corpus AND the
+    curate CLI — validation lives here so NO entry point can silently
+    misallocate on fractions that don't sum to 1 (the force-closed last
+    cutoff would otherwise mask it)."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
     names = list(fractions)
     cutoffs: list[int] = []
     cum = Fraction(0)
@@ -900,6 +905,16 @@ def _split_cutoffs(fractions: "dict[str, float]") -> "tuple[list[str], list[int]
         cutoffs.append(int(cum * _SPLIT_BUCKETS))
     cutoffs[-1] = _SPLIT_BUCKETS  # rounding slack never orphans a bucket
     return names, cutoffs
+
+
+def _split_of(bucket: int, names: "list[str]", cutoffs: "list[int]") -> str:
+    """bucket -> split name: the first cutoff strictly above the bucket
+    (the SQL CASE WHEN bucket < cut chain). Separated from the hashing so
+    the boundary law is directly testable."""
+    for name_, cut in zip(names, cutoffs):
+        if bucket < cut:
+            return name_
+    return names[-1]  # unreachable: cutoffs[-1] == _SPLIT_BUCKETS
 
 
 def _bucket_and_split(
@@ -915,10 +930,7 @@ def _bucket_and_split(
             continue
         b = md5_bucket(f"{salt}:{i}", _SPLIT_BUCKETS)
         buckets.append(b)
-        for name_, cut in zip(names, cutoffs):
-            if b < cut:
-                splits.append(name_)
-                break
+        splits.append(_split_of(b, names, cutoffs))
     return buckets, splits
 
 
@@ -950,9 +962,6 @@ def assign_splits(
     Output: input row id + (bucket, split).
     """
     fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
-    total = sum(fractions.values())
-    if not 0.999 <= total <= 1.001:
-        raise ValueError(f"fractions must sum to 1, got {total}")
     names, cutoffs = _split_cutoffs(fractions)
 
     def assign(batch: pa.Table) -> pa.Table:

@@ -14,6 +14,7 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -514,7 +515,11 @@ def quantize_embeddings(
 
     Codes are rendered to a comma-joined STRING before leaving the stage
     (the rendering rule: list columns stringify differently across
-    engines; a rendered string is the one canonical form).
+    engines; a rendered string is the one canonical form). Rows with a
+    null or empty embedding are dropped — the SQL unnest of an empty
+    list yields no rows, so the oracle never sees them either. Vectors
+    are assumed fixed-width (the corpus contract every similarity op
+    here shares).
 
     Output: (id, codes). Round-trip error is bounded by scale/2 per dim
     (pinned by a dequantize test, not an oracle — reconstruction is a
@@ -523,7 +528,16 @@ def quantize_embeddings(
     import ray as _ray
     from ray.data.aggregate import Max, Min
 
+    def _valid(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.and_(
+                pc.is_valid(batch[vec_col]),
+                pc.greater(pc.list_value_length(batch[vec_col]), 0),
+            )
+        )
+
     def mm_partials(batch: pa.Table) -> pa.Table:
+        batch = _valid(batch)
         vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
         if vecs.size == 0:
             return pa.table(
@@ -548,9 +562,10 @@ def quantize_embeddings(
         .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
         .take_all()  # dims-sized
     )
-    dims = sorted(int(r["dim"]) for r in mm)
-    mn = np.array([next(float(r["mn"]) for r in mm if r["dim"] == d) for d in dims])
-    mx = np.array([next(float(r["mx"]) for r in mm if r["dim"] == d) for d in dims])
+    by_dim = {int(r["dim"]): r for r in mm}  # O(dims), not a scan per dim
+    dims = sorted(by_dim)
+    mn = np.array([float(by_dim[d]["mn"]) for d in dims])
+    mx = np.array([float(by_dim[d]["mx"]) for d in dims])
     ref = _ray.put((mn, mx))
 
     class Code:
@@ -560,12 +575,13 @@ def quantize_embeddings(
             self.scale = np.where(self.degenerate, 1.0, self.mx - self.mn)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = _valid(batch)
             vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
             if vecs.size == 0:
                 return pa.table(
                     {
                         id_col: batch[id_col],
-                        "codes": pa.array([""] * batch.num_rows, pa.string()),
+                        "codes": pa.array([], pa.string()),
                     }
                 )
             codes = np.minimum(
@@ -594,6 +610,8 @@ def dequantize_codes(codes: str, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
     the test-side round-trip: v ~ mn + (code + 0.5) * (mx - mn) / 255
     (the quantizer's 255.0 divisor means bucket width (mx - mn) / 255;
     code 255 is the half-open top bucket that only v == mx reaches)."""
+    if not codes:
+        return np.array([], dtype=np.float64)
     c = np.array([int(x) for x in codes.split(",")], dtype=np.float64)
     scale = np.where(mx == mn, 0.0, (mx - mn) / 255.0)
     return mn + (c + 0.5) * scale

@@ -13,7 +13,25 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from pdf_parser_ray.functions.hashing import md5_bucket
+
 _KEY_BUCKETS = 64
+
+
+def hash_bucket_column(batch: pa.Table, col: str, n_buckets: int = _KEY_BUCKETS) -> pa.Array:
+    """The ONE hash-bucket convention for every co-partitioned streaming op
+    (sessionize / asof_join / dedup_events): integer keys take a single
+    vectorized kernel (n_buckets is a power of two); any other type falls
+    back to the md5 loop. Null keys must be dropped by the caller BEFORE
+    bucketing (each op documents its null policy)."""
+    if pa.types.is_integer(batch.schema.field(col).type):
+        return pc.bit_wise_and(
+            pc.cast(batch[col], pa.int64()), pa.scalar(n_buckets - 1, pa.int64())
+        )
+    return pa.array(
+        [md5_bucket(str(v), n_buckets) for v in batch[col].to_pylist()],
+        pa.int64(),
+    )
 
 
 def sessionize(
@@ -30,13 +48,7 @@ def sessionize(
     )
 
     def bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "_b",
-            pc.cast(
-                pc.bit_wise_and(batch["user_id"], pa.scalar(_KEY_BUCKETS - 1, pa.int64())),
-                pa.int64(),
-            ),
-        )
+        return batch.append_column("_b", hash_bucket_column(batch, "user_id"))
 
     gap = pd.Timedelta(minutes=gap_minutes)
 
@@ -87,8 +99,6 @@ def asof_join(
     exactly — sides are split from the Arrow group BEFORE any pandas
     conversion, and nullable right int columns ride through merge_asof as
     pandas Int64 (never float64)."""
-    from pdf_parser_ray.functions.hashing import md5_bucket
-
     left_schema = left.schema().base_schema
     left_names = list(left_schema.names)
     out_schema = pa.schema(
@@ -109,19 +119,8 @@ def asof_join(
     )
     union_schema = pa.schema(union_fields)
 
-    by_is_int = pa.types.is_integer(left_schema.field(by).type)
-
     def bucket_of(batch: pa.Table) -> pa.Array:
-        # integer keys: one vectorized kernel (n_buckets is a power of 2);
-        # other types: md5 loop fallback
-        if by_is_int:
-            return pc.bit_wise_and(
-                pc.cast(batch[by], pa.int64()), pa.scalar(n_buckets - 1, pa.int64())
-            )
-        return pa.array(
-            [md5_bucket(str(v), n_buckets) for v in batch[by].to_pylist()],
-            pa.int64(),
-        )
+        return hash_bucket_column(batch, by, n_buckets)
 
     def drop_null_keys(batch: pa.Table) -> pa.Table:
         mask = pc.and_(
@@ -323,7 +322,9 @@ def dedup_events(
     pipeline. Comparison is against the immediate RAW predecessor (SQL
     LAG semantics, ties ordered by (ts, id)); an event suppressed by a
     dropped predecessor is still dropped — the debounce convention, and
-    the one with an exact one-window SQL form.
+    the one with an exact one-window SQL form. Events with a null key
+    column are dropped up front (the asof_join policy: no stream to
+    debounce against; the oracle filters identically).
 
     Gaps compare in integer MICROSECONDS (timestamp[us] epoch view) —
     never float epoch seconds, which round (the DuckDB DOUBLE->BIGINT
@@ -346,20 +347,19 @@ def dedup_events(
         )
     else:
         ds = sf_dir_or_ds
+    keys = list(key_cols)
 
     def bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "_b",
-            pc.cast(
-                pc.bit_wise_and(
-                    batch[key_cols[0]], pa.scalar(_KEY_BUCKETS - 1, pa.int64())
-                ),
-                pa.int64(),
-            ),
-        )
+        # null-key events drop (the asof_join policy): a NULL key has no
+        # stream to debounce against, and pandas-groupby vs SQL-window
+        # NULL grouping disagree — the oracle filters identically
+        mask = pc.is_valid(batch[keys[0]])
+        for k in keys[1:]:
+            mask = pc.and_(mask, pc.is_valid(batch[k]))
+        batch = batch.filter(mask)
+        return batch.append_column("_b", hash_bucket_column(batch, keys[0]))
 
     window_us = int(window_seconds) * 1_000_000
-    keys = list(key_cols)
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values([*keys, ts_col, id_col])

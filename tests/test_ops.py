@@ -2101,3 +2101,59 @@ def test_quantize_embeddings_roundtrip_bound(ray_session):
         # midpoint reconstruction is within half a quantization step
         assert (np.abs(recon - v64[i]) <= scale / 2 + 1e-12).all()
         assert recon[3] == mn[3]
+
+
+def test_quantize_embeddings_drops_null_and_empty(ray_session):
+    import pyarrow as pa
+
+    from pdf_parser_ray.ops.similarity import dequantize_codes, quantize_embeddings
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 2.0], None, []], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = quantize_embeddings(ray.data.from_arrow(tbl)).to_pandas()
+    # null/empty embeddings drop (the unnest-of-empty-list oracle answer)
+    assert list(out.vec_id) == [1]
+    import numpy as np
+
+    assert dequantize_codes("", np.array([]), np.array([])).size == 0
+
+
+def test_dedup_events_null_keys_dropped(ray_session):
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from pdf_parser_ray.ops.streaming import dedup_events
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        {"event_id": 1, "ts": t0, "user_id": None, "event_type": "click"},
+        {"event_id": 2, "ts": t0 + dt.timedelta(seconds=30), "user_id": None, "event_type": "click"},
+        {"event_id": 3, "ts": t0, "user_id": 1, "event_type": None},
+        {"event_id": 4, "ts": t0, "user_id": 1, "event_type": "click"},
+    ]
+    tbl = pa.Table.from_pylist(rows).set_column(
+        1, "ts", pa.Table.from_pylist(rows)["ts"].cast(pa.timestamp("us"))
+    )
+    out = dedup_events(ray.data.from_arrow(tbl), window_seconds=60).to_pandas()
+    assert list(out.event_id) == [4]
+
+
+def test_split_cutoffs_rejects_bad_fractions(ray_session):
+    import pytest as _pytest
+
+    from pdf_parser_ray.ops.curation import _split_cutoffs, curate_corpus
+
+    with _pytest.raises(ValueError):
+        _split_cutoffs({"train": 0.5, "val": 0.1})
+    with _pytest.raises(ValueError):
+        curate_corpus(
+            ray.data.from_items([{"doc_id": 1, "text": "x", "lang": "en"}]),
+            fractions={"a": 0.8, "b": 0.2, "c": 0.1},
+        )

@@ -149,19 +149,28 @@ def test_split_cutoffs_partition_properties(parts):
 
     from pdf_parser_ray.ops.curation import _bucket_and_split, _split_cutoffs
 
+    from pdf_parser_ray.ops.curation import _split_of
+
     total = sum(f for _, f in parts)
     fractions = {n: float(f / total) for n, f in parts}
     names, cutoffs = _split_cutoffs(fractions)
     assert names == [n for n, _ in parts]
     assert cutoffs == sorted(cutoffs)
     assert cutoffs[-1] == 10_000
-    # every bucket value resolves to exactly one split (spot a lattice)
-    probe = [0, 1, 4999, 5000, 9998, 9999] + cutoffs[:-1]
-    buckets, splits = _bucket_and_split(
-        list(range(len(probe))), names, cutoffs, "s"
-    )
-    assert len(splits) == len(probe)
-    assert set(splits) <= set(names)
+    # boundary law, probed AT the cutoffs themselves: bucket == cutoff
+    # belongs to the NEXT split (b < cut is strict), bucket == cutoff - 1
+    # to the closing one — an off-by-one in the comparison fails here
+    for j, cut in enumerate(cutoffs[:-1]):
+        if cut < 10_000:
+            assert _split_of(cut, names, cutoffs) != names[j] or cutoffs[j + 1] == cut
+        if cut > 0:
+            closing = next(k for k, c in enumerate(cutoffs) if cut - 1 < c)
+            assert _split_of(cut - 1, names, cutoffs) == names[closing]
+    for probe in (0, 1, 4999, 5000, 9998, 9999):
+        name = _split_of(probe, names, cutoffs)
+        k = names.index(name)
+        lo = cutoffs[k - 1] if k else 0
+        assert lo <= probe < cutoffs[k]
     # null id: NULL bucket, last split
     b, s = _bucket_and_split([None], names, cutoffs, "s")
     assert b == [None] and s == [names[-1]]
