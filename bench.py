@@ -178,6 +178,8 @@ def run_secondary() -> dict[str, float]:
         "rebalance_sources",
         "surprisal_filter",
         "dedup_lines",
+        "dedup_events",
+        "quantize_embeddings",
     ]
     out: dict[str, float] = {}
     for name in chosen:
