@@ -2056,7 +2056,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_score": (
             "WITH lines AS (SELECT doc_id, "
             "unnest(string_split(COALESCE(text, ''), chr(10))) AS line "
-            "FROM documents), "
+            "FROM documents WHERE doc_id IS NOT NULL), "
             "cl AS (SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY doc_id, line), "
             "per AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines, "
             "CAST(COUNT(*) AS BIGINT) AS n_distinct, MAX(c) AS top_freq "

@@ -66,7 +66,10 @@ def repetition_score(
 ) -> ray.data.Dataset:
     """Per-doc line-repetition metrics — the standard boilerplate/spam
     signal: total lines, distinct lines, duplicate-line ratio, and the
-    modal line's share. One pandas explode + groupby per batch."""
+    modal line's share. One pandas explode + groupby per batch. Rows with
+    a null id drop (unattributable; the SQL oracle filters identically —
+    a SQL GROUP BY would otherwise MERGE all null-id docs into one
+    nonsense row)."""
 
     def score(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -1048,7 +1051,12 @@ def curate_corpus(
         g = group.sort_values(id_col, na_position="last").drop_duplicates(
             subset=text_col, keep="first"
         )
-        return g[[id_col, lang_col, "n_words"]]
+        out = g[[id_col, lang_col, "n_words"]].copy()
+        # a null id anywhere in the group floats the id column; restore
+        # nullable Int64 so the downstream cast/hash never sees 2.0
+        out[id_col] = out[id_col].astype("Int64")
+        out["n_words"] = out["n_words"].astype("Int64")
+        return out
 
     deduped_schema = pa.schema(
         [(id_col, pa.int64()), (lang_col, pa.string()), ("n_words", pa.int64())]
@@ -1132,19 +1140,32 @@ def rebalance_sources(
             .group_by("source")
             .aggregate([("ntok", "sum")])
         )
-        return part.rename_columns(["source", "ntok"])
+        # prefix-encode the shuffle key: Ray 2.49's groupby sort crashes
+        # on a null string key ('<' between None and str), and an in-band
+        # sentinel could collide with a real source name — a one-byte
+        # prefix ("\x01" + name / "\x00" for null) cannot
+        keys = [
+            "\x01" + v if v is not None else "\x00"
+            for v in part["source"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "skey": pa.array(keys, pa.string()),
+                "ntok": pc.cast(part["ntok_sum"], pa.int64()),
+            }
+        )
 
     stats = (
         ds.select_columns([source_col, text_col])
         .map_batches(tok_partials, batch_format="pyarrow")
-        .groupby("source")
+        .groupby("skey")
         .aggregate(Sum("ntok", alias_name="ntok"))
         .take_all()  # sources-sized: dozens of rows
     )
     total = sum(int(r["ntok"] or 0) for r in stats)
     thresh: dict = {}
     for r in stats:
-        src = r["source"]
+        src = r["skey"][1:] if r["skey"].startswith("\x01") else None
         st = int(r["ntok"] or 0)
         share = targets.get(src, default_share) if src is not None else default_share
         ppm = int(Fraction(str(share)) * _MIX_BUCKETS)

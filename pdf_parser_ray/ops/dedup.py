@@ -52,26 +52,49 @@ def exact_dedup(
 ) -> ray.data.Dataset:
     """Keep the minimum id per distinct text. Hash-partitioned: the shuffle
     key is the 64-bit md5 of the content; within a group rows are compared
-    on the actual text so hash collisions cannot merge distinct docs."""
+    on the actual text so hash collisions cannot merge distinct docs.
+
+    Null semantics = SQL GROUP BY: a null text is its OWN group (the hash
+    is domain-separated from the empty string, the exact_dedup_ids
+    convention), two null texts dedup together, and null ids order last
+    (a group holding only null ids keeps a NULL-id row — SQL MIN over
+    nothing)."""
+    try:
+        id_type = ds.schema().base_schema.field(id_col).type
+    except Exception:
+        id_type = pa.int64()
+    int_ids = pa.types.is_integer(id_type)
+    out_schema = pa.schema([(id_col, id_type), (text_col, pa.string())])
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        hashes = _md5_64(pc.cast(batch[text_col], pa.string()).to_pylist())
+        texts = pc.cast(batch[text_col], pa.string()).to_pylist()
+        hashes = [
+            md5_64("\x01" + t) if t is not None else md5_64("\x00")
+            for t in texts
+        ]
         return batch.append_column(
             "_b", pa.array([h % _DEDUP_BUCKETS for h in hashes], pa.int64())
         )
 
     def first_per_text(group: pd.DataFrame) -> pd.DataFrame:
         # one vectorized pandas pass per COARSE bucket (not per distinct
-        # text): sort by id then keep the first row of each text
-        return group.sort_values(id_col).drop_duplicates(
+        # text): sort by id then keep the first row of each text (None
+        # texts compare equal in drop_duplicates — the one-NULL-group law)
+        out = group.sort_values(id_col, na_position="last").drop_duplicates(
             subset=text_col, keep="first"
         )[[id_col, text_col]]
+        if int_ids:
+            # a null id in the GROUP poisons the whole frame to float64;
+            # restore the nullable int so 2 never renders as 2.0
+            out[id_col] = out[id_col].astype("Int64")
+        return out
 
     return (
         ds.select_columns([id_col, text_col])
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(first_per_text, batch_format="pandas")
+        .map_batches(schema_pin(out_schema), batch_format="pyarrow")
     )
 
 

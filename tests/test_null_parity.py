@@ -1,0 +1,130 @@
+"""Null-path oracle parity: the driver gate runs on a null-free synthetic
+corpus, so every hand-rolled null decision in an op is a LATENT divergence
+until something exercises it (three review rounds each caught one). This
+test closes the class: it rebuilds the gate's exact compare (row count +
+sorted-column value hash) over a documents/events/embeddings trio that is
+FULL of nulls — null ids, null text, null sources, null keys, null and
+empty embeddings — for every query whose op hand-rolls null semantics.
+"""
+
+import hashlib
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data  # noqa: F401  (ray_session fixture owns the session)
+
+
+def _value_hash(df: pd.DataFrame) -> str:
+    # scripts/check_queries.py::value_hash, verbatim semantics
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].astype(str)
+    rows = sorted(df.apply("|".join, axis=1).tolist()) if len(df) else []
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and that is fine "
+    "to have be of " * 5
+).strip()
+
+
+@pytest.fixture(scope="module")
+def null_sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("null_sf")
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, None, 4, 5, 6, None], pa.int64()),
+            "text": pa.array(
+                [
+                    GOOD,
+                    None,                        # null text, real id
+                    GOOD,                        # real text, null id
+                    "",                          # empty text
+                    GOOD + " extra tail words", # near-dup of 1
+                    GOOD,                        # exact dup of 1
+                    None,                        # both null
+                ],
+                pa.string(),
+            ),
+            "lang": pa.array(["en", "en", "de", None, "fr", "en", None], pa.string()),
+            "source": pa.array(["a", None, "a", "b", None, "a", "b"], pa.string()),
+            "n_chars": pa.array([len(GOOD), None, len(GOOD), 0, 10, len(GOOD), None], pa.int64()),
+        }
+    )
+    pq.write_table(docs, f"{d}/documents.parquet")
+
+    ts = pa.array(
+        [1_700_000_000_000_000 + i * 30_000_000 for i in range(8)],
+        pa.timestamp("us"),
+    )
+    events = pa.table(
+        {
+            "event_id": pa.array(list(range(8)), pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([1, 1, None, None, 2, 2, 1, None], pa.int64()),
+            "event_type": pa.array(
+                ["c", "c", "c", "c", None, "v", "c", None], pa.string()
+            ),
+            "value": pa.array([1.0] * 8, pa.float64()),
+            "props": pa.array(["{}"] * 8, pa.string()),
+        }
+    )
+    pq.write_table(events, f"{d}/events.parquet")
+
+    emb = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 2.0, 3.0], None, [], [0.5, -1.0, 2.5]],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 1, 0, 1], pa.int32()),
+        }
+    )
+    pq.write_table(emb, f"{d}/embeddings.parquet")
+    return str(d)
+
+
+# every query whose op hand-rolls null semantics (drop vs NULL-row vs
+# sentinel) — each decision must equal what its own oracle SQL answers
+NULL_SENSITIVE = [
+    "assign_splits",
+    "lm_surprisal",
+    "dup_span_stats",
+    "rebalance_sources",
+    "dedup_lines",
+    "curate_corpus",
+    "gopher_rules",
+    "repetition_score",
+    "exact_dedup",
+    "exact_dedup_ids",
+    "dedup_events",
+    "quantize_embeddings",
+]
+
+
+@pytest.mark.parametrize("name", NULL_SENSITIVE)
+def test_null_laden_corpus_matches_oracle(ray_session, null_sf_dir, name):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+
+    res = em.queries()[name](null_sf_dir)
+    got = res.to_pandas() if hasattr(res, "to_pandas") else res
+
+    con = duckdb.connect()
+    for t in ("documents", "events", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{null_sf_dir}/{t}.parquet')"
+        )
+    want = con.sql(em.oracle_sql()[name]).df()
+
+    assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _value_hash(got) == _value_hash(want), f"{name}: value hash mismatch"
