@@ -1253,7 +1253,8 @@ def _semantic_dedup_sql(
 # CTE — shared by the simhash / simhash_pairs oracles
 _SIMHASH_BASE_SQL = (
     r"WITH toks AS (SELECT doc_id, "
-    r"unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents), "
+    r"unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents "
+    r"WHERE doc_id IS NOT NULL), "
     r"th AS (SELECT doc_id, ('0x'||substr(md5(tok),1,16))::UBIGINT AS h FROM toks), "
     r"bits AS (SELECT doc_id, b, "
     r"SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s "
@@ -1266,7 +1267,8 @@ _SIMHASH_BASE_SQL = (
     r"CAST((COALESCE(sh.simhash,0) >> 16) & 65535 AS INT) AS band_1, "
     r"CAST((COALESCE(sh.simhash,0) >> 32) & 65535 AS INT) AS band_2, "
     r"CAST((COALESCE(sh.simhash,0) >> 48) & 65535 AS INT) AS band_3 "
-    r"FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id) "
+    r"FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id "
+    r"WHERE d.doc_id IS NOT NULL) "
 )
 
 
@@ -1356,10 +1358,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "quality_score": (
             r"WITH c AS ("
-            r"  SELECT doc_id, LENGTH(text)::DOUBLE AS n_chars, "
-            r"    len(regexp_extract_all(text, '\S+'))::DOUBLE AS nt, "
-            r"    len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE AS np_, "
-            r"    len(regexp_extract_all(lower(text), "
+            r"  SELECT doc_id, LENGTH(COALESCE(text, ''))::DOUBLE AS n_chars, "
+            r"    len(regexp_extract_all(COALESCE(text, ''), '\S+'))::DOUBLE AS nt, "
+            r"    len(regexp_extract_all(COALESCE(text, ''), '[.,;:!?]'))::DOUBLE AS np_, "
+            r"    len(regexp_extract_all(lower(COALESCE(text, '')), "
             r"'\b(?:the|and|of|to|a|in|is|it|that|for)\b'))::DOUBLE AS ns "
             r"  FROM documents"
             r"), r AS ("
@@ -1379,7 +1381,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_id": (
             "WITH toks AS ("
-            "  SELECT doc_id, regexp_extract_all(substr(lower(text),1,4000), "
+            "  SELECT doc_id, regexp_extract_all(substr(lower(COALESCE(text, '')),1,4000), "
             "'[a-z'']+') AS ts FROM documents"
             "), hits AS ("
             "  SELECT doc_id, len(ts)::DOUBLE AS n, "
@@ -1389,19 +1391,21 @@ def oracle_sql() -> dict[str, str]:
             "    len(list_filter(ts, t -> t IN ('der','die','und','in','den','von','zu','das','mit','sich','des','auf','ist','nicht')))::DOUBLE AS de "
             "  FROM toks"
             "), sc AS ("
-            "  SELECT doc_id, n, en/n AS en_r, es/n AS es_r, fr/n AS fr_r, de/n AS de_r, "
-            "    GREATEST(en/n, es/n, fr/n, de/n) AS best "
-            "  FROM hits WHERE n > 0"
-            ") SELECT d.doc_id, "
-            "CASE WHEN sc.doc_id IS NULL OR sc.best <= 0.02 THEN 'und' "
-            "     WHEN sc.en_r = sc.best THEN 'en' WHEN sc.es_r = sc.best THEN 'es' "
-            "     WHEN sc.fr_r = sc.best THEN 'fr' ELSE 'de' END AS lang_pred, "
-            "CASE WHEN sc.doc_id IS NULL THEN 0.0 ELSE round_even(sc.best, 6) END AS lang_score "
-            "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"
+            "  SELECT doc_id, n, en/GREATEST(n,1.0) AS en_r, es/GREATEST(n,1.0) AS es_r, "
+            "    fr/GREATEST(n,1.0) AS fr_r, de/GREATEST(n,1.0) AS de_r, "
+            "    GREATEST(en/GREATEST(n,1.0), es/GREATEST(n,1.0), fr/GREATEST(n,1.0), de/GREATEST(n,1.0)) AS best "
+            "  FROM hits"
+            ") SELECT doc_id, "
+            "CASE WHEN n = 0 OR best <= 0.02 THEN 'und' "
+            "     WHEN en_r = best THEN 'en' WHEN es_r = best THEN 'es' "
+            "     WHEN fr_r = best THEN 'fr' ELSE 'de' END AS lang_pred, "
+            "CASE WHEN n = 0 THEN 0.0 ELSE round_even(best, 6) END AS lang_score "
+            "FROM sc"
         ),
         "fingerprint": (
-            r"WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS ts "
-            r"FROM documents), "
+            r"WITH t AS (SELECT doc_id, COALESCE(text, '') AS text, "
+            r"regexp_extract_all(COALESCE(text, ''), '\S+') AS ts "
+            r"FROM documents WHERE doc_id IS NOT NULL), "
             r"base AS (SELECT doc_id, "
             r"CAST(('0x'||substr(md5(text),1,16))::UBIGINT >> 1 AS BIGINT) AS fingerprint, ts "
             r"FROM t), "

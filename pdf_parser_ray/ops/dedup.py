@@ -718,9 +718,12 @@ def verify_pairs_jaccard(
 
 def simhash_table(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     """64-bit SimHash per doc + the 4x16-bit band keys used to co-locate
-    near-duplicates (Hamming distance <= 3 guarantees one equal band)."""
+    near-duplicates (Hamming distance <= 3 guarantees one equal band).
+    Rows with a null id drop (a signature with no id can never pair; the
+    oracle's per-doc GROUP BY would merge all null-id docs)."""
 
     def sh(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["doc_id"]))
         texts = pc.cast(batch[text_col], pa.string()).to_pylist()
         hashes = []
         for text in texts:

@@ -144,7 +144,8 @@ def lang_id(ds: ray.data.Dataset, concurrency=(1, 8)) -> ray.data.Dataset:
 
 def fingerprint(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     """64-bit FNV-1a document fingerprint plus a rolling-window min-hash of
-    token 4-grams (a cheap content fingerprint stable under small shifts)."""
+    token 4-grams (a cheap content fingerprint stable under small shifts).
+    Null text fingerprints as ''; null-id rows drop (oracle parity)."""
 
     from pdf_parser_ray.functions.hashing import md5_64 as h64
 
@@ -152,6 +153,9 @@ def fingerprint(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datase
     # FNV loop over whole documents was the hot cost of this op
 
     def fp(batch: pa.Table) -> pa.Table:
+        # null-id rows drop (a fingerprint with no id keys nothing; the
+        # oracle's per-doc gram GROUP BY would merge all null-id docs)
+        batch = batch.filter(pc.is_valid(batch["doc_id"]))
         texts = pc.cast(batch[text_col], pa.string()).to_pylist()
         full_hashes, rolling = [], []
         for text in texts:

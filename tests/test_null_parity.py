@@ -105,6 +105,18 @@ NULL_SENSITIVE = [
     "exact_dedup_ids",
     "dedup_events",
     "quantize_embeddings",
+    # text-family ops that coalesce early — cheap to pin, and the corpus
+    # exercises their null text / null id paths too
+    "scrub_pii",
+    "chunk_documents",
+    "normalize_text",
+    "doc_stats",
+    "lang_id",
+    "fingerprint",
+    "quality_score",
+    "top_ngrams",
+    "doc_frequency",
+    "simhash",
 ]
 
 
