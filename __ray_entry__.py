@@ -33,6 +33,25 @@ def _install_log_hygiene() -> None:
         pass
 
 
+def _cache_root() -> str:
+    """Per-user scratch root for cross-invocation caches (IVF index, band
+    store). Scoped by user name + uid and created 0700 so a predictable
+    shared-/tmp path can neither be pre-poisoned by another user nor
+    interleaved with their runs; refuses a pre-existing dir we don't own."""
+    import getpass
+    import os
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"pdf_parser_ray_cache_{getpass.getuser()}_{os.getuid()}",
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    if os.stat(root).st_uid != os.getuid():
+        raise RuntimeError(f"cache dir {root} is owned by another user")
+    return root
+
+
 def _round_cols(ds, cols: dict[str, int]):
     """Round float columns so Ray and DuckDB value-hashes agree despite
     different float summation orders. Rounds through decimal formatting
@@ -494,7 +513,7 @@ def _q_knn_ivf_indexed(sf_dir: str):
     key = hashlib.md5(
         f"{os.path.abspath(src)}:{os.path.getmtime(src)}:16".encode()
     ).hexdigest()[:12]
-    index_dir = f"/tmp/pdf_parser_ray_ivf_{key}"
+    index_dir = os.path.join(_cache_root(), f"ivf_{key}")
 
     def cache_valid() -> bool:
         # don't trust a bare directory at a predictable /tmp path: a tmp
@@ -930,7 +949,7 @@ def _q_minhash_dedup_resumable(sf_dir: str):
     key = hashlib.md5(
         f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
     ).hexdigest()[:12]
-    store = f"/tmp/pdf_parser_ray_bands_{key}"
+    store = os.path.join(_cache_root(), f"bands_{key}")
     return minhash_dedup_resumable(
         [src], store, jaccard_threshold=0.8
     ).select_columns(["doc_id"])
@@ -1177,7 +1196,9 @@ def _embedding_lsh_sql(
     )
 
 
-def _kmeans_asg_sql(k: int = 8, n_iters: int = 5, dim: int = 64) -> str:
+def _kmeans_asg_sql(
+    k: int = 8, n_iters: int = 5, dim: int = 64, where: str = ""
+) -> str:
     """Lloyd's k-means UNROLLED in SQL (fixed n_iters makes it non-
     iterative): init = vectors of the k smallest vec_ids, each iteration
     assigns by squared-euclidean argmin (same expansion the op uses — the
@@ -1191,7 +1212,7 @@ def _kmeans_asg_sql(k: int = 8, n_iters: int = 5, dim: int = 64) -> str:
     ``a{n_iters+1}`` (vec_id, cluster) — shared by the kmeans_clusters
     and semantic_dedup oracles (``e`` holds the DOUBLE[] vectors)."""
     parts = [
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), ",
+        f"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings{where}), ",
         (
             "c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) "
             f"AS cluster, v AS c FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))"
@@ -1238,7 +1259,18 @@ def _semantic_dedup_sql(
     convention, so the cut cannot disagree with the op)."""
     a = f"a{n_iters + 1}"
     return (
-        _kmeans_asg_sql(k, n_iters, dim)
+        # the op drops null ids and null/empty embeddings up front — same
+        # filter here so null-parity replays agree (hash-neutral on gate
+        # data, which has no null vectors)
+        _kmeans_asg_sql(
+            k,
+            n_iters,
+            dim,
+            where=(
+                " WHERE vec_id IS NOT NULL AND embedding IS NOT NULL"
+                " AND len(embedding) > 0"
+            ),
+        )
         + f", pairs AS (SELECT b.vec_id AS dup FROM {a} a "
         + f"JOIN {a} b ON a.cluster = b.cluster AND a.vec_id < b.vec_id "
         + "JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id "

@@ -1045,21 +1045,31 @@ def curate_corpus(
             }
         )
 
-    def first_per_text(group: pd.DataFrame) -> pd.DataFrame:
+    def first_per_text(group: pa.Table) -> pa.Table:
         # min id per distinct text (SQL ROW_NUMBER ... ORDER BY id, NULLS
-        # LAST); compare on the real text, not its hash
-        g = group.sort_values(id_col, na_position="last").drop_duplicates(
-            subset=text_col, keep="first"
+        # LAST); compare on the real text, not its hash. Stays in Arrow —
+        # a pandas round-trip would float int64 ids when the group holds
+        # a null id (precision loss above 2^53) and breaks string ids.
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[(id_col, "ascending")],
+            null_placement="at_end",
         )
-        out = g[[id_col, lang_col, "n_words"]].copy()
-        # a null id anywhere in the group floats the id column; restore
-        # nullable Int64 so the downstream cast/hash never sees 2.0
-        out[id_col] = out[id_col].astype("Int64")
-        out["n_words"] = out["n_words"].astype("Int64")
-        return out
+        g = group.take(idx)
+        texts = pd.Series(g[text_col].to_pylist(), dtype=object)
+        keep = ~texts.duplicated(keep="first")
+        return g.select([id_col, lang_col, "n_words"]).filter(
+            pa.array(keep.to_numpy(), pa.bool_())
+        )
 
+    # derive the id field type from the input (string doc_ids are first-
+    # class here, like exact_dedup / assign_splits)
+    try:
+        id_type = ds.schema().base_schema.field(id_col).type
+    except Exception:
+        id_type = pa.int64()
     deduped_schema = pa.schema(
-        [(id_col, pa.int64()), (lang_col, pa.string()), ("n_words", pa.int64())]
+        [(id_col, id_type), (lang_col, pa.string()), ("n_words", pa.int64())]
     )
 
     def split_assign(batch: pa.Table) -> pa.Table:
@@ -1079,7 +1089,7 @@ def curate_corpus(
     return (
         flagged.map_batches(keep_filter, batch_format="pyarrow")
         .groupby("_b")
-        .map_groups(first_per_text, batch_format="pandas")
+        .map_groups(first_per_text, batch_format="pyarrow")
         .map_batches(schema_pin(deduped_schema), batch_format="pyarrow")
         .map_batches(split_assign, batch_format="pyarrow")
     )

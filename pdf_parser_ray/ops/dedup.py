@@ -63,7 +63,6 @@ def exact_dedup(
         id_type = ds.schema().base_schema.field(id_col).type
     except Exception:
         id_type = pa.int64()
-    int_ids = pa.types.is_integer(id_type)
     out_schema = pa.schema([(id_col, id_type), (text_col, pa.string())])
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -76,24 +75,30 @@ def exact_dedup(
             "_b", pa.array([h % _DEDUP_BUCKETS for h in hashes], pa.int64())
         )
 
-    def first_per_text(group: pd.DataFrame) -> pd.DataFrame:
-        # one vectorized pandas pass per COARSE bucket (not per distinct
-        # text): sort by id then keep the first row of each text (None
-        # texts compare equal in drop_duplicates — the one-NULL-group law)
-        out = group.sort_values(id_col, na_position="last").drop_duplicates(
-            subset=text_col, keep="first"
-        )[[id_col, text_col]]
-        if int_ids:
-            # a null id in the GROUP poisons the whole frame to float64;
-            # restore the nullable int so 2 never renders as 2.0
-            out[id_col] = out[id_col].astype("Int64")
-        return out
+    def first_per_text(group: pa.Table) -> pa.Table:
+        # one vectorized Arrow pass per COARSE bucket (not per distinct
+        # text): sort by id (nulls last = SQL MIN over nothing keeps NULL)
+        # then keep the first row of each text. Stays in Arrow the whole
+        # way — a pandas round-trip would float int64 ids when the group
+        # holds a null id, silently corrupting ids above 2^53.
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[(id_col, "ascending")],
+            null_placement="at_end",
+        )
+        g = group.take(idx)
+        # None texts compare equal in duplicated() — the one-NULL-group law
+        texts = pd.Series(g[text_col].to_pylist(), dtype=object)
+        keep = ~texts.duplicated(keep="first")
+        return g.select([id_col, text_col]).filter(
+            pa.array(keep.to_numpy(), pa.bool_())
+        )
 
     return (
         ds.select_columns([id_col, text_col])
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_b")
-        .map_groups(first_per_text, batch_format="pandas")
+        .map_groups(first_per_text, batch_format="pyarrow")
         .map_batches(schema_pin(out_schema), batch_format="pyarrow")
     )
 
@@ -900,10 +905,14 @@ def embedding_near_dup(
         iu, ju = np.triu_indices(len(ids), k=1)
         keep = sims[iu, ju] >= threshold
         iu, ju = iu[keep], ju[keep]
+        # order each pair via np.where on the comparison (comparison ufuncs
+        # support string arrays; np.minimum/np.maximum do NOT on numpy 1.26,
+        # and generic id_col means ids may be strings)
+        lo = ids[iu] < ids[ju]
         return pd.DataFrame(
             {
-                "id_a": np.minimum(ids[iu], ids[ju]),
-                "id_b": np.maximum(ids[iu], ids[ju]),
+                "id_a": np.where(lo, ids[iu], ids[ju]),
+                "id_b": np.where(lo, ids[ju], ids[iu]),
                 "cosine": sims[iu, ju],
             }
         )
@@ -1237,6 +1246,32 @@ def update_band_store(
 
     os.makedirs(os.path.join(store_dir, "bands"), exist_ok=True)
     os.makedirs(os.path.join(store_dir, "_manifest"), exist_ok=True)
+    # exclusive advisory lock for the whole prune+hash+manifest sequence:
+    # two concurrent runs against one store would otherwise interleave a
+    # prune/write with the other's manifest check and read half-written
+    # band tables. (A reader racing a LATER update is the caller's
+    # serialization concern, same contract as the IVF index build.)
+    import fcntl
+
+    with open(os.path.join(store_dir, ".lock"), "w") as lock_f:
+        fcntl.flock(lock_f, fcntl.LOCK_EX)
+        try:
+            return _update_band_store_locked(
+                files, store_dir, num_perm, band_size, shingle_size,
+                _write_json_atomic,
+            )
+        finally:
+            fcntl.flock(lock_f, fcntl.LOCK_UN)
+
+
+def _update_band_store_locked(
+    files: list[str],
+    store_dir: str,
+    num_perm: int,
+    band_size: int,
+    shingle_size: int,
+    _write_json_atomic,
+) -> dict:
     live_keys = {_band_store_key(p) for p in files}
     for man in glob.glob(os.path.join(store_dir, "_manifest", "*.json")):
         key = os.path.splitext(os.path.basename(man))[0]
@@ -1479,11 +1514,13 @@ def connected_components_distributed(
 
 def semantic_dedup(
     ds: ray.data.Dataset,
-    k: int = 8,
+    k: "int | None" = None,
     n_iters: int = 5,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cluster_size: int = 1024,
+    max_cluster_rows: int = 16384,
 ) -> ray.data.Dataset:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     k-means-cluster the embeddings, then WITHIN each cluster drop every
@@ -1491,9 +1528,22 @@ def semantic_dedup(
     Returns one row per input vector: (id, cluster, keep).
 
     Scale shape: the quadratic cosine pass is confined to one cluster at
-    a time — pick ``k`` proportional to corpus size so clusters stay
-    ~constant-sized (SemDeDup uses k in the tens of thousands at web
-    scale). Cluster assignment reuses the *final* centroid matrix from
+    a time. ``k=None`` (the default) auto-scales it from a corpus count —
+    ``max(8, n // target_cluster_size)`` — so clusters stay ~constant-
+    sized as the corpus grows (SemDeDup uses k in the tens of thousands
+    at web scale). A skewed clustering can still concentrate rows, so any
+    cluster above ``max_cluster_rows`` is hard-split into
+    ``ceil(size / max_cluster_rows)`` deterministic md5-of-id sub-buckets
+    before the shuffle, bounding the dense c×c matrix a single task ever
+    builds; pairs straddling sub-buckets of one giant cluster are missed
+    — a documented recall trade, same family as the LSH table count (a
+    random split of a near-dup clique still keeps most of the clique
+    together, unlike a vector-LSH split which would put ALL near-dups in
+    one sub-bucket and bound nothing). Rows with a null id or a
+    null/empty embedding are dropped up front (the quantize_embeddings
+    convention — the SQL oracle's WHERE does the same).
+
+    Cluster assignment reuses the *final* centroid matrix from
     :func:`~pdf_parser_ray.ops.similarity.kmeans` (deterministic init,
     fixed iterations, 9-decimal centroid rounding) broadcast via
     ray.put, so no join is needed to attach vectors to clusters — one
@@ -1505,7 +1555,24 @@ def semantic_dedup(
     """
     from pdf_parser_ray.ops.similarity import kmeans
 
-    ds = ds.select_columns([id_col, vec_col])
+    def _valid(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.and_(
+                pc.is_valid(batch[id_col]),
+                pc.and_(
+                    pc.is_valid(batch[vec_col]),
+                    pc.greater(pc.list_value_length(batch[vec_col]), 0),
+                ),
+            )
+        )
+
+    ds = ds.select_columns([id_col, vec_col]).map_batches(
+        _valid, batch_format="pyarrow"
+    )
+    if k is None:
+        # one cheap count pass sizes k to the corpus so the per-cluster
+        # quadratic pass stays ~target_cluster_size² regardless of n
+        k = max(8, ds.count() // target_cluster_size)
     _, centroids = kmeans(ds, k=k, n_iters=n_iters, id_col=id_col, vec_col=vec_col)
     c_ref = ray.put(centroids)
 
@@ -1532,13 +1599,35 @@ def semantic_dedup(
                 "cluster", pa.array(np.argmin(d2, axis=1).astype(np.int32))
             )
 
+    # materialized on purpose: the cluster-size census below executes the
+    # assignment pass, and the groupby right after is a full barrier anyway
+    # — materializing here just avoids recomputing the argmin matmul
     clustered = ds.map_batches(
         AssignWithVec,
         fn_constructor_kwargs={"ref": c_ref},
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 8),
-    )
+    ).materialize()
+
+    # census: k-row size table -> sub-bucket counts for oversized clusters
+    oversized: dict[int, int] = {}
+    for row in (
+        clustered.select_columns(["cluster"]).groupby("cluster").count().take_all()
+    ):
+        if row["count()"] > max_cluster_rows:
+            oversized[int(row["cluster"])] = -(-int(row["count()"]) // max_cluster_rows)
+
+    def add_gkey(batch: pa.Table) -> pa.Table:
+        clusters = batch["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gkey = clusters << 20
+        if oversized:
+            ids = batch[id_col].to_pylist()
+            for pos, (c, i) in enumerate(zip(clusters, ids)):
+                n_subs = oversized.get(int(c))
+                if n_subs:
+                    gkey[pos] |= md5_bucket(f"sem:{c}:{i}", n_subs)
+        return batch.append_column("_gkey", pa.array(gkey, pa.int64()))
 
     id_type = ds.schema().base_schema.field(id_col).type
     out_schema = pa.schema(
@@ -1564,7 +1653,8 @@ def semantic_dedup(
         )
 
     return (
-        clustered.groupby("cluster")
+        clustered.map_batches(add_gkey, batch_format="pyarrow")
+        .groupby("_gkey")
         .map_groups(dedupe, batch_format="pyarrow")
         .map_batches(schema_pin(out_schema), batch_format="pyarrow")
     )

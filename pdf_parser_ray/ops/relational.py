@@ -642,13 +642,35 @@ def quantiles(
     col: str,
     qs: list[float],
     max_distinct: int = 1_000_000,
+    sample_rows: int = 65_536,
 ) -> ray.data.Dataset:
-    """Quantiles with an automatic exact/approximate route: a HyperLogLog
-    pass estimates the column's distinct count (±~1.6% at p=12); at or
-    below ``max_distinct`` the distinct-value groupby is cheap and the
-    answer is exact (quantile_cont semantics), above it the sketch path
-    bounds the shuffle regardless of cardinality."""
-    est = approx_distinct(ds, col, p=12).take_all()[0]["n_estimate"]
+    """Quantiles with an automatic exact/approximate route. At or below
+    ``max_distinct`` estimated distinct values the distinct-value groupby
+    is cheap and the answer is exact (quantile_cont semantics); above it
+    the t-digest sketch path bounds the shuffle regardless of cardinality.
+
+    The census is a BOUNDED sample, not a full pass: ``limit(sample_rows)``
+    reads only the first block(s) (the streaming executor short-circuits),
+    so the whole routed call scans the column ONCE plus an O(sample) head
+    — the earlier wiring paid a full HyperLogLog traversal *and* the
+    chosen path's traversal. If the sample covers the whole dataset the
+    sample distinct count is exact; otherwise a near-unique sample
+    (ratio r = distinct/sample) extrapolates to ``r * n`` total rows —
+    an overestimate for mid-cardinality columns, which biases routing
+    toward the sketch. That bias is safe: the sketch path is always
+    correct within its rank-error bound; the exact path is only an
+    optimization for low-cardinality columns, which a repeat-heavy sample
+    identifies reliably. ``n`` comes from ``ds.count()`` — metadata-free
+    for parquet reads, one pipeline execution for transformed inputs."""
+    head = ds.select_columns([col]).limit(sample_rows).take_all()
+    sample_n = len(head)
+    sample_distinct = len({r[col] for r in head if r[col] is not None})
+    if sample_n < sample_rows:
+        est = sample_distinct  # saw everything: exact distinct count
+    else:
+        est = max(
+            sample_distinct, int(sample_distinct / sample_n * ds.count())
+        )
     if est <= max_distinct:
         return exact_quantiles(ds, col, qs)
     return approx_quantiles(ds, col, qs)

@@ -76,14 +76,20 @@ def null_sf_dir(tmp_path_factory):
     )
     pq.write_table(events, f"{d}/events.parquet")
 
+    # 64-dim (the semantic_dedup oracle unrolls dim=64); small integers so
+    # float32 storage is exact. Rows: valid, null vec, empty vec, valid,
+    # null id with valid vec.
+    def _vec(seed):
+        return [float((seed * 37 + j * 11) % 13 - 6) for j in range(64)]
+
     emb = pa.table(
         {
-            "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "vec_id": pa.array([1, 2, 3, 4, None], pa.int64()),
             "embedding": pa.array(
-                [[1.0, 2.0, 3.0], None, [], [0.5, -1.0, 2.5]],
+                [_vec(1), None, [], _vec(4), _vec(5)],
                 pa.list_(pa.float32()),
             ),
-            "label": pa.array([0, 1, 0, 1], pa.int32()),
+            "label": pa.array([0, 1, 0, 1, 0], pa.int32()),
         }
     )
     pq.write_table(emb, f"{d}/embeddings.parquet")
@@ -105,6 +111,7 @@ NULL_SENSITIVE = [
     "exact_dedup_ids",
     "dedup_events",
     "quantize_embeddings",
+    "semantic_dedup",
     # text-family ops that coalesce early — cheap to pin, and the corpus
     # exercises their null text / null id paths too
     "scrub_pii",

@@ -1119,6 +1119,21 @@ def test_quantiles_auto_route(ray_session):
         assert abs(got - want) <= 2.0, (q, got, want)
 
 
+def test_quantiles_sample_census_extrapolates_to_sketch(ray_session):
+    """A near-unique bounded sample must extrapolate to high cardinality
+    and take the sketch path (routing bias documented in quantiles())."""
+    from pdf_parser_ray.ops.relational import exact_quantiles, quantiles
+
+    vals = [float(i) for i in range(5000)]  # fully unique column
+    ds = ray.data.from_items([{"v": x} for x in vals])
+    exact = exact_quantiles(ds, "v", [0.5]).to_pandas()
+    routed = quantiles(
+        ds, "v", [0.5], max_distinct=1000, sample_rows=100
+    ).to_pandas()
+    # est = 100/100 * 5000 = 5000 > 1000 -> sketch path, rank-error bounded
+    assert abs(routed.value.iloc[0] - exact.value.iloc[0]) <= 100.0
+
+
 def test_tfidf_handles_sentinel_lookalike_token(ray_session):
     from pdf_parser_ray.ops.curation import tfidf_top_terms
 
@@ -1685,6 +1700,104 @@ def test_semantic_dedup_dissimilar_all_kept(ray_session):
     ).to_pandas()
     assert out.keep.all()
     assert len(out) == 12
+
+
+def test_semantic_dedup_giant_cluster_split_bounds_groups(ray_session):
+    import numpy as np
+
+    from pdf_parser_ray.functions.hashing import md5_bucket
+    from pdf_parser_ray.ops.dedup import semantic_dedup
+
+    # ONE giant near-dup cluster of 600 vectors (k=1 forces them together)
+    # with max_cluster_rows=100 -> 6 md5-of-id sub-buckets; the dense pass
+    # must never see the whole cluster, and keep-vectors follow the split
+    rng = np.random.RandomState(7)
+    base = rng.randn(8)
+    rows = [
+        {"vec_id": i, "embedding": (base + 1e-4 * rng.randn(8)).tolist()}
+        for i in range(600)
+    ]
+    out = (
+        semantic_dedup(
+            ray.data.from_items(rows),
+            k=1,
+            n_iters=2,
+            threshold=0.99,
+            max_cluster_rows=100,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert len(out) == 600
+    # the split is md5_bucket(f"sem:{cluster}:{id}", 6): within each
+    # sub-bucket exactly the min id survives -> 6 keepers, and they are
+    # exactly the per-sub-bucket minima
+    subs = {}
+    for i in range(600):
+        subs.setdefault(md5_bucket(f"sem:0:{i}", 6), []).append(i)
+    expect_keep = sorted(min(v) for v in subs.values())
+    assert sorted(out[out.keep].vec_id) == expect_keep
+    # and every sub-bucket is well under the unsplit cluster size
+    assert max(len(v) for v in subs.values()) < 200
+
+
+def test_semantic_dedup_auto_k_scales_with_corpus(ray_session):
+    import numpy as np
+
+    from pdf_parser_ray.ops.dedup import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    rows = [{"vec_id": i, "embedding": rng.randn(8).tolist()} for i in range(64)]
+    # k=None -> max(8, 64 // 4) = 16 clusters requested
+    out = semantic_dedup(
+        ray.data.from_items(rows),
+        k=None,
+        n_iters=2,
+        threshold=0.999,
+        target_cluster_size=4,
+    ).to_pandas()
+    assert len(out) == 64
+    assert out.cluster.nunique() > 8  # more clusters than the old fixed k=8
+
+
+def test_embedding_near_dup_string_ids(ray_session):
+    from pdf_parser_ray.ops.dedup import (
+        embedding_near_dup,
+        embedding_near_dup_exact,
+    )
+
+    # string id columns must survive the pair-ordering path (numpy 1.26
+    # has no min/max ufunc for str arrays) and order lexicographically
+    rows = [
+        {"vec_id": "doc-b", "embedding": [1.0, 0.0, 0.0]},
+        {"vec_id": "doc-a", "embedding": [1.0, 1e-4, 0.0]},
+        {"vec_id": "doc-z", "embedding": [0.0, 1.0, 0.0]},
+    ]
+    for fn in (embedding_near_dup, embedding_near_dup_exact):
+        out = fn(ray.data.from_items(rows), threshold=0.99).to_pandas()
+        assert len(out) == 1
+        assert (out.id_a.iloc[0], out.id_b.iloc[0]) == ("doc-a", "doc-b")
+
+
+def test_exact_dedup_huge_ids_no_float_precision_loss(ray_session):
+    from pdf_parser_ray.ops.dedup import exact_dedup
+
+    # ids above 2^53 with a null id in the same hash bucket: a pandas
+    # float64 round-trip would corrupt the low bits and keep a wrong id
+    big = (1 << 60) + 1  # not representable in float64 (rounds to 2^60)
+    rows = [
+        {"doc_id": big, "text": "same"},
+        {"doc_id": big + 2, "text": "same"},
+        {"doc_id": None, "text": "same"},
+        {"doc_id": None, "text": "other"},
+    ]
+    # read back via Arrow rows — a pandas round-trip HERE would float the
+    # ids too (the exact failure mode under test)
+    kept = {
+        (r["doc_id"], r["text"])
+        for r in exact_dedup(ray.data.from_items(rows)).take_all()
+    }
+    assert kept == {(big, "same"), (None, "other")}
 
 
 def test_lm_surprisal_hand_computed(ray_session):
