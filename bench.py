@@ -13,6 +13,19 @@ and num_cpus=32 on the same input and reports both plus the scaling
 efficiency (t8/t32)/4 — the sandbox proxy for the N vs 4N cluster criterion.
 
 ``--headline-only``: headline pipeline only (used by --scaling children).
+
+Measurement robustness (round-4):
+
+- the headline is the MEDIAN of 3 timed repetitions (all samples recorded
+  in the JSON) so one shared-box load spike cannot write a phantom
+  regression into the round record;
+- the secondary sweep runs each query FAMILY in its own subprocess with a
+  fresh Ray session — leftover actor pools from one query otherwise
+  inflate the next query's wall time, and a 39-query shared-session sweep
+  is not comparable to a 20-query one;
+- ``minhash_dedup_resumable`` is benched cold vs warm over an
+  8-fragment corpus split so the band-store amortization is a measured
+  number, not a design claim.
 """
 
 from __future__ import annotations
@@ -99,21 +112,25 @@ def run_headline() -> dict:
             break
 
     n_buckets = max(NUM_CPUS * 4, 32)
-    t0 = time.time()
-    branches = []
-    if os.path.isdir(f"{corpus_path}/small"):
-        branches.append(extract_fused(ray.data.read_parquet(f"{corpus_path}/small")))
-    if os.path.isdir(f"{corpus_path}/giant"):
-        branches.append(
-            extract(ray.data.read_parquet(f"{corpus_path}/giant"), n_buckets=n_buckets)
-        )
-    if not branches:
-        raise SystemExit(f"no corpus partitions under {corpus_path}")
-    combined = branches[0]
-    for b in branches[1:]:
-        combined = combined.union(b)
-    combined.write_parquet(os.path.join(OUT_DIR, "extraction"))
-    dt = time.time() - t0
+    samples = []
+    for _ in range(3):  # median-of-3: one load spike can't set the record
+        shutil.rmtree(OUT_DIR, ignore_errors=True)
+        t0 = time.time()
+        branches = []
+        if os.path.isdir(f"{corpus_path}/small"):
+            branches.append(extract_fused(ray.data.read_parquet(f"{corpus_path}/small")))
+        if os.path.isdir(f"{corpus_path}/giant"):
+            branches.append(
+                extract(ray.data.read_parquet(f"{corpus_path}/giant"), n_buckets=n_buckets)
+            )
+        if not branches:
+            raise SystemExit(f"no corpus partitions under {corpus_path}")
+        combined = branches[0]
+        for b in branches[1:]:
+            combined = combined.union(b)
+        combined.write_parquet(os.path.join(OUT_DIR, "extraction"))
+        samples.append(time.time() - t0)
+    dt = sorted(samples)[1]
 
     # untimed: volume metrics from the written output (cheap column scan)
     from ray.data.aggregate import Sum
@@ -123,6 +140,7 @@ def run_headline() -> dict:
     ).aggregate(Sum("total_pages", alias_name="p"), Sum("n_spans", alias_name="s"))
     return {
         "sec": dt,
+        "samples": [round(s, 3) for s in samples],
         "n_docs": n_docs,
         "docs_per_sec": n_docs / dt if dt else 0.0,
         "pages_per_sec": (agg["p"] or 0) / dt if dt else 0.0,
@@ -130,70 +148,120 @@ def run_headline() -> dict:
     }
 
 
-def run_secondary() -> dict[str, float]:
-    """Per-operator timings over the same sf dir."""
+# secondary sweep, grouped so each FAMILY gets a fresh Ray session in its
+# own subprocess: actor pools left by one query inflate the next query's
+# wall time in a shared session (documented in BASELINE.md), so per-query
+# numbers from one big session are upper bounds, not measurements
+FAMILIES: dict[str, list[str]] = {
+    "text": ["doc_stats", "quality_score", "lang_id", "scrub_pii",
+             "top_ngrams", "gopher_rules"],
+    "dedup": ["exact_dedup", "dedup_lines", "dedup_events", "simhash",
+              "simhash_pairs"],
+    "minhash": ["minhash_pairs", "minhash_dedup_resumable",
+                "ngram_jaccard_pairs", "dup_span_stats"],
+    "ann": ["knn_bruteforce", "knn_ivf", "knn_join", "semantic_dedup",
+            "quantize_embeddings"],
+    "relational": ["pricing_summary", "revenue_by_nation",
+                   "order_priority_revenue", "filtered_revenue",
+                   "approx_distinct", "price_quantiles_routed",
+                   "global_rank"],
+    "streaming": ["events_window_agg", "sessionize", "events_asof_join"],
+    "curation": ["tfidf_top_terms", "lm_surprisal", "assign_splits",
+                 "curate_corpus", "rebalance_sources", "surprisal_filter"],
+    "crosscorpus": ["contamination_check", "bloom_novel_docs",
+                    "media_features_png"],
+}
+
+
+def _prepare_fragments(n_frags: int = 8) -> list[str]:
+    """Split documents.parquet into n_frags files under /tmp (untimed,
+    cached on source identity) — the multi-fragment corpus the resumable
+    dedup's band store amortizes over."""
+    import glob as _glob
+
+    import ray.data
+
+    st = os.stat(f"{SF_DIR}/documents.parquet")
+    path = f"/tmp/bench_frags_{_sf_label(SF_DIR)}_{n_frags}_{st.st_size}_{int(st.st_mtime)}"
+    marker = os.path.join(path, "_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        ray.data.read_parquet(f"{SF_DIR}/documents.parquet").repartition(
+            n_frags
+        ).write_parquet(path)
+        open(marker, "w").close()
+    return sorted(_glob.glob(os.path.join(path, "*.parquet")))
+
+
+def _bench_resumable_cold_warm() -> dict[str, float]:
+    """Cold vs warm resumable MinHash dedup over an 8-fragment corpus:
+    the warm run reads every fragment's band table back from the store
+    instead of re-shingling/re-hashing — the measured amortization."""
+    import tempfile
+
+    from pdf_parser_ray.ops.dedup import minhash_dedup_resumable
+
+    frags = _prepare_fragments()
+    store = tempfile.mkdtemp(prefix="bench_bands_")
+    out: dict[str, float] = {}
+    try:
+        for label in ("cold", "warm"):
+            t0 = time.time()
+            minhash_dedup_resumable(
+                frags, store, jaccard_threshold=0.8
+            ).select_columns(["doc_id"]).to_pandas()
+            out[f"minhash_dedup_resumable_{label}"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
+def run_family(fam: str) -> dict[str, float]:
+    """One family's per-query timings, inside this process's fresh
+    session (called via the --family child)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as em
 
     qs = em.queries()
-    chosen = [
-        "doc_stats",
-        "quality_score",
-        "lang_id",
-        "exact_dedup",
-        "minhash_pairs",
-        "simhash",
-        "knn_bruteforce",
-        "knn_ivf",
-        "pricing_summary",
-        "revenue_by_nation",
-        "order_priority_revenue",
-        "filtered_revenue",
-        "events_window_agg",
-        "sessionize",
-        # round-2 operator families
-        "simhash_pairs",
-        "events_asof_join",
-        "scrub_pii",
-        "top_ngrams",
-        "approx_distinct",
-        "tfidf_top_terms",
-        # round-3 operator families
-        "knn_join",
-        "minhash_dedup_resumable",
-        "media_features_png",
-        "price_quantiles_routed",
-        # cross-corpus + rule-filter family
-        "ngram_jaccard_pairs",
-        "contamination_check",
-        "bloom_novel_docs",
-        "gopher_rules",
-        # curation/scoring additions
-        "lm_surprisal",
-        "dup_span_stats",
-        "assign_splits",
-        "semantic_dedup",
-        "global_rank",
-        "curate_corpus",
-        "rebalance_sources",
-        "surprisal_filter",
-        "dedup_lines",
-        "dedup_events",
-        "quantize_embeddings",
-    ]
     out: dict[str, float] = {}
-    for name in chosen:
+    for name in FAMILIES[fam]:
         t0 = time.time()
         res = qs[name](SF_DIR)
         # consume: all of these end in small aggregated outputs
         if hasattr(res, "to_pandas"):
             res.to_pandas()
         out[name] = round(time.time() - t0, 3)
+    if fam == "minhash":
+        out.update(_bench_resumable_cold_warm())
+    return out
+
+
+def run_secondary() -> dict[str, float]:
+    """Per-operator timings: one subprocess (fresh Ray session) per
+    family. The parent's session is shut down before this runs so the
+    children own the machine."""
+    out: dict[str, float] = {}
+    for fam in FAMILIES:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--family", fam],
+            env=dict(os.environ),
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(
+                f"[bench] family {fam} failed:\n{proc.stderr[-2000:]}\n"
+            )
+            continue
+        out.update(json.loads(proc.stdout.strip().splitlines()[-1]))
     return out
 
 
 def main() -> None:
     headline_only = "--headline-only" in sys.argv
+    family = None
+    if "--family" in sys.argv:
+        family = sys.argv[sys.argv.index("--family") + 1]
 
     if "--scaling" in sys.argv:
         run_scaling()
@@ -228,8 +296,19 @@ def main() -> None:
     # cost for the reassembly groupby in this Ray build
     configure_context(shuffle="push")
 
+    if family:
+        print(json.dumps(run_family(family)))
+        ray.shutdown()
+        return
+
     head = run_headline()
-    queries = {} if headline_only else run_secondary()
+    if headline_only:
+        queries = {}
+    else:
+        # free the machine before the family children each bring up their
+        # own fresh session — two live object stores would skew timings
+        ray.shutdown()
+        queries = run_secondary()
 
     print(
         json.dumps(
@@ -238,6 +317,7 @@ def main() -> None:
                 "map + giant-doc groupby reassembly shuffle -> parquet)",
                 "value": round(head["sec"], 3),
                 "unit": "sec",
+                "headline_samples": head["samples"],
                 "queries": queries,
                 "sf": _sf_label(SF_DIR),
                 "num_cpus": NUM_CPUS,
@@ -248,7 +328,8 @@ def main() -> None:
             }
         )
     )
-    ray.shutdown()
+    if ray.is_initialized():
+        ray.shutdown()
 
 
 def run_scaling() -> None:
