@@ -955,6 +955,29 @@ def _q_minhash_dedup_resumable(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def _q_media_features_jpeg(sf_dir: str):
+    """REAL JPEG decode path: deterministic synthesized baseline-JPEG
+    payloads (4:2:0, quality 90) per image ref, decoded by the
+    pure-stdlib Huffman+IDCT codec — dimensions and decode status
+    hash-verified against the closed-form SQL oracle (byte count and
+    pixel values are excluded: entropy-coded length has no closed form
+    and the transform is lossy)."""
+    from pdf_parser_ray.ops.multimodal import media_features, media_inventory
+    from pdf_parser_ray.pipelines import extract_fused
+    from pdf_parser_ray.sources import corpus_from_documents
+
+    media = media_inventory(
+        extract_fused(corpus_from_documents(sf_dir)),
+        synth_payloads=True,
+        synth_format="jpeg",
+    )
+    return _int_doc_id(
+        media_features(media, fake=False).select_columns(
+            ["doc_id", "media_ref", "width", "height", "decode_ok"]
+        )
+    )
+
+
 def _q_media_features_png(sf_dir: str):
     """REAL PNG decode path: deterministic synthesized baseline-PNG
     payloads per image ref, decoded by the pure-stdlib zlib+unfilter
@@ -1073,6 +1096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal (real PPM + PNG decodes over synthesized payloads)
         "media_features": _q_media_features,
         "media_features_png": _q_media_features_png,
+        "media_features_jpeg": _q_media_features_jpeg,
         # corpus-level validation report (reference step 5)
         "validation_summary": _q_validation_summary,
     }
@@ -1481,6 +1505,17 @@ def oracle_sql() -> dict[str, str]:
         # the PNG variant shares the dimension rule; byte count excluded
         # (DEFLATE length has no closed form)
         "media_features_png": _EXTRACT_BASE_SQL + (
+            ", imgs AS ("
+            "  SELECT doc_id, 'img://' || CAST(doc_id AS VARCHAR) || '/p' || pg || '/0' AS media_ref"
+            "  FROM pages WHERE (h+pg)%4=0"
+            ") SELECT doc_id, media_ref, "
+            "4 + ('0x'||substr(md5(media_ref),1,2))::INT % 32 AS width, "
+            "4 + ('0x'||substr(md5(media_ref),3,2))::INT % 32 AS height, "
+            "TRUE AS decode_ok FROM imgs"
+        ),
+        # JPEG shares the dimension rule too; entropy-coded length and
+        # lossy pixels have no closed form, so dims + status only
+        "media_features_jpeg": _EXTRACT_BASE_SQL + (
             ", imgs AS ("
             "  SELECT doc_id, 'img://' || CAST(doc_id AS VARCHAR) || '/p' || pg || '/0' AS media_ref"
             "  FROM pages WHERE (h+pg)%4=0"

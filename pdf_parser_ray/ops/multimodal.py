@@ -1,15 +1,16 @@
 """Multimodal column plumbing: opaque binary/media columns with typed
 metadata, decoded by an actor-pool stage.
 
-The decode kernel is REAL for every format decodable without an external
-codec library — binary PPM/PGM (P6/P5) and uncompressed BMP via
-struct/numpy, and baseline PNG via the pure-stdlib zlib+unfilter codec in
-``functions/png.py`` (dimensions + an intensity-histogram feature). JPEG
-(a true external-codec format) raises ``NotImplementedError`` without
-PIL; malformed or out-of-baseline payloads degrade to a
-``decode_ok=False`` row rather than failing the task. ``fake=True`` keeps
-the deterministic ref-hash stub for plumbing tests. Swapping in PIL/ffmpeg
-is a one-method change inside the actor.
+The decode kernel is REAL for every supported image format, all without
+an external codec library — binary PPM/PGM (P6/P5) and uncompressed BMP
+via struct/numpy, baseline PNG via the pure-stdlib zlib+unfilter codec
+in ``functions/png.py``, and baseline-sequential JPEG via the
+pure-stdlib Huffman+IDCT codec in ``functions/jpeg.py`` (dimensions +
+an intensity-histogram feature). Malformed or out-of-baseline payloads
+(progressive JPEG, 16-bit PNG, ...) degrade to a ``decode_ok=False``
+row rather than failing the task. ``fake=True`` keeps the deterministic
+ref-hash stub for plumbing tests. Swapping in PIL/ffmpeg is a
+one-method change inside the actor.
 
 Memory shape: media payloads are large binary cells, so the stage runs with
 a small ``batch_size`` and Arrow batches end-to-end (binary columns do not
@@ -78,6 +79,23 @@ def synthesize_png(media_ref: str) -> bytes:
     return encode_png(w, h, pixels, color_type=2)
 
 
+def synthesize_jpeg(media_ref: str) -> bytes:
+    """Deterministic baseline-JPEG payload seeded on the media ref: same
+    dimension rule as :func:`synthesize_ppm`, RGB pixels = the digest
+    tiled, encoded 4:2:0 so the decoder's chroma-upsampling path runs on
+    the real pipeline. width/height/decode_ok stay closed-form for the
+    SQL oracle (entropy-coded byte length and lossy pixel values do
+    not — the media_features_jpeg query therefore projects dims only,
+    the media_features_png convention)."""
+    from pdf_parser_ray.functions.jpeg import encode_jpeg
+
+    digest = hashlib.md5((media_ref or "").encode()).digest()
+    w = 4 + digest[0] % 32
+    h = 4 + digest[1] % 32
+    pixels = np.resize(np.frombuffer(digest, dtype=np.uint8), 3 * w * h)
+    return encode_jpeg(w, h, pixels, quality=90, subsampling="420")
+
+
 def _parse_pnm_header(payload: bytes) -> tuple[int, int, int]:
     """(width, height, pixel-data offset) from a P6/P5 header: magic, then
     whitespace-separated width/height/maxval with '#' comments skipped."""
@@ -121,12 +139,6 @@ class MediaDecoder:
     def __init__(self, fake: bool = False, feature_dim: int = 8):
         self.fake = fake
         self.feature_dim = feature_dim
-        try:
-            import PIL.Image  # noqa: F401
-
-            self.has_pil = True
-        except ImportError:
-            self.has_pil = False
 
     def _histogram(self, pixels: np.ndarray) -> list[float]:
         if pixels.size == 0:
@@ -232,13 +244,30 @@ class MediaDecoder:
                 "decode_ok": True,
             }
         if magic == b"\xff\xd8":
-            # a real codec format we cannot decode without PIL
-            if not self.has_pil:
-                raise NotImplementedError(
-                    "JPEG decode requires an image codec (PIL) which is "
-                    "not available in this environment"
-                )
-            raise NotImplementedError("codec decode path not implemented in sandbox")
+            # REAL baseline-JPEG decode, pure stdlib (functions/jpeg.py):
+            # Huffman + dequant + IDCT + chroma upsample. Non-baseline
+            # variants (progressive, 12-bit, arithmetic) and malformed
+            # streams degrade, not crash.
+            from pdf_parser_ray.functions.jpeg import decode_jpeg
+
+            try:
+                # same 8M-px stage cap as PNG: the per-symbol Huffman loop
+                # is Python, and a bigger claim in this corpus is a
+                # malformed header, not a real payload
+                w, h, pixels = decode_jpeg(payload, max_pixels=8_000_000)
+            except (ValueError, struct_error, IndexError):
+                return {
+                    "width": 0,
+                    "height": 0,
+                    "feature": [0.0] * self.feature_dim,
+                    "decode_ok": False,
+                }
+            return {
+                "width": w,
+                "height": h,
+                "feature": self._histogram(pixels),
+                "decode_ok": True,
+            }
         # unrecognized/empty payload: degrade, don't fail the task
         return {
             "width": 0,
@@ -293,10 +322,14 @@ def media_inventory(
     """Media table from flagship extraction output: one row per image span.
     This corpus carries refs only, so payloads are empty by default;
     ``synth_payloads=True`` fills each with a deterministic synthesized
-    image (:func:`synthesize_ppm` or, with ``synth_format='png'``,
-    :func:`synthesize_png`) so the REAL decode paths can be driven (and
-    oracle-checked) without external media files."""
-    synth = synthesize_png if synth_format == "png" else synthesize_ppm
+    image (:func:`synthesize_ppm`, or :func:`synthesize_png` /
+    :func:`synthesize_jpeg` via ``synth_format``) so the REAL decode
+    paths can be driven (and oracle-checked) without external media
+    files."""
+    synth = {
+        "png": synthesize_png,
+        "jpeg": synthesize_jpeg,
+    }.get(synth_format, synthesize_ppm)
 
     def explode(batch: pa.Table) -> pa.Table:
         rows = []

@@ -206,11 +206,10 @@ def test_media_decoder_stub(ray_session):
     assert out.decode_ok.iloc[0]
     assert out.n_bytes.iloc[0] == 2
     assert len(out.feature.iloc[0]) == 8
-    # JPEG (external-codec format) raises NotImplementedError (no PIL in
-    # sandbox); a truncated PNG and unrecognized payloads degrade
+    # truncated JPEG/PNG and unrecognized payloads all degrade, not crash
     dec = multimodal.MediaDecoder(fake=False)
-    with pytest.raises(NotImplementedError):
-        dec._decode("x", b"\xff\xd8\xff\xe0")
+    trunc_jpeg = dec._decode("x", b"\xff\xd8\xff\xe0")
+    assert not trunc_jpeg["decode_ok"]
     trunc_png = dec._decode("x", b"\x89PNG\r\n\x1a\n")
     assert not trunc_png["decode_ok"]
     bad = dec._decode("x", b"")
