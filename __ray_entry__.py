@@ -492,6 +492,31 @@ def _q_knn_ivf(sf_dir: str):
     return knn_ivf(ds, _query_vector(sf_dir), k=10, n_centroids=16, n_probe=16)
 
 
+def _q_knn_ivf_recall(sf_dir: str):
+    """Recall@10 of the APPROXIMATE IVF path (n_probe=1 of 16 lists — a
+    genuinely lossy setting, unlike the exhaustive knn_ivf gate query)
+    against the exact brute-force top-10 on the same query vector. Makes
+    the accuracy/speed trade of IVF a gated NUMBER: the SQL oracle
+    re-derives the probe set, list assignment (rounded-cosine law with
+    index tiebreaks, similarity.py:213) and both top-10s, then computes
+    the same overlap fraction."""
+    import pandas as pd
+    import ray.data
+
+    from pdf_parser_ray.ops.similarity import knn_bruteforce, knn_ivf
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    q = _query_vector(sf_dir)
+    brute = {r["vec_id"] for r in knn_bruteforce(ds, q, k=10).take_all()}
+    ivf = {
+        r["vec_id"]
+        for r in knn_ivf(ds, q, k=10, n_centroids=16, n_probe=1).take_all()
+    }
+    return pd.DataFrame({"recall_at_k": [len(ivf & brute) / 10.0]})
+
+
 def _q_knn_ivf_indexed(sf_dir: str):
     """Persisted-IVF query path: one-time partitioned index build, then a
     pruned read of the probed lists. n_probe == n_centroids keeps it exact
@@ -1054,6 +1079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_bruteforce": _q_knn,
         "knn_ivf": _q_knn_ivf,
+        "knn_ivf_recall": _q_knn_ivf_recall,
         "knn_ivf_indexed": _q_knn_ivf_indexed,
         "knn_join": _q_knn_join,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -1562,6 +1588,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cosine "
             "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
             "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+        # approximate IVF (n_probe=1/16) vs exact top-10: the oracle
+        # re-derives centroids (unit vecs of the 16 smallest ids), the
+        # probed lists and the rounded-cosine assignment (index tiebreaks
+        # = the op's argmax/lexsort laws), then the overlap fraction
+        "knn_ivf_recall": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "q AS (SELECT v FROM e WHERE vec_id = 0), "
+            "cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cidx, v AS c "
+            "  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)), "
+            "probe AS (SELECT cidx FROM cent, q "
+            "  ORDER BY ROUND(list_cosine_similarity(c, q.v), 6) DESC, cidx LIMIT 1), "
+            "asg AS (SELECT vec_id, cidx FROM ("
+            "  SELECT e.vec_id, cent.cidx, ROW_NUMBER() OVER (PARTITION BY e.vec_id "
+            "    ORDER BY ROUND(list_cosine_similarity(e.v, cent.c), 6) DESC, cent.cidx) AS rn "
+            "  FROM e CROSS JOIN cent) WHERE rn = 1), "
+            "ivf AS (SELECT e.vec_id FROM e JOIN asg USING (vec_id), q "
+            "  WHERE asg.cidx IN (SELECT cidx FROM probe) "
+            "  ORDER BY ROUND(list_cosine_similarity(e.v, q.v), 6) DESC, e.vec_id LIMIT 10), "
+            "brute AS (SELECT vec_id FROM e, q "
+            "  ORDER BY ROUND(list_cosine_similarity(e.v, q.v), 6) DESC, vec_id LIMIT 10) "
+            "SELECT CAST((SELECT COUNT(*) FROM ivf JOIN brute USING (vec_id)) AS DOUBLE) / 10 "
+            "AS recall_at_k"
         ),
         # multi-query kNN: cross join + per-query ROW_NUMBER cut
         "knn_join": (

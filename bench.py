@@ -159,8 +159,8 @@ FAMILIES: dict[str, list[str]] = {
               "simhash_pairs"],
     "minhash": ["minhash_pairs", "minhash_dedup_resumable",
                 "ngram_jaccard_pairs", "dup_span_stats"],
-    "ann": ["knn_bruteforce", "knn_ivf", "knn_join", "semantic_dedup",
-            "quantize_embeddings"],
+    "ann": ["knn_bruteforce", "knn_ivf", "knn_ivf_recall", "knn_join",
+            "semantic_dedup", "quantize_embeddings"],
     "relational": ["pricing_summary", "revenue_by_nation",
                    "order_priority_revenue", "filtered_revenue",
                    "approx_distinct", "price_quantiles_routed",

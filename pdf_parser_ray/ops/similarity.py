@@ -213,7 +213,13 @@ def knn_ivf(
         centroids = deterministic_centroids(ds, n_centroids, id_col, vec_col)
     c_ref = ray.put(centroids)
     q = _unit(np.asarray(query, dtype=np.float64))
-    probe_lists = set(np.argsort(-(centroids @ q))[:n_probe].tolist())
+    # probe ranking on the ROUNDED cosine with an explicit index tiebreak
+    # (lexsort is stable; plain argsort is not): engine-portable, so a SQL
+    # ORDER BY ROUND(cos,6) DESC, idx oracle reproduces the probe set and
+    # recall@k becomes a gate-checkable number, not a test-only property
+    probe_scores = np.round(centroids @ q, 6)
+    probe_order = np.lexsort((np.arange(len(probe_scores)), -probe_scores))
+    probe_lists = set(probe_order[:n_probe].tolist())
 
     class AssignAndFilter:
         def __init__(self, c_ref, probe_lists, q):
@@ -225,7 +231,9 @@ def knn_ivf(
             vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
             ids = np.asarray(batch[id_col].to_pylist())
             unit = _unit(vecs)
-            assign = np.argmax(unit @ self.centroids.T, axis=1)
+            # same rounded-cosine assignment law (argmax takes the lowest
+            # index on ties, = the SQL ROW_NUMBER cidx tiebreak)
+            assign = np.argmax(np.round(unit @ self.centroids.T, 6), axis=1)
             mask = np.isin(assign, list(self.probe))
             if not mask.any():
                 return pa.table({id_col: pa.array([], type=batch[id_col].type), "cosine": pa.array([], pa.float64())})

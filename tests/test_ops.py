@@ -1118,6 +1118,32 @@ def test_quantiles_auto_route(ray_session):
         assert abs(got - want) <= 2.0, (q, got, want)
 
 
+def test_knn_ivf_recall_exhaustive_probe_is_one(ray_session):
+    """n_probe == n_centroids makes IVF exhaustive: recall@k vs brute
+    force must be exactly 1.0; a 1-of-8 probe on clustered data drops
+    below it (the approximate regime the knn_ivf_recall query gates)."""
+    from pdf_parser_ray.ops.similarity import knn_bruteforce, knn_ivf
+
+    rng = np.random.RandomState(21)
+    rows = [
+        {"vec_id": i, "embedding": (rng.randn(16) + (i % 8) * 3.0).tolist()}
+        for i in range(80)
+    ]
+    ds = ray.data.from_items(rows)
+    q = np.asarray(rows[3]["embedding"], dtype=np.float64)
+    brute = {r["vec_id"] for r in knn_bruteforce(ds, q, k=10).take_all()}
+    full = {
+        r["vec_id"]
+        for r in knn_ivf(ds, q, k=10, n_centroids=8, n_probe=8).take_all()
+    }
+    assert full == brute
+    partial = {
+        r["vec_id"]
+        for r in knn_ivf(ds, q, k=10, n_centroids=8, n_probe=1).take_all()
+    }
+    assert len(partial & brute) <= 10
+
+
 def test_quantiles_sample_census_extrapolates_to_sketch(ray_session):
     """A near-unique bounded sample must extrapolate to high cardinality
     and take the sketch path (routing bias documented in quantiles())."""
