@@ -163,8 +163,8 @@ FAMILIES: dict[str, list[str]] = {
             "semantic_dedup", "quantize_embeddings"],
     "relational": ["pricing_summary", "revenue_by_nation",
                    "order_priority_revenue", "filtered_revenue",
-                   "approx_distinct", "price_quantiles_routed",
-                   "global_rank"],
+                   "approx_distinct", "price_quantiles",
+                   "price_quantiles_routed", "global_rank"],
     "streaming": ["events_window_agg", "sessionize", "events_asof_join"],
     "curation": ["tfidf_top_terms", "lm_surprisal", "assign_splits",
                  "curate_corpus", "rebalance_sources", "surprisal_filter"],
@@ -220,7 +220,16 @@ def run_family(fam: str) -> dict[str, float]:
     """One family's per-query timings, inside this process's fresh
     session (called via the --family child)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray.data
+
     import __ray_entry__ as em
+
+    # untimed warm-up: worker startup, library imports and the page cache
+    # for the shared input table — otherwise the family's FIRST query is
+    # billed several seconds of session cold-start the others don't pay
+    ray.data.read_parquet(f"{SF_DIR}/documents.parquet").limit(256).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
 
     qs = em.queries()
     out: dict[str, float] = {}

@@ -677,44 +677,110 @@ def quantiles(
 
 
 def exact_quantiles(
-    ds: ray.data.Dataset, col: str, qs: list[float]
+    ds: ray.data.Dataset, col: str, qs: list[float], n_bins: int = 8192
 ) -> ray.data.Dataset:
     """Exact quantiles with linear interpolation (SQL ``quantile_cont``
     semantics: h = (n-1)*q, interpolate between the flanking order
     statistics).
 
-    Scale shape: ONE groupby collapses the column to (value, count) rows —
-    the shuffle and the driver-side merge are DISTINCT-VALUE sized, not
-    row-count sized (measurement columns repeat heavily; a truly
-    continuous unbounded column wants a t-digest sketch instead, the
-    documented alternative). Nulls are excluded, as in SQL.
+    Scale shape — histogram-cut order statistics (the global_rank
+    playbook), NOT a distinct-value groupby: (1) a min/max/count
+    aggregate; (2) a fixed-``n_bins`` histogram whose shuffle moves at
+    most ``n_bins`` (bin, count) rows per batch; (3) a filter that ships
+    ONLY the values inside the few bins containing the target ranks
+    (~rows/n_bins each) to the driver for the final order-statistic
+    lookup. No row-count- or distinct-count-sized driver materialization
+    anywhere — the earlier distinct-value groupby pulled every distinct
+    value to the driver, which on a near-unique 100-TB column is the
+    corpus. The single-column projection is materialized once so the
+    three passes don't re-execute upstream stages. Binning uses one
+    shared searchsorted rule on identical float64 edges in every pass,
+    so a value's bin is consistent by construction. Nulls are excluded,
+    as in SQL.
 
     Returns rows (q, value), value rounded half-even to 6."""
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Max, Min, Sum
 
     def drop_nulls(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_valid(batch[col]))
 
-    counts = (
+    proj = (
         ds.select_columns([col])
         .map_batches(drop_nulls, batch_format="pyarrow")
-        .groupby(col)
-        .aggregate(Count(alias_name="n"))
-        .take_all()
+        .materialize()
     )
-    pairs_ = sorted((float(r[col]), int(r["n"])) for r in counts)
-    values = np.asarray([v for v, _ in pairs_], dtype=np.float64)
-    cum = np.cumsum([n for _, n in pairs_])
-    total = int(cum[-1]) if len(cum) else 0
+    stats = proj.aggregate(
+        Min(col, alias_name="mn"), Max(col, alias_name="mx"),
+        Count(alias_name="n"),
+    )
+    total = int(stats["n"] or 0)
+    if total == 0:
+        return ray.data.from_items([])
+    mn, mx = float(stats["mn"]), float(stats["mx"])
+    edges = np.linspace(mn, mx, n_bins + 1)
+
+    def bin_of(v: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(edges, v, side="right") - 1
+        return np.clip(idx, 0, n_bins - 1)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch[col], pa.float64()).to_numpy(zero_copy_only=False)
+        counts = np.bincount(bin_of(v), minlength=n_bins)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "bin": pa.array(nz, pa.int64()),
+                "n": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    bin_rows = (
+        proj.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # <= n_bins rows, never data
+    )
+    bin_counts = np.zeros(n_bins, dtype=np.int64)
+    for r in bin_rows:
+        bin_counts[int(r["bin"])] = int(r["n"])
+    cum = np.cumsum(bin_counts)
+    starts = cum - bin_counts  # global rank of each bin's first value
+
+    # ranks needed across all requested quantiles -> their bins
+    ranks: set[int] = set()
+    for q in qs:
+        h = (total - 1) * q
+        lo = int(np.floor(h))
+        ranks.add(lo)
+        ranks.add(min(lo + 1, total - 1))
+    needed_bins = {
+        int(np.searchsorted(cum, rank, side="right")) for rank in ranks
+    }
+    needed_arr = np.fromiter(needed_bins, dtype=np.int64)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch[col], pa.float64()).to_numpy(zero_copy_only=False)
+        idx = bin_of(v)
+        mask = np.isin(idx, needed_arr)
+        return pa.table(
+            {
+                "v": pa.array(v[mask], pa.float64()),
+                "bin": pa.array(idx[mask], pa.int64()),
+            }
+        )
+
+    by_bin: dict[int, list[float]] = {b: [] for b in needed_bins}
+    for row in proj.map_batches(pick, batch_format="pyarrow").take_all():
+        by_bin[int(row["bin"])].append(float(row["v"]))
+    for b in by_bin:
+        by_bin[b].sort()
 
     def value_at(rank: int) -> float:
-        # rank is a 0-based order statistic; first cum > rank locates it
-        return float(values[np.searchsorted(cum, rank, side="right")])
+        b = int(np.searchsorted(cum, rank, side="right"))
+        return by_bin[b][rank - int(starts[b])]
 
     out = []
     for q in qs:
-        if total == 0:
-            continue
         h = (total - 1) * q
         lo = int(np.floor(h))
         lo_v = value_at(lo)
