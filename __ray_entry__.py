@@ -1396,7 +1396,7 @@ WITH lines AS (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         # pages = ceil(max(ceil(len/80),1)/30): doc_text_to_spans line/page math
         "extract_doc_pages": (
             "SELECT doc_id, CAST(CEIL(GREATEST(CEIL(LENGTH(text)/80.0),1)/30.0) AS INT) "
@@ -1531,17 +1531,6 @@ def oracle_sql() -> dict[str, str]:
         # the PNG variant shares the dimension rule; byte count excluded
         # (DEFLATE length has no closed form)
         "media_features_png": _EXTRACT_BASE_SQL + (
-            ", imgs AS ("
-            "  SELECT doc_id, 'img://' || CAST(doc_id AS VARCHAR) || '/p' || pg || '/0' AS media_ref"
-            "  FROM pages WHERE (h+pg)%4=0"
-            ") SELECT doc_id, media_ref, "
-            "4 + ('0x'||substr(md5(media_ref),1,2))::INT % 32 AS width, "
-            "4 + ('0x'||substr(md5(media_ref),3,2))::INT % 32 AS height, "
-            "TRUE AS decode_ok FROM imgs"
-        ),
-        # JPEG shares the dimension rule too; entropy-coded length and
-        # lossy pixels have no closed form, so dims + status only
-        "media_features_jpeg": _EXTRACT_BASE_SQL + (
             ", imgs AS ("
             "  SELECT doc_id, 'img://' || CAST(doc_id AS VARCHAR) || '/p' || pg || '/0' AS media_ref"
             "  FROM pages WHERE (h+pg)%4=0"
@@ -2253,3 +2242,8 @@ def oracle_sql() -> dict[str, str]:
         # TOC/section doclogic counts, which have no closed form — pinned
         # by the golden-anchor tests).
     }
+    # JPEG shares PNG's closed-form dimension rule and projection exactly
+    # (entropy-coded length and lossy pixels have no closed form, so both
+    # oracles are dims + status only) — alias, don't duplicate the SQL
+    out["media_features_jpeg"] = out["media_features_png"]
+    return out

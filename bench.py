@@ -225,11 +225,19 @@ def run_family(fam: str) -> dict[str, float]:
     import __ray_entry__ as em
 
     # untimed warm-up: worker startup, library imports and the page cache
-    # for the shared input table — otherwise the family's FIRST query is
-    # billed several seconds of session cold-start the others don't pay
-    ray.data.read_parquet(f"{SF_DIR}/documents.parquet").limit(256).map_batches(
-        lambda b: b, batch_format="pyarrow"
-    ).count()
+    # for the family's ACTUAL input tables — otherwise the family's FIRST
+    # query is billed several seconds of session cold-start the others
+    # don't pay
+    warm_tables = {
+        "ann": ["embeddings"],
+        "relational": ["lineitem"],
+        "streaming": ["events"],
+        "crosscorpus": ["documents", "embeddings"],
+    }.get(fam, ["documents"])
+    for table in warm_tables:
+        ray.data.read_parquet(f"{SF_DIR}/{table}.parquet").limit(256).map_batches(
+            lambda b: b, batch_format="pyarrow"
+        ).count()
 
     qs = em.queries()
     out: dict[str, float] = {}

@@ -655,18 +655,25 @@ def quantiles(
     — the earlier wiring paid a full HyperLogLog traversal *and* the
     chosen path's traversal. If the sample covers the whole dataset the
     sample distinct count is exact; otherwise a near-unique sample
-    (ratio r = distinct/sample) extrapolates to ``r * n`` total rows —
-    an overestimate for mid-cardinality columns, which biases routing
-    toward the sketch. That bias is safe: the sketch path is always
-    correct within its rank-error bound; the exact path is only an
-    optimization for low-cardinality columns, which a repeat-heavy sample
-    identifies reliably. ``n`` comes from ``ds.count()`` — metadata-free
-    for parquet reads, one pipeline execution for transformed inputs."""
+    (ratio r = distinct/sample) extrapolates to ``r * n`` total rows.
+    The head sample is biased on clustered/sorted layouts, in BOTH
+    directions: a repeat-heavy head over a diverse tail underestimates
+    (exact path runs on a high-cardinality column), a diverse head over
+    a repeat-heavy tail overestimates (sketch runs where exact was
+    cheap). Either mis-route costs throughput only, never correctness or
+    driver memory — the sketch is rank-error bounded, and the
+    histogram-cut exact path's driver load is bounded by bin-local
+    distinct pairs regardless of column cardinality. An all-null head
+    says nothing and routes to the sketch. ``n`` comes from
+    ``ds.count()`` — metadata-free for parquet reads, one pipeline
+    execution for transformed inputs."""
     head = ds.select_columns([col]).limit(sample_rows).take_all()
     sample_n = len(head)
     sample_distinct = len({r[col] for r in head if r[col] is not None})
     if sample_n < sample_rows:
         est = sample_distinct  # saw everything: exact distinct count
+    elif sample_distinct == 0:
+        est = max_distinct + 1  # all-null head: unknown, take the safe path
     else:
         est = max(
             sample_distinct, int(sample_distinct / sample_n * ds.count())
@@ -686,11 +693,14 @@ def exact_quantiles(
     Scale shape — histogram-cut order statistics (the global_rank
     playbook), NOT a distinct-value groupby: (1) a min/max/count
     aggregate; (2) a fixed-``n_bins`` histogram whose shuffle moves at
-    most ``n_bins`` (bin, count) rows per batch; (3) a filter that ships
-    ONLY the values inside the few bins containing the target ranks
-    (~rows/n_bins each) to the driver for the final order-statistic
-    lookup. No row-count- or distinct-count-sized driver materialization
-    anywhere — the earlier distinct-value groupby pulled every distinct
+    most ``n_bins`` (bin, count) rows per batch; (3) a pass that ships
+    ONLY (value, count) pairs from the few bins containing the target
+    ranks to the driver for the final order-statistic lookup. The driver
+    load is bounded by min(distinct values in the needed bins,
+    rows/n_bins * |needed bins|): near-unique columns give small bins,
+    repeat-heavy columns give few distinct pairs — never the raw
+    row-count of a hot bin (a value held by half the column contributes
+    ONE pair). The earlier distinct-value groupby pulled every distinct
     value to the driver, which on a near-unique 100-TB column is the
     corpus. The single-column projection is materialized once so the
     three passes don't re-execute upstream stages. Binning uses one
@@ -759,25 +769,43 @@ def exact_quantiles(
     needed_arr = np.fromiter(needed_bins, dtype=np.int64)
 
     def pick(batch: pa.Table) -> pa.Table:
+        # per-batch (value, count) partials: a hot value repeats within a
+        # batch but ships as ONE pair, so the driver read below is
+        # distinct-pair-sized even when one bin holds half the column
         v = pc.cast(batch[col], pa.float64()).to_numpy(zero_copy_only=False)
         idx = bin_of(v)
         mask = np.isin(idx, needed_arr)
+        vals, counts = np.unique(v[mask], return_counts=True)
         return pa.table(
             {
-                "v": pa.array(v[mask], pa.float64()),
-                "bin": pa.array(idx[mask], pa.int64()),
+                "v": pa.array(vals, pa.float64()),
+                "bin": pa.array(bin_of(vals), pa.int64()),
+                "n": pa.array(counts, pa.int64()),
             }
         )
 
-    by_bin: dict[int, list[float]] = {b: [] for b in needed_bins}
-    for row in proj.map_batches(pick, batch_format="pyarrow").take_all():
-        by_bin[int(row["bin"])].append(float(row["v"]))
-    for b in by_bin:
-        by_bin[b].sort()
+    pair_rows = (
+        proj.map_batches(pick, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # distinct values within the needed bins only
+    )
+    by_bin: dict[int, list[tuple[float, int]]] = {b: [] for b in needed_bins}
+    for row in pair_rows:
+        v = float(row["v"])
+        by_bin[int(bin_of(np.asarray([v]))[0])].append((v, int(row["n"])))
+    bin_cums: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for b, pairs_ in by_bin.items():
+        pairs_.sort()
+        vals = np.asarray([p[0] for p in pairs_], dtype=np.float64)
+        bin_cums[b] = (vals, np.cumsum([p[1] for p in pairs_]))
 
     def value_at(rank: int) -> float:
         b = int(np.searchsorted(cum, rank, side="right"))
-        return by_bin[b][rank - int(starts[b])]
+        vals, c = bin_cums[b]
+        # rank within the bin -> first distinct value whose cumcount
+        # exceeds it
+        return float(vals[np.searchsorted(c, rank - int(starts[b]), side="right")])
 
     out = []
     for q in qs:

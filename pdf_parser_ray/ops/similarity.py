@@ -286,7 +286,12 @@ def build_ivf_index(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
-            assign = np.argmax(_unit(vecs) @ self.centroids.T, axis=1)
+            # same rounded-cosine assignment law as knn_ivf's inline path:
+            # the persisted index and the inline path must put a vector in
+            # the SAME list, or partial-probe answers diverge between them
+            assign = np.argmax(
+                np.round(_unit(vecs) @ self.centroids.T, 6), axis=1
+            )
             return batch.append_column(
                 "list_id", pa.array(assign.astype(np.int32))
             )
@@ -331,7 +336,10 @@ def knn_ivf_index(
 
     centroids = np.load(os.path.join(index_dir, "centroids.npy"))
     q = _unit(np.asarray(query, dtype=np.float64))
-    probe = np.argsort(-(centroids @ q))[:n_probe].tolist()
+    # same rounded-cosine probe law as knn_ivf (lexsort = stable index
+    # tiebreak), so inline and indexed partial probes pick identical lists
+    scores = np.round(centroids @ q, 6)
+    probe = np.lexsort((np.arange(len(scores)), -scores))[:n_probe].tolist()
     # read_parquet accepts one directory or a list of FILES — glob each
     # probed partition (empty lists write no dir and contribute nothing)
     paths = [

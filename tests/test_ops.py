@@ -1125,9 +1125,19 @@ def test_knn_ivf_recall_exhaustive_probe_is_one(ray_session):
     from pdf_parser_ray.ops.similarity import knn_bruteforce, knn_ivf
 
     rng = np.random.RandomState(21)
+
+    # 8 clusters of 5 on ORTHOGONAL axes (cosine-separated — scalar
+    # offsets would make clusters parallel in cosine space): a top-10
+    # must span at least two clusters, so a 1-list probe is GUARANTEED
+    # to miss brute-force neighbors
+    def center(j):
+        c = np.zeros(16)
+        c[j * 2] = 3.0
+        return c
+
     rows = [
-        {"vec_id": i, "embedding": (rng.randn(16) + (i % 8) * 3.0).tolist()}
-        for i in range(80)
+        {"vec_id": i, "embedding": (center(i % 8) + rng.randn(16) * 0.05).tolist()}
+        for i in range(40)
     ]
     ds = ray.data.from_items(rows)
     q = np.asarray(rows[3]["embedding"], dtype=np.float64)
@@ -1141,7 +1151,9 @@ def test_knn_ivf_recall_exhaustive_probe_is_one(ray_session):
         r["vec_id"]
         for r in knn_ivf(ds, q, k=10, n_centroids=8, n_probe=1).take_all()
     }
-    assert len(partial & brute) <= 10
+    # one probed list holds at most 5 of the 10 true neighbors
+    assert len(partial & brute) < 10
+    assert partial != brute
 
 
 def test_quantiles_sample_census_extrapolates_to_sketch(ray_session):
