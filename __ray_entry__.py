@@ -474,6 +474,35 @@ def _query_vector(sf_dir: str) -> np.ndarray:
     return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
 
 
+def _q_top_docs_per_source(sf_dir: str):
+    """Per-domain cap (RefinedWeb-style "at most N docs per source"):
+    keep the 3 longest docs per source, ties by doc_id. Hash-bucketed
+    two-level top-k; NULL source is its own partition, NULL lengths
+    order last — the SQL ROW_NUMBER window laws."""
+    import ray.data
+
+    from pdf_parser_ray.ops.relational import top_k_per_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars", "doc_id"]
+    )
+    return top_k_per_group(ds, "source", "n_chars", k=3, id_col="doc_id")
+
+
+def _q_chars_quantiles_by_lang(sf_dir: str):
+    """Per-group exact quantiles (quantile_cont per lang over doc
+    lengths): one hash-bucketed shuffle of (group, value) pairs, sorted
+    interpolation per group."""
+    import ray.data
+
+    from pdf_parser_ray.ops.relational import grouped_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return grouped_quantiles(ds, "lang", "n_chars", [0.25, 0.5, 0.75])
+
+
 def _q_knn(sf_dir: str):
     import ray.data
 
@@ -1077,6 +1106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": _q_minhash_dedup,
         "minhash_clusters": _q_minhash_clusters,
         # similarity search
+        "top_docs_per_source": _q_top_docs_per_source,
+        "chars_quantiles_by_lang": _q_chars_quantiles_by_lang,
         "knn_bruteforce": _q_knn,
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_recall": _q_knn_ivf_recall,
@@ -1559,6 +1590,26 @@ def oracle_sql() -> dict[str, str]:
         # CAST to DOUBLE[] so DuckDB computes cosine in float64 like numpy —
         # float32 accumulation differs by ~1e-7, within reach of the
         # 6-decimal rounding boundary
+        # per-group top-k: the op's (order DESC NULLS LAST, id ASC NULLS
+        # LAST) window law verbatim; NULL source is one partition
+        "top_docs_per_source": (
+            "SELECT source, n_chars, doc_id FROM ("
+            "  SELECT source, n_chars, doc_id, ROW_NUMBER() OVER ("
+            "    PARTITION BY source "
+            "    ORDER BY n_chars DESC NULLS LAST, doc_id ASC NULLS LAST"
+            "  ) AS rn FROM documents"
+            ") WHERE rn <= 3"
+        ),
+        # per-group quantile_cont; groups whose values are all NULL emit
+        # no rows (the op's empty-run skip); printf = the op's decimal
+        # rounding
+        # quantile_cont only takes constant q -> one UNION ALL arm per q
+        "chars_quantiles_by_lang": " UNION ALL ".join(
+            "SELECT lang, {q} AS q, "
+            "CAST(printf('%.6f', quantile_cont(n_chars, {q})) AS DOUBLE) AS value "
+            "FROM documents WHERE n_chars IS NOT NULL GROUP BY lang".format(q=q)
+            for q in (0.25, 0.5, 0.75)
+        ),
         "knn_bruteforce": (
             "SELECT e.vec_id, ROUND(list_cosine_similarity("
             "CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cosine "

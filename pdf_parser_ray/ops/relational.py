@@ -17,6 +17,9 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from pdf_parser_ray.functions.hashing import md5_bucket
+from pdf_parser_ray.functions.tables import schema_pin
+
 
 def pricing_summary(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1-shaped grouped aggregate with per-batch pre-aggregation."""
@@ -848,8 +851,6 @@ def global_rank(
     through printf-style decimal rounding (``float(f"{x:.6f}")``) for
     oracle parity.
     """
-    from pdf_parser_ray.functions.tables import schema_pin
-
     ds = ds.select_columns([id_col, score_col])
     if cuts is None:
         mm = ds.aggregate(Min(score_col, alias_name="lo"), Max(score_col, alias_name="hi"))
@@ -923,5 +924,172 @@ def global_rank(
     return (
         bucketized.groupby("bucket")
         .map_groups(rank_group, batch_format="pyarrow")
+        .map_batches(schema_pin(out_schema), batch_format="pyarrow")
+    )
+
+
+# ---- per-group top-k (ROW_NUMBER PARTITION BY ... <= k) --------------------
+
+
+def _group_runs(values: list) -> np.ndarray:
+    """0-based rank of each row within consecutive runs of equal group
+    values (input must already be sorted by group). Nulls are encoded as
+    their own group (the SQL PARTITION BY law: one NULL partition)."""
+    g = np.array(
+        ["\x01" + str(v) if v is not None else "\x00" for v in values]
+    )
+    if len(g) == 0:
+        return np.zeros(0, dtype=np.int64)
+    change = np.r_[True, g[1:] != g[:-1]]
+    starts = np.maximum.accumulate(
+        np.where(change, np.arange(len(g), dtype=np.int64), 0)
+    )
+    return np.arange(len(g), dtype=np.int64) - starts
+
+
+_GROUP_BUCKETS = 256
+
+
+def _bucket_by_group(
+    ds: ray.data.Dataset, group_col: str, cols: list[str]
+) -> ray.data.Dataset:
+    """Hash-bucket shuffle key over a (possibly null) group column —
+    prefix-encoded, never the raw value (Ray 2.49 groupby crashes on
+    null string keys), coarse so tiny groups don't each pay a task."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        keys = [
+            md5_bucket("\x01" + str(v), _GROUP_BUCKETS)
+            if v is not None
+            else md5_bucket("\x00", _GROUP_BUCKETS)
+            for v in t[group_col].to_pylist()
+        ]
+        return t.append_column("_gb", pa.array(keys, pa.int64()))
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow")
+
+
+def top_k_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> ray.data.Dataset:
+    """Keep the top ``k`` rows of every group by ``order_col`` (ties broken
+    by ``id_col`` ascending) — SQL ``ROW_NUMBER() OVER (PARTITION BY g
+    ORDER BY v DESC NULLS LAST, id ASC NULLS LAST) <= k``. The per-domain
+    / per-source cap primitive of web-scale curation (RefinedWeb-style
+    "at most N documents per domain").
+
+    Scale shape: a per-batch local top-k-per-group pass bounds shuffle
+    rows at k x (groups seen in the batch) BEFORE the hash-bucketed
+    groupby — the corpus never moves, only each group's current top-k
+    candidates. A NULL group is its own partition (prefix-encoded bucket
+    key; Ray groupby cannot take null keys directly). All-Arrow: no
+    pandas float round-trip can corrupt int64 ids or order values."""
+    cols = [group_col, order_col, id_col]
+    direction = "descending" if descending else "ascending"
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                (group_col, "ascending"),
+                (order_col, direction),
+                (id_col, "ascending"),
+            ],
+            null_placement="at_end",
+        )
+        s = t.take(idx)
+        keep = _group_runs(s[group_col].to_pylist()) < k
+        return s.filter(pa.array(keep, pa.bool_()))
+
+    bucketized = _bucket_by_group(
+        ds.map_batches(
+            lambda b: local_topk(b.select(cols)), batch_format="pyarrow"
+        ),
+        group_col,
+        cols + [],
+    )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        return local_topk(group.select(cols))
+
+    schema = ds.schema().base_schema
+    out_schema = pa.schema([(c, schema.field(c).type) for c in cols])
+    return (
+        bucketized.groupby("_gb")
+        .map_groups(final_topk, batch_format="pyarrow")
+        .map_batches(schema_pin(out_schema), batch_format="pyarrow")
+    )
+
+
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    col: str,
+    qs: list[float],
+) -> ray.data.Dataset:
+    """Per-group exact quantiles with linear interpolation (SQL
+    ``quantile_cont(col, q) ... GROUP BY group`` semantics): one row per
+    (group, q), value decimal-rounded to 6. Null ``col`` values are
+    ignored; a group with no valid values emits no rows; a NULL group is
+    its own group (SQL GROUP BY law).
+
+    Scale shape: ONE hash-bucketed shuffle of (group, value) pairs, then
+    per-group sorted-array interpolation inside the bucket — group
+    cardinality bounds nothing here (any number of tiny groups share the
+    coarse buckets), and a single giant group is one in-task sort, the
+    same per-group contract as map_groups itself."""
+    cols = [group_col, col]
+    bucketized = _bucket_by_group(ds, group_col, cols)
+
+    def quants(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[(group_col, "ascending"), (col, "ascending")],
+            null_placement="at_end",
+        )
+        s = group.take(idx)
+        gvals = s[group_col].to_pylist()
+        vals = pc.cast(s[col], pa.float64()).to_numpy(zero_copy_only=False)
+        ranks = _group_runs(gvals)
+        starts = np.flatnonzero(ranks == 0)
+        ends = np.r_[starts[1:], len(gvals)] if len(starts) else starts
+        out_g, out_q, out_v = [], [], []
+        for st, en in zip(starts, ends):
+            run = vals[st:en]
+            run = run[~np.isnan(run)]
+            if run.size == 0:
+                continue
+            for q in qs:
+                h = (run.size - 1) * q
+                lo = int(np.floor(h))
+                hi = min(lo + 1, run.size - 1)
+                v = run[lo] + (h - lo) * (run[hi] - run[lo])
+                out_g.append(gvals[st])
+                out_q.append(float(q))
+                out_v.append(float(f"{v:.6f}"))
+        gtype = group.schema.field(group_col).type
+        return pa.table(
+            {
+                group_col: pa.array(out_g, gtype),
+                "q": pa.array(out_q, pa.float64()),
+                "value": pa.array(out_v, pa.float64()),
+            }
+        )
+
+    gtype = ds.schema().base_schema.field(group_col).type
+    out_schema = pa.schema(
+        [(group_col, gtype), ("q", pa.float64()), ("value", pa.float64())]
+    )
+    return (
+        bucketized.groupby("_gb")
+        .map_groups(quants, batch_format="pyarrow")
         .map_batches(schema_pin(out_schema), batch_format="pyarrow")
     )

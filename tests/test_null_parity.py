@@ -112,6 +112,8 @@ NULL_SENSITIVE = [
     "dedup_events",
     "quantize_embeddings",
     "semantic_dedup",
+    "top_docs_per_source",
+    "chars_quantiles_by_lang",
     # text-family ops that coalesce early — cheap to pin, and the corpus
     # exercises their null text / null id paths too
     "scrub_pii",

@@ -1118,6 +1118,51 @@ def test_quantiles_auto_route(ray_session):
         assert abs(got - want) <= 2.0, (q, got, want)
 
 
+def test_top_k_per_group_window_law(ray_session):
+    """ROW_NUMBER PARTITION BY law: top-2 by value desc, id asc ties;
+    null group is its own partition; null values order last."""
+    from pdf_parser_ray.ops.relational import top_k_per_group
+
+    rows = [
+        {"source": "a", "n_chars": 10, "doc_id": 1},
+        {"source": "a", "n_chars": 30, "doc_id": 2},
+        {"source": "a", "n_chars": 30, "doc_id": 3},
+        {"source": "a", "n_chars": 20, "doc_id": 4},
+        {"source": None, "n_chars": 5, "doc_id": 5},
+        {"source": None, "n_chars": None, "doc_id": 6},
+        {"source": "b", "n_chars": 7, "doc_id": 7},
+    ]
+    t = pa.table(
+        {
+            "source": pa.array([r["source"] for r in rows], pa.string()),
+            "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        }
+    )
+    out = top_k_per_group(
+        ray.data.from_arrow(t), "source", "n_chars", k=2, id_col="doc_id"
+    ).take_all()
+    kept = sorted(r["doc_id"] for r in out)
+    # a: 30/id2, 30/id3 (tie -> lower id first, both fit k=2)
+    # null group: 5 then NULL-length (both fit); b: 7
+    assert kept == [2, 3, 5, 6, 7]
+
+
+def test_grouped_quantiles_matches_numpy(ray_session):
+    from pdf_parser_ray.ops.relational import grouped_quantiles
+
+    vals = {"x": [1.0, 2.0, 3.0, 4.0], "y": [10.0, 20.0]}
+    rows = [
+        {"lang": g, "n_chars": v} for g, vs in vals.items() for v in vs
+    ]
+    rows.append({"lang": "z", "n_chars": None})  # all-null group: no rows
+    out = grouped_quantiles(
+        ray.data.from_items(rows), "lang", "n_chars", [0.5]
+    ).to_pandas()
+    got = {r.lang: r.value for r in out.itertuples()}
+    assert got == {"x": 2.5, "y": 15.0}
+
+
 def test_knn_ivf_recall_exhaustive_probe_is_one(ray_session):
     """n_probe == n_centroids makes IVF exhaustive: recall@k vs brute
     force must be exactly 1.0; a 1-of-8 probe on clustered data drops
