@@ -474,6 +474,21 @@ def _query_vector(sf_dir: str) -> np.ndarray:
     return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
 
 
+def _q_heavy_hitter_sources(sf_dir: str):
+    """Mergeable heavy-hitter sketch over the source column, run in its
+    exact regime (capacity >> distinct sources) so the SQL GROUP-BY
+    oracle pins it; the approximate regime's n/capacity undercount bound
+    is pinned by a unit test."""
+    import ray.data
+
+    from pdf_parser_ray.ops.relational import heavy_hitters
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source"]
+    )
+    return heavy_hitters(ds, "source", k=10, capacity=4096)
+
+
 def _q_top_docs_per_source(sf_dir: str):
     """Per-domain cap (RefinedWeb-style "at most N docs per source"):
     keep the 3 longest docs per source, ties by doc_id. Hash-bucketed
@@ -1106,6 +1121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": _q_minhash_dedup,
         "minhash_clusters": _q_minhash_clusters,
         # similarity search
+        "heavy_hitter_sources": _q_heavy_hitter_sources,
         "top_docs_per_source": _q_top_docs_per_source,
         "chars_quantiles_by_lang": _q_chars_quantiles_by_lang,
         "knn_bruteforce": _q_knn,
@@ -1590,6 +1606,13 @@ def oracle_sql() -> dict[str, str]:
         # CAST to DOUBLE[] so DuckDB computes cosine in float64 like numpy —
         # float32 accumulation differs by ~1e-7, within reach of the
         # 6-decimal rounding boundary
+        # heavy hitters in the exact (capacity >= distinct) regime:
+        # plain GROUP BY counts; null values dropped (the op's law)
+        "heavy_hitter_sources": (
+            "SELECT source AS value, COUNT(*)::BIGINT AS n FROM documents "
+            "WHERE source IS NOT NULL GROUP BY source "
+            "ORDER BY n DESC, value LIMIT 10"
+        ),
         # per-group top-k: the op's (order DESC NULLS LAST, id ASC NULLS
         # LAST) window law verbatim; NULL source is one partition
         "top_docs_per_source": (

@@ -165,7 +165,8 @@ FAMILIES: dict[str, list[str]] = {
                    "order_priority_revenue", "filtered_revenue",
                    "approx_distinct", "price_quantiles",
                    "price_quantiles_routed", "global_rank",
-                   "top_docs_per_source", "chars_quantiles_by_lang"],
+                   "top_docs_per_source", "chars_quantiles_by_lang",
+                   "heavy_hitter_sources"],
     "streaming": ["events_window_agg", "sessionize", "events_asof_join"],
     "curation": ["tfidf_top_terms", "lm_surprisal", "assign_splits",
                  "curate_corpus", "rebalance_sources", "surprisal_filter"],

@@ -1093,3 +1093,65 @@ def grouped_quantiles(
         .map_groups(quants, batch_format="pyarrow")
         .map_batches(schema_pin(out_schema), batch_format="pyarrow")
     )
+
+
+# ---- heavy hitters (Misra-Gries-style mergeable summary) -------------------
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    col: str,
+    k: int = 10,
+    capacity: int = 4096,
+) -> ray.data.Dataset:
+    """Approximate top-``k`` most frequent values — the heavy-hitter member
+    of the mergeable-sketch family (HLL for distinct, the equal-weight-bin
+    sketch for quantiles, this for frequency; Agarwal et al., "Mergeable
+    Summaries", public). Each batch emits an exact counter trimmed to
+    ``capacity`` survivors (counts decremented by the first dropped
+    count, the Misra-Gries step), partials merge in one
+    value-keyed Sum groupby, and the final top-k is a sort over the
+    DISTINCT-SURVIVOR table (bounded far below the corpus; never raw
+    rows). Any value with true frequency > n/capacity is guaranteed to
+    survive; reported counts under-count by at most n/capacity. With
+    ``capacity`` >= the column's distinct count no trim ever fires and
+    the result is exact — the regime the SQL oracle pins; the
+    approximate regime is pinned by a bound test instead.
+
+    Null values are dropped (a frequency of nothing is not a hitter —
+    the oracle's WHERE). Output: (value, n), ordered n DESC, value ASC,
+    k rows."""
+    from collections import Counter
+
+    try:
+        val_type = ds.schema().base_schema.field(col).type
+    except Exception:
+        val_type = pa.string()
+    out_schema = pa.schema([("value", val_type), ("n", pa.int64())])
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        counts = Counter(v for v in batch[col].to_pylist() if v is not None)
+        if len(counts) > capacity:
+            ranked = counts.most_common()
+            cut = ranked[capacity][1]  # first dropped count
+            counts = Counter(
+                {v: c - cut for v, c in ranked[:capacity] if c - cut > 0}
+            )
+        return pa.table(
+            {
+                "value": pa.array(list(counts.keys()), val_type),
+                "n": pa.array(
+                    [int(c) for c in counts.values()], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.select_columns([col])
+        .map_batches(mg_partial, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "value"], descending=[True, False])
+        .limit(k)
+        .map_batches(schema_pin(out_schema), batch_format="pyarrow")
+    )

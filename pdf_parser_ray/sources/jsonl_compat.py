@@ -26,13 +26,19 @@ from pdf_parser_ray.pipelines.extract import (
 MAX_LINE_CHARS = 1_000_000  # oversize-line guard (helpers.py:82-87)
 
 
-def write_reference_outputs(doc_results: ray.data.Dataset, out_dir: str) -> dict[str, str]:
+def write_reference_outputs(
+    doc_results: ray.data.Dataset, out_dir: str, materialize: bool = False
+) -> dict[str, str]:
     """Write toc/spec/metadata JSONL dirs from one extraction result.
 
-    The caller should pass a re-read of a written extraction (or a
-    materialized one) — deriving all three from a live pipeline would
-    re-execute it per sink.
+    The caller should pass a re-read of a written extraction; deriving all
+    three sinks from a live pipeline would re-execute it per sink. When a
+    re-read isn't available, pass ``materialize=True`` to pin the
+    extraction in the object store once instead — the convenience that
+    removes the triple-execution foot-gun for ad-hoc callers.
     """
+    if materialize:
+        doc_results = doc_results.materialize()
     paths = {}
     for name, table in (
         ("toc", toc_table(doc_results)),

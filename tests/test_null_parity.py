@@ -114,6 +114,7 @@ NULL_SENSITIVE = [
     "semantic_dedup",
     "top_docs_per_source",
     "chars_quantiles_by_lang",
+    "heavy_hitter_sources",
     # text-family ops that coalesce early — cheap to pin, and the corpus
     # exercises their null text / null id paths too
     "scrub_pii",

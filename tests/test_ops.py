@@ -1118,6 +1118,33 @@ def test_quantiles_auto_route(ray_session):
         assert abs(got - want) <= 2.0, (q, got, want)
 
 
+def test_heavy_hitters_exact_regime_and_undercount_bound(ray_session):
+    from pdf_parser_ray.ops.relational import heavy_hitters
+
+    # skewed column: value v appears (v+1)*10 times, v in 0..49 + nulls
+    rows = (
+        [{"v": f"k{v:02d}"} for v in range(50) for _ in range((v + 1) * 10)]
+        + [{"v": None}] * 7
+    )
+    n = sum((v + 1) * 10 for v in range(50))
+    ds = ray.data.from_items(rows)
+    # exact regime: capacity >= distinct -> exact counts, exact order
+    exact = heavy_hitters(ds, "v", k=5, capacity=64).take_all()
+    assert [(r["value"], r["n"]) for r in exact] == [
+        (f"k{v:02d}", (v + 1) * 10) for v in range(49, 44, -1)
+    ]
+    # approximate regime: counts never OVER-count and undercount by at
+    # most n/capacity per merged partial set (MG merge bound)
+    approx = {
+        r["value"]: r["n"]
+        for r in heavy_hitters(ds, "v", k=5, capacity=8).take_all()
+    }
+    for v, c in approx.items():
+        true = (int(v[1:]) + 1) * 10
+        assert c <= true
+        assert true - c <= n / 8 + 1
+
+
 def test_top_k_per_group_window_law(ray_session):
     """ROW_NUMBER PARTITION BY law: top-2 by value desc, id asc ties;
     null group is its own partition; null values order last."""
