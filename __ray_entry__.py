@@ -1047,6 +1047,36 @@ def _q_media_features_jpeg(sf_dir: str):
     )
 
 
+def _q_media_features_wav(sf_dir: str):
+    """REAL audio decode path: deterministic synthesized PCM16 WAV
+    payloads per media ref, decoded by the pure-stdlib RIFF chunk walk —
+    sample count, channels, rate and duration hash-verified against the
+    closed-form SQL oracle (RMS is excluded: digest-tiled sample values
+    have no closed form)."""
+    from pdf_parser_ray.ops.multimodal import audio_features, media_inventory
+    from pdf_parser_ray.pipelines import extract_fused
+    from pdf_parser_ray.sources import corpus_from_documents
+
+    media = media_inventory(
+        extract_fused(corpus_from_documents(sf_dir)),
+        synth_payloads=True,
+        synth_format="wav",
+    )
+    return _int_doc_id(
+        audio_features(media).select_columns(
+            [
+                "doc_id",
+                "media_ref",
+                "n_samples",
+                "channels",
+                "sample_rate",
+                "duration_ms",
+                "decode_ok",
+            ]
+        )
+    )
+
+
 def _q_media_features_png(sf_dir: str):
     """REAL PNG decode path: deterministic synthesized baseline-PNG
     payloads per image ref, decoded by the pure-stdlib zlib+unfilter
@@ -1170,6 +1200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_features_png": _q_media_features_png,
         "media_features_jpeg": _q_media_features_jpeg,
+        "media_features_wav": _q_media_features_wav,
         # corpus-level validation report (reference step 5)
         "validation_summary": _q_validation_summary,
     }
@@ -2320,4 +2351,21 @@ def oracle_sql() -> dict[str, str]:
     # (entropy-coded length and lossy pixels have no closed form, so both
     # oracles are dims + status only) — alias, don't duplicate the SQL
     out["media_features_jpeg"] = out["media_features_png"]
+    # WAV: the synthesize_wav closed form (n = 500 + d0*37 + d1,
+    # channels = 1 + d2 % 2, rate 8000, duration = n*1000 // 8000 —
+    # integer //, a DOUBLE->BIGINT cast would ROUND)
+    out["media_features_wav"] = _EXTRACT_BASE_SQL + (
+        ", imgs AS ("
+        "  SELECT doc_id, 'img://' || CAST(doc_id AS VARCHAR) || '/p' || pg || '/0' AS media_ref"
+        "  FROM pages WHERE (h+pg)%4=0"
+        "), dims AS ("
+        "  SELECT doc_id, media_ref, "
+        "    CAST(500 + ('0x'||substr(md5(media_ref),1,2))::INT * 37 "
+        "         + ('0x'||substr(md5(media_ref),3,2))::INT AS BIGINT) AS n_samples, "
+        "    CAST(1 + ('0x'||substr(md5(media_ref),5,2))::INT % 2 AS INT) AS channels "
+        "  FROM imgs"
+        ") SELECT doc_id, media_ref, n_samples, channels, "
+        "CAST(8000 AS INT) AS sample_rate, "
+        "(n_samples * 1000) // 8000 AS duration_ms, TRUE AS decode_ok FROM dims"
+    )
     return out

@@ -171,7 +171,8 @@ FAMILIES: dict[str, list[str]] = {
     "curation": ["tfidf_top_terms", "lm_surprisal", "assign_splits",
                  "curate_corpus", "rebalance_sources", "surprisal_filter"],
     "crosscorpus": ["contamination_check", "bloom_novel_docs",
-                    "media_features_png", "media_features_jpeg"],
+                    "media_features_png", "media_features_jpeg",
+                    "media_features_wav"],
 }
 
 

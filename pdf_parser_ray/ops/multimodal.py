@@ -48,6 +48,19 @@ MEDIA_FEATURES_SCHEMA = pa.schema(
     ]
 )
 
+AUDIO_FEATURES_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("n_samples", pa.int64()),
+        ("channels", pa.int32()),
+        ("sample_rate", pa.int32()),
+        ("duration_ms", pa.int64()),
+        ("rms", pa.float64()),
+        ("decode_ok", pa.bool_()),
+    ]
+)
+
 
 def synthesize_ppm(media_ref: str) -> bytes:
     """Deterministic binary-PPM payload seeded on the media ref: dimensions
@@ -94,6 +107,27 @@ def synthesize_jpeg(media_ref: str) -> bytes:
     h = 4 + digest[1] % 32
     pixels = np.resize(np.frombuffer(digest, dtype=np.uint8), 3 * w * h)
     return encode_jpeg(w, h, pixels, quality=90, subsampling="420")
+
+
+def synthesize_wav(media_ref: str) -> bytes:
+    """Deterministic PCM16 WAV payload seeded on the media ref:
+    n_samples = 500 + digest[0]*37 + digest[1], channels = 1 +
+    digest[2] % 2, rate 8000 — all closed-form for the SQL oracle
+    (duration_ms = n_samples * 1000 // 8000). Sample values are the
+    digest tiled (int16 via a 256x spread), driving the REAL RIFF
+    chunk-walk decode."""
+    from pdf_parser_ray.functions.wav import encode_wav
+
+    digest = hashlib.md5((media_ref or "").encode()).digest()
+    n = 500 + digest[0] * 37 + digest[1]
+    channels = 1 + digest[2] % 2
+    vals = (
+        np.resize(np.frombuffer(digest, dtype=np.uint8), n * channels).astype(
+            np.int16
+        )
+        - 128
+    ) * 256
+    return encode_wav(vals, sample_rate=8000, channels=channels)
 
 
 def _parse_pnm_header(payload: bytes) -> tuple[int, int, int]:
@@ -314,6 +348,75 @@ def media_features(
     )
 
 
+class AudioDecoder:
+    """Actor-pool audio decode/feature stage (the MediaDecoder shape for
+    the audio modality): REAL RIFF/WAVE PCM decode via functions/wav.py,
+    per-payload (sample count, channels, rate, duration, RMS). Malformed
+    or non-PCM payloads degrade to ``decode_ok=False``."""
+
+    def __init__(self, max_samples: int = 8_000_000):
+        self.max_samples = max_samples
+
+    def _decode(self, payload: bytes) -> dict:
+        from pdf_parser_ray.functions.wav import decode_wav
+
+        try:
+            n, ch, rate, samples = decode_wav(
+                payload, max_samples=self.max_samples
+            )
+        except (ValueError, struct_error, IndexError):
+            return {
+                "n_samples": 0,
+                "channels": 0,
+                "sample_rate": 0,
+                "duration_ms": 0,
+                "rms": 0.0,
+                "decode_ok": False,
+            }
+        rms = (
+            float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+            if samples.size
+            else 0.0
+        )
+        return {
+            "n_samples": n,
+            "channels": ch,
+            "sample_rate": rate,
+            "duration_ms": n * 1000 // rate,
+            "rms": rms,
+            "decode_ok": True,
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for row in batch.to_pylist():
+            d = self._decode(row.get("payload") or b"")
+            rows.append(
+                {
+                    "doc_id": row.get("doc_id", ""),
+                    "media_ref": row.get("media_ref", ""),
+                    **d,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def audio_features(
+    media_ds: ray.data.Dataset,
+    batch_size: int = 16,
+    concurrency=(1, 4),
+) -> ray.data.Dataset:
+    """Audio decode/feature stage: small Arrow batches (large binary
+    payloads), actor pool for warm state — the media_features contract
+    for the audio modality."""
+    return media_ds.map_batches(
+        AudioDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def media_inventory(
     doc_results: ray.data.Dataset,
     synth_payloads: bool = False,
@@ -329,7 +432,9 @@ def media_inventory(
     synth = {
         "png": synthesize_png,
         "jpeg": synthesize_jpeg,
+        "wav": synthesize_wav,
     }.get(synth_format, synthesize_ppm)
+    media_type = "audio" if synth_format == "wav" else "image"
 
     def explode(batch: pa.Table) -> pa.Table:
         rows = []
@@ -343,7 +448,7 @@ def media_inventory(
                         {
                             "doc_id": doc_id,
                             "media_ref": ref,
-                            "media_type": "image",
+                            "media_type": media_type,
                             "payload": synth(ref) if synth_payloads else b"",
                         }
                     )
