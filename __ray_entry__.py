@@ -1077,6 +1077,23 @@ def _q_media_features_wav(sf_dir: str):
     )
 
 
+def _q_media_probe_mp4(sf_dir: str):
+    """REAL video-container metadata path: deterministic ISO-BMFF
+    skeletons per media ref, parsed by the pure-stdlib box walk —
+    duration, track count and video dimensions hash-verified against the
+    closed-form SQL oracle. Frame decode stays honestly codec-gated."""
+    from pdf_parser_ray.ops.multimodal import media_inventory, video_probe
+    from pdf_parser_ray.pipelines import extract_fused
+    from pdf_parser_ray.sources import corpus_from_documents
+
+    media = media_inventory(
+        extract_fused(corpus_from_documents(sf_dir)),
+        synth_payloads=True,
+        synth_format="mp4",
+    )
+    return _int_doc_id(video_probe(media))
+
+
 def _q_media_features_png(sf_dir: str):
     """REAL PNG decode path: deterministic synthesized baseline-PNG
     payloads per image ref, decoded by the pure-stdlib zlib+unfilter
@@ -1201,6 +1218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_png": _q_media_features_png,
         "media_features_jpeg": _q_media_features_jpeg,
         "media_features_wav": _q_media_features_wav,
+        "media_probe_mp4": _q_media_probe_mp4,
         # corpus-level validation report (reference step 5)
         "validation_summary": _q_validation_summary,
     }
@@ -2354,6 +2372,21 @@ def oracle_sql() -> dict[str, str]:
     # WAV: the synthesize_wav closed form (n = 500 + d0*37 + d1,
     # channels = 1 + d2 % 2, rate 8000, duration = n*1000 // 8000 —
     # integer //, a DOUBLE->BIGINT cast would ROUND)
+    # MP4: the synthesize_mp4 closed form (duration = 1000 + d0*97 + d1,
+    # dims = 16*(1 + d2..3 % 64), one track); duration_ms is exact since
+    # the skeleton's timescale is 1000
+    out["media_probe_mp4"] = _EXTRACT_BASE_SQL + (
+        ", imgs AS ("
+        "  SELECT doc_id, 'img://' || CAST(doc_id AS VARCHAR) || '/p' || pg || '/0' AS media_ref"
+        "  FROM pages WHERE (h+pg)%4=0"
+        ") SELECT doc_id, media_ref, "
+        "CAST(1000 + ('0x'||substr(md5(media_ref),1,2))::INT * 97 "
+        "     + ('0x'||substr(md5(media_ref),3,2))::INT AS BIGINT) AS duration_ms, "
+        "CAST(1 AS INT) AS n_tracks, "
+        "CAST(16 * (1 + ('0x'||substr(md5(media_ref),5,2))::INT % 64) AS INT) AS width, "
+        "CAST(16 * (1 + ('0x'||substr(md5(media_ref),7,2))::INT % 64) AS INT) AS height, "
+        "TRUE AS decode_ok FROM imgs"
+    )
     out["media_features_wav"] = _EXTRACT_BASE_SQL + (
         ", imgs AS ("
         "  SELECT doc_id, 'img://' || CAST(doc_id AS VARCHAR) || '/p' || pg || '/0' AS media_ref"

@@ -172,7 +172,7 @@ FAMILIES: dict[str, list[str]] = {
                  "curate_corpus", "rebalance_sources", "surprisal_filter"],
     "crosscorpus": ["contamination_check", "bloom_novel_docs",
                     "media_features_png", "media_features_jpeg",
-                    "media_features_wav"],
+                    "media_features_wav", "media_probe_mp4"],
 }
 
 

@@ -348,6 +348,81 @@ def media_features(
     )
 
 
+def synthesize_mp4(media_ref: str) -> bytes:
+    """Deterministic MP4 metadata skeleton seeded on the media ref:
+    duration_ms = 1000 + digest[0]*97 + digest[1], width/height =
+    16 * (1 + digest[2..3] % 64) — closed-form for the SQL oracle,
+    driving the REAL ISO-BMFF box walk."""
+    from pdf_parser_ray.functions.mp4 import write_mp4_skeleton
+
+    digest = hashlib.md5((media_ref or "").encode()).digest()
+    return write_mp4_skeleton(
+        duration_ms=1000 + digest[0] * 97 + digest[1],
+        width=16 * (1 + digest[2] % 64),
+        height=16 * (1 + digest[3] % 64),
+    )
+
+
+VIDEO_PROBE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("duration_ms", pa.int64()),
+        ("n_tracks", pa.int32()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("decode_ok", pa.bool_()),
+    ]
+)
+
+
+class VideoProber:
+    """Actor-pool video metadata stage: REAL ISO-BMFF container parse
+    (functions/mp4.py) — duration, track count, video-track dimensions —
+    without a frame codec (frame DECODE stays honestly codec-gated in
+    sample_frames). Malformed payloads degrade to ``decode_ok=False``."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from pdf_parser_ray.functions.mp4 import probe_mp4
+
+        rows = []
+        for row in batch.to_pylist():
+            try:
+                meta = probe_mp4(row.get("payload") or b"")
+                meta["decode_ok"] = True
+            except (ValueError, struct_error, IndexError):
+                meta = {
+                    "duration_ms": 0,
+                    "n_tracks": 0,
+                    "width": 0,
+                    "height": 0,
+                    "decode_ok": False,
+                }
+            rows.append(
+                {
+                    "doc_id": row.get("doc_id", ""),
+                    "media_ref": row.get("media_ref", ""),
+                    **meta,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=VIDEO_PROBE_SCHEMA)
+
+
+def video_probe(
+    media_ds: ray.data.Dataset,
+    batch_size: int = 16,
+    concurrency=(1, 4),
+) -> ray.data.Dataset:
+    """Video metadata stage: the media_features contract for the video
+    modality (container metadata only, no frame decode)."""
+    return media_ds.map_batches(
+        VideoProber,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 class AudioDecoder:
     """Actor-pool audio decode/feature stage (the MediaDecoder shape for
     the audio modality): REAL RIFF/WAVE PCM decode via functions/wav.py,
@@ -433,8 +508,9 @@ def media_inventory(
         "png": synthesize_png,
         "jpeg": synthesize_jpeg,
         "wav": synthesize_wav,
+        "mp4": synthesize_mp4,
     }.get(synth_format, synthesize_ppm)
-    media_type = "audio" if synth_format == "wav" else "image"
+    media_type = {"wav": "audio", "mp4": "video"}.get(synth_format, "image")
 
     def explode(batch: pa.Table) -> pa.Table:
         rows = []
