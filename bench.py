@@ -233,7 +233,7 @@ def run_family(fam: str) -> dict[str, float]:
     # don't pay
     warm_tables = {
         "ann": ["embeddings"],
-        "relational": ["lineitem"],
+        "relational": ["lineitem", "documents"],
         "streaming": ["events"],
         "crosscorpus": ["documents", "embeddings"],
     }.get(fam, ["documents"])

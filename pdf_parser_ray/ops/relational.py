@@ -779,10 +779,11 @@ def exact_quantiles(
         idx = bin_of(v)
         mask = np.isin(idx, needed_arr)
         vals, counts = np.unique(v[mask], return_counts=True)
+        # no bin column: the groupby drops it and the driver re-derives
+        # the bin from the value with the same shared rule
         return pa.table(
             {
                 "v": pa.array(vals, pa.float64()),
-                "bin": pa.array(bin_of(vals), pa.int64()),
                 "n": pa.array(counts, pa.int64()),
             }
         )
@@ -935,8 +936,12 @@ def _group_runs(values: list) -> np.ndarray:
     """0-based rank of each row within consecutive runs of equal group
     values (input must already be sorted by group). Nulls are encoded as
     their own group (the SQL PARTITION BY law: one NULL partition)."""
+    # dtype=object, NOT numpy unicode: a fixed-width unicode array
+    # silently truncates trailing NULs, merging "a" and "a\x00" into one
+    # run and corrupting the window/group law
     g = np.array(
-        ["\x01" + str(v) if v is not None else "\x00" for v in values]
+        ["\x01" + str(v) if v is not None else "\x00" for v in values],
+        dtype=object,
     )
     if len(g) == 0:
         return np.zeros(0, dtype=np.int64)
@@ -1014,7 +1019,7 @@ def top_k_per_group(
             lambda b: local_topk(b.select(cols)), batch_format="pyarrow"
         ),
         group_col,
-        cols + [],
+        cols,
     )
 
     def final_topk(group: pa.Table) -> pa.Table:

@@ -24,9 +24,8 @@ def test_unknown_boxes_skipped_and_free_space():
     data = write_mp4_skeleton(duration_ms=100, width=32, height=16)
     free = struct.pack(">I", 16) + b"free" + b"\x00" * 8
     # junk before AND after moov must not confuse the walk
-    patched = data[: len(data)] + free
     ftyp_len = struct.unpack_from(">I", data, 0)[0]
-    patched = data[:ftyp_len] + free + data[ftyp_len:]
+    patched = data[:ftyp_len] + free + data[ftyp_len:] + free
     assert probe_mp4(patched)["duration_ms"] == 100
 
 

@@ -1175,6 +1175,31 @@ def test_top_k_per_group_window_law(ray_session):
     assert kept == [2, 3, 5, 6, 7]
 
 
+def test_top_k_per_group_nul_suffix_groups_stay_distinct(ray_session):
+    """numpy fixed-width unicode arrays truncate trailing NULs — "a" and
+    "a\\x00" must remain two partitions (object-dtype run encoding)."""
+    from pdf_parser_ray.ops.relational import top_k_per_group
+
+    rows = [
+        {"source": "a", "n_chars": 1, "doc_id": 1},
+        {"source": "a", "n_chars": 2, "doc_id": 2},
+        {"source": "a\x00", "n_chars": 3, "doc_id": 3},
+        {"source": "a\x00", "n_chars": 4, "doc_id": 4},
+    ]
+    t = pa.table(
+        {
+            "source": pa.array([r["source"] for r in rows], pa.string()),
+            "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        }
+    )
+    out = top_k_per_group(
+        ray.data.from_arrow(t), "source", "n_chars", k=1, id_col="doc_id"
+    ).take_all()
+    # one winner per group: max n_chars in "a" is doc 2, in "a\x00" doc 4
+    assert sorted(r["doc_id"] for r in out) == [2, 4]
+
+
 def test_grouped_quantiles_matches_numpy(ray_session):
     from pdf_parser_ray.ops.relational import grouped_quantiles
 
