@@ -201,3 +201,100 @@ def test_positional_ngrams_counts(text, n):
         assert all(len(g.split(" ")) == n for g in grams)
     # the distinct-set sibling sees exactly the distinct positional grams
     assert _word_ngrams(text, n) == set(grams)
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=255),
+    st.sampled_from(["444", "420"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_flat_roundtrip_property(w, h, shade, sub):
+    """Any dims x any flat gray shade x either subsampling: dims recover
+    exactly and pixels within 1 (flat blocks quantize losslessly)."""
+    import numpy as np
+
+    from pdf_parser_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    flat = np.full(3 * w * h, shade, dtype=np.uint8)
+    W, H, px = decode_jpeg(encode_jpeg(w, h, flat, quality=90, subsampling=sub))
+    assert (W, H) == (w, h)
+    assert np.abs(px.astype(int) - shade).max() <= 1
+
+
+@given(
+    st.integers(min_value=1, max_value=500),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=1, max_value=96000),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(n, channels, rate):
+    import numpy as np
+
+    from pdf_parser_ray.functions.wav import decode_wav, encode_wav
+
+    rng = np.random.RandomState(n * 7 + channels)
+    vals = rng.randint(-32768, 32767, size=n * channels).astype(np.int16)
+    got_n, got_ch, got_rate, out = decode_wav(encode_wav(vals, rate, channels))
+    assert (got_n, got_ch, got_rate) == (n, channels, rate)
+    assert np.array_equal(out, vals)
+
+
+@given(
+    st.integers(min_value=0, max_value=10**7),
+    st.integers(min_value=0, max_value=8192),
+    st.integers(min_value=0, max_value=8192),
+)
+@settings(max_examples=60, deadline=None)
+def test_mp4_skeleton_roundtrip_property(duration_ms, w, h):
+    from pdf_parser_ray.functions.mp4 import probe_mp4, write_mp4_skeleton
+
+    meta = probe_mp4(write_mp4_skeleton(duration_ms, w, h))
+    assert meta["duration_ms"] == duration_ms
+    assert meta["n_tracks"] == 1
+    # zero-width tracks read as "no video track" (audio-style 0x0)
+    if w:
+        assert (meta["width"], meta["height"]) == (w, h)
+
+
+def test_codec_stages_never_crash_on_fuzz():
+    """Random bytes + truncated real payloads: every codec family either
+    decodes or degrades — never an unhandled error (JPEG/WAV/MP4 joined
+    PNG/PPM/BMP this round; nothing raises NotImplementedError anymore)."""
+    import numpy as np
+
+    from pdf_parser_ray.functions.mp4 import write_mp4_skeleton
+    from pdf_parser_ray.functions.wav import encode_wav
+    from pdf_parser_ray.ops.multimodal import (
+        AudioDecoder,
+        MediaDecoder,
+        VideoProber,
+        synthesize_jpeg,
+    )
+    import pyarrow as pa
+
+    from pdf_parser_ray.ops.multimodal import MEDIA_SCHEMA
+
+    rng = np.random.RandomState(11)
+    real_jpeg = synthesize_jpeg("fuzz")
+    real_wav = encode_wav(np.arange(30, dtype=np.int16), 8000)
+    real_mp4 = write_mp4_skeleton(100, 32, 32)
+    payloads = [bytes(rng.randint(0, 256, size=n, dtype=np.uint8)) for n in (0, 3, 64, 500)]
+    payloads += [b"\xff\xd8" + bytes(rng.randint(0, 256, size=n, dtype=np.uint8)) for n in (0, 10, 100)]
+    payloads += [real_jpeg[:k] for k in (4, 20, 100, len(real_jpeg) - 3)]
+    payloads += [real_wav[:k] for k in (4, 12, 30)]
+    payloads += [real_mp4[:k] for k in (4, 16, 40)]
+
+    img = MediaDecoder(fake=False)
+    aud = AudioDecoder()
+    vid = VideoProber()
+    for p in payloads:
+        out = img._decode("f", p)
+        assert set(out) == {"width", "height", "feature", "decode_ok"}
+        assert set(aud._decode(p)) >= {"n_samples", "decode_ok"}
+        batch = pa.Table.from_pylist(
+            [{"doc_id": "d", "media_ref": "r", "media_type": "video", "payload": p}],
+            schema=MEDIA_SCHEMA,
+        )
+        assert vid(batch).num_rows == 1
