@@ -54,7 +54,9 @@ def write_reference_outputs(
 def read_jsonl_tolerant(path: str) -> ray.data.Dataset:
     """Reference JSONL-reader semantics as a Ray pipeline: skip blank lines,
     skip lines longer than 1e6 chars, recover per line on parse errors
-    (helpers.py:67-101) — expressed as read_text + a validity filter."""
+    (helpers.py:67-101) — expressed as read_text + a validity filter.
+    ``.gz`` paths stream through Arrow's gzip decompressor (web-corpus
+    JSONL ships compressed; the per-line tolerance is identical)."""
 
     def parse(batch: pa.Table) -> pa.Table:
         rows: list[dict[str, Any]] = []
@@ -69,7 +71,14 @@ def read_jsonl_tolerant(path: str) -> ray.data.Dataset:
                 continue
         return pa.Table.from_pylist(rows, schema=pa.schema([("record", pa.string())]))
 
-    return ray.data.read_text(path).map_batches(parse, batch_format="pyarrow")
+    read_kwargs = (
+        {"arrow_open_stream_args": {"compression": "gzip"}}
+        if str(path).endswith(".gz")
+        else {}
+    )
+    return ray.data.read_text(path, **read_kwargs).map_batches(
+        parse, batch_format="pyarrow"
+    )
 
 
 def iter_reference_records(path: str) -> Iterator[dict[str, Any]]:

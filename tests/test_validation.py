@@ -56,6 +56,14 @@ def test_tolerant_reader_skips_junk(ray_session, tmp_path):
     assert rows == [{"a": 1}, {"b": 2}]
     assert read_jsonl_tolerant(str(p)).count() == 2
 
+    # gzip variant: same per-line tolerance through the Arrow decompressor
+    import gzip
+
+    gz = tmp_path / "junk.jsonl.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write(p.read_text())
+    assert read_jsonl_tolerant(str(gz)).count() == 2
+
 
 def test_stage_pipeline(ray_session):
     import pyarrow as pa
