@@ -1288,6 +1288,7 @@ def _update_band_store_locked(
         "files_hashed_now": 0,
         "files_skipped_resume": 0,
     }
+    stale: list[tuple[str, str, dict, str]] = []
     for path in files:
         st = os.stat(path)
         sig = {
@@ -1307,17 +1308,53 @@ def _update_band_store_locked(
                 if json.load(f) == sig:
                     stats["files_skipped_resume"] += 1
                     continue
-        out = os.path.join(store_dir, "bands", key)
-        shutil.rmtree(out, ignore_errors=True)
-        bands = minhash_band_rows(
-            ray.data.read_parquet(path, columns=["doc_id", "text"]),
-            num_perm,
-            band_size,
-            shingle_size,
-        )
-        bands.write_parquet(out)
-        _write_json_atomic(manifest, sig)  # manifest last: crash = recompute
-        stats["files_hashed_now"] += 1
+        stale.append((path, key, sig, manifest))
+
+    # hash stale fragments in CHUNKED UNION pipelines, not one driver
+    # round-trip per fragment: the streaming executor runs every branch of
+    # a union concurrently, so a 10k-fragment cold start is ~10k/chunk
+    # executions instead of 10k sequential ones. Each chunk writes to a
+    # hive-partitioned staging dir, then fragments rename into the store
+    # layout one by one with their manifest written AFTER the rename —
+    # crash granularity stays per-fragment (a renamed dir without a
+    # manifest is recomputed; a leftover staging dir is removed here).
+    chunk_size = 16  # bounds concurrent actor pools per execution
+    staging = os.path.join(store_dir, "_staging")
+    for i in range(0, len(stale), chunk_size):
+        chunk = stale[i : i + chunk_size]
+        shutil.rmtree(staging, ignore_errors=True)
+        branches = []
+        for path, key, _, _ in chunk:
+            bands = minhash_band_rows(
+                ray.data.read_parquet(path, columns=["doc_id", "text"]),
+                num_perm,
+                band_size,
+                shingle_size,
+            )
+            branches.append(
+                bands.map_batches(
+                    lambda t, _k=key: t.append_column(
+                        "fragment", pa.array([_k] * t.num_rows, pa.string())
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+        ds = branches[0]
+        for b in branches[1:]:
+            ds = ds.union(b)
+        ds.write_parquet(staging, partition_cols=["fragment"])
+        for path, key, sig, manifest in chunk:
+            out = os.path.join(store_dir, "bands", key)
+            shutil.rmtree(out, ignore_errors=True)
+            staged = os.path.join(staging, f"fragment={key}")
+            if os.path.isdir(staged):
+                os.rename(staged, out)  # same filesystem: atomic move
+            # an empty fragment emits no partition dir — no data to move,
+            # the manifest alone records it as hashed (read_band_store
+            # globs files, so absence contributes nothing)
+            _write_json_atomic(manifest, sig)  # manifest last
+            stats["files_hashed_now"] += 1
+        shutil.rmtree(staging, ignore_errors=True)
     return stats
 
 
