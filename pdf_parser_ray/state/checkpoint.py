@@ -203,6 +203,13 @@ def run_extraction_sharded(
     REQUIRES whole-document rows (like extract_hybrid): fragments of one
     document in different rows would assemble independently on the map-only
     path — fragmented corpora go through ``run_extraction``.
+
+    Shards execute SEQUENTIALLY on purpose: a shard is the commit unit and
+    at corpus scale each one is minutes of work, so per-execution driver
+    overhead is noise — unlike the band store's many small fragments,
+    which update_band_store batches into chunked unions. Size
+    ``files_per_shard`` so a shard stays minutes-big; don't shrink it to
+    seconds-big and reintroduce the sequential-driver bottleneck.
     """
     from pdf_parser_ray.pipelines.extract import extract_fused, split_by_span_count
 
