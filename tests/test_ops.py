@@ -2404,3 +2404,91 @@ def test_split_cutoffs_rejects_bad_fractions(ray_session):
             ray.data.from_items([{"doc_id": 1, "text": "x", "lang": "en"}]),
             fractions={"a": 0.8, "b": 0.2, "c": 0.1},
         )
+
+
+def test_grouped_quantiles_differential_fuzz_vs_duckdb(ray_session):
+    """Random grouped tables: the op's interpolation must match DuckDB
+    quantile_cont bit-for-bit after the shared decimal rounding — the
+    protection against ULP divergence at arbitrary rank fractions."""
+    import duckdb
+
+    from pdf_parser_ray.ops.relational import grouped_quantiles
+
+    rng = np.random.RandomState(17)
+    for trial in range(4):
+        n = int(rng.randint(20, 200))
+        langs = [f"g{int(rng.randint(0, 5))}" for _ in range(n)]
+        vals = np.round(rng.randn(n) * 100, 3)
+        t = pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "n_chars": pa.array(vals, pa.float64()),
+            }
+        )
+        qs = [0.1, 0.33, 0.5, 0.9]
+        got = (
+            grouped_quantiles(ray.data.from_arrow(t), "lang", "n_chars", qs)
+            .to_pandas()
+            .sort_values(["lang", "q"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("docs", t.to_pandas())
+        want = con.sql(
+            " UNION ALL ".join(
+                f"SELECT lang, {q} AS q, CAST(printf('%.6f', "
+                f"quantile_cont(n_chars, {q})) AS DOUBLE) AS value "
+                "FROM docs GROUP BY lang"
+                for q in qs
+            )
+            + " ORDER BY lang, q"
+        ).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_top_k_per_group_differential_fuzz_vs_duckdb(ray_session):
+    """Random tables with duplicate order values and nulls everywhere:
+    the op must equal the SQL ROW_NUMBER window row-for-row."""
+    import duckdb
+
+    from pdf_parser_ray.ops.relational import top_k_per_group
+
+    rng = np.random.RandomState(23)
+    for trial in range(4):
+        n = int(rng.randint(20, 150))
+        t = pa.table(
+            {
+                "source": pa.array(
+                    [
+                        None if rng.rand() < 0.15 else f"s{int(rng.randint(0, 6))}"
+                        for _ in range(n)
+                    ],
+                    pa.string(),
+                ),
+                "n_chars": pa.array(
+                    [
+                        None if rng.rand() < 0.15 else int(rng.randint(0, 9))
+                        for _ in range(n)
+                    ],
+                    pa.int64(),
+                ),
+                "doc_id": pa.array(range(n), pa.int64()),
+            }
+        )
+        got = (
+            top_k_per_group(
+                ray.data.from_arrow(t), "source", "n_chars", k=3, id_col="doc_id"
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("docs", t.to_pandas())
+        want = con.sql(
+            "SELECT source, n_chars, doc_id FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC NULLS LAST, doc_id ASC NULLS LAST) rn "
+            "FROM docs) WHERE rn <= 3 ORDER BY doc_id"
+        ).df().reset_index(drop=True)
+        assert sorted(got.doc_id) == sorted(want.doc_id)
