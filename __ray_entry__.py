@@ -278,6 +278,20 @@ def _split_documents(sf_dir: str):
     return held, rest
 
 
+def _q_cross_corpus_near_dups(sf_dir: str):
+    """Near-dup decontamination BETWEEN corpora: MinHash-LSH cross-side
+    candidates over the deterministic train/test split, exact-Jaccard
+    verified — catches paraphrased test leakage the exact n-gram
+    contamination_check misses. Same seeded permutation bank as the
+    single-corpus family, so the SQL oracle reuses the unrolled MinHash
+    CTE with side predicates."""
+    from pdf_parser_ray.ops.crosscorpus import cross_corpus_near_dups
+
+    # _split_documents returns (held-out test, train) in that order
+    test, train = _split_documents(sf_dir)
+    return cross_corpus_near_dups(train, test, threshold=0.8)
+
+
 def _q_contamination_check(sf_dir: str):
     from pdf_parser_ray.ops.crosscorpus import contamination_scores
 
@@ -1148,6 +1162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         # cross-corpus
         "contamination_check": _q_contamination_check,
+        "cross_corpus_near_dups": _q_cross_corpus_near_dups,
         "bloom_novel_docs": _q_bloom_novel_docs,
         "gopher_rules": _q_gopher_rules,
         "chunk_documents": _q_chunk_documents,
@@ -1905,6 +1920,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_pairs": _minhash_base_sql()
         + "SELECT doc_a, doc_b, round_even(j, 6) AS jaccard FROM verified WHERE j >= 0.8",
+        # cross-corpus variant: same band/verify CTEs over the whole table
+        # (band values are side-independent — one seeded permutation bank),
+        # filtered to pairs straddling the %10 train/test split and
+        # re-oriented train-first (the base cand's doc_a < doc_b is string
+        # order, not side order)
+        "cross_corpus_near_dups": _minhash_base_sql()
+        + (
+            "SELECT CASE WHEN CAST(doc_a AS BIGINT) % 10 != 0 THEN doc_a ELSE doc_b END AS train_id, "
+            "CASE WHEN CAST(doc_a AS BIGINT) % 10 = 0 THEN doc_a ELSE doc_b END AS test_id, "
+            "round_even(j, 6) AS jaccard FROM verified WHERE j >= 0.8 AND "
+            "(CAST(doc_a AS BIGINT) % 10 = 0) != (CAST(doc_b AS BIGINT) % 10 = 0)"
+        ),
         # exact inverted-index Jaccard: same shingle CTE as the MinHash
         # oracle, but pairs come from sharing >=1 shingle (posting-list
         # self-join) — no banding. The op intersects 64-bit shingle

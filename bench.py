@@ -170,7 +170,8 @@ FAMILIES: dict[str, list[str]] = {
     "streaming": ["events_window_agg", "sessionize", "events_asof_join"],
     "curation": ["tfidf_top_terms", "lm_surprisal", "assign_splits",
                  "curate_corpus", "rebalance_sources", "surprisal_filter"],
-    "crosscorpus": ["contamination_check", "bloom_novel_docs",
+    "crosscorpus": ["contamination_check", "cross_corpus_near_dups",
+                    "bloom_novel_docs",
                     "media_features_png", "media_features_jpeg",
                     "media_features_wav", "media_probe_mp4"],
 }

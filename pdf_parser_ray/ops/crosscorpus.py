@@ -322,3 +322,113 @@ def bloom_filter_novel(
         batch_size=4096,
         concurrency=(1, 8),
     )
+
+
+def cross_corpus_near_dups(
+    train: ray.data.Dataset,
+    test: ray.data.Dataset,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    band_size: int = 4,
+    shingle_size: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """NEAR-duplicate pairs BETWEEN two corpora (train doc, test doc,
+    exact Jaccard) — the fuzzy sibling of :func:`contamination_scores`:
+    n-gram overlap catches verbatim leakage, this catches paraphrased /
+    lightly-edited test documents via the same MinHash-LSH machinery the
+    single-corpus dedup family uses (one shingle convention, one seeded
+    permutation bank).
+
+    Shape: each corpus hashes to (doc_id, band_id, band_hash) rows
+    independently — identical band values to hashing the union, since the
+    permutation bank is seed-deterministic — tagged with a side bit; one
+    coarse band-hash groupby finds CROSS-side collisions only (within-side
+    pairs are the single-corpus ops' job), then the standard routed
+    exact-Jaccard verify scores candidates against the union corpus. Text
+    never rides the band shuffle. Doc ids must be unique ACROSS the two
+    corpora (the contamination-family contract).
+
+    Output: (train_id, test_id, jaccard), jaccard rounded half-even to 6.
+    """
+    from pdf_parser_ray.ops.dedup import (
+        _global_pair_dedupe,
+        minhash_band_rows,
+        verify_pairs_jaccard,
+    )
+
+    def tag(side: int):
+        def add(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "side", pa.array([side] * batch.num_rows, pa.int8())
+            )
+
+        return add
+
+    def prep(ds: ray.data.Dataset, side: int) -> ray.data.Dataset:
+        bands = minhash_band_rows(
+            ds.select_columns([id_col, text_col]),
+            num_perm,
+            band_size,
+            shingle_size,
+        )
+        return bands.map_batches(tag(side), batch_format="pyarrow")
+
+    bands = prep(train, 0).union(prep(test, 1))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(batch["band_hash"], pa.scalar(255, pa.int64())),
+            pa.int64(),
+        )
+        return batch.append_column("_b", b)
+
+    def cross_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group["side"] == 0][["band_id", "band_hash", "doc_id"]]
+        right = group[group["side"] == 1][["band_id", "band_hash", "doc_id"]]
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype=str),
+                    "doc_b": pd.Series([], dtype=str),
+                }
+            )
+        m = left.merge(right, on=["band_id", "band_hash"])
+        out = m.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})[
+            ["doc_a", "doc_b"]
+        ]
+        return out.drop_duplicates()
+
+    candidates = _global_pair_dedupe(
+        bands.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(cross_pairs, batch_format="pandas"),
+        pa.schema([("doc_a", pa.string()), ("doc_b", pa.string())]),
+    )
+
+    corpus = train.select_columns([id_col, text_col]).union(
+        test.select_columns([id_col, text_col])
+    )
+    verified = verify_pairs_jaccard(
+        candidates, corpus, threshold=threshold, n=shingle_size
+    )
+
+    out_schema = pa.schema(
+        [
+            ("train_id", pa.string()),
+            ("test_id", pa.string()),
+            ("jaccard", pa.float64()),
+        ]
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "train_id": batch["doc_a"],
+                "test_id": batch["doc_b"],
+                "jaccard": batch["jaccard"],
+            }
+        ).cast(out_schema)
+
+    return verified.map_batches(rename, batch_format="pyarrow")

@@ -1118,6 +1118,37 @@ def test_quantiles_auto_route(ray_session):
         assert abs(got - want) <= 2.0, (q, got, want)
 
 
+def test_cross_corpus_near_dups_planted(ray_session):
+    """Planted near-dup ACROSS corpora is found; the near-dup pair WITHIN
+    one corpus is not reported (that's the single-corpus ops' job);
+    unrelated docs never pair."""
+    from pdf_parser_ray.ops.crosscorpus import cross_corpus_near_dups
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the training "
+        "pipeline counts tokens and the observer logs every span emitted"
+    )
+    train = ray.data.from_items(
+        [
+            {"doc_id": "t1", "text": base},
+            {"doc_id": "t2", "text": base + " with one extra tail"},  # within-side dup
+            {"doc_id": "t3", "text": "entirely different prose about gardens"},
+        ]
+    )
+    test = ray.data.from_items(
+        [
+            {"doc_id": "h1", "text": base},  # cross-side dup of t1/t2
+            {"doc_id": "h2", "text": "unrelated held-out content on weather"},
+        ]
+    )
+    out = cross_corpus_near_dups(train, test, threshold=0.8).to_pandas()
+    pairs = {(r.train_id, r.test_id) for r in out.itertuples()}
+    assert ("t1", "h1") in pairs
+    assert all(t == "h1" for _, t in pairs)  # h2 never pairs
+    assert all(a.startswith("t") and b.startswith("h") for a, b in pairs)
+    assert (out.jaccard >= 0.8).all()
+
+
 def test_heavy_hitters_exact_regime_and_undercount_bound(ray_session):
     from pdf_parser_ray.ops.relational import heavy_hitters
 
