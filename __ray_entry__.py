@@ -287,9 +287,8 @@ def _q_cross_corpus_near_dups(sf_dir: str):
     CTE with side predicates."""
     from pdf_parser_ray.ops.crosscorpus import cross_corpus_near_dups
 
-    # _split_documents returns (held-out test, train) in that order
-    test, train = _split_documents(sf_dir)
-    return cross_corpus_near_dups(train, test, threshold=0.8)
+    held_out, rest = _split_documents(sf_dir)
+    return cross_corpus_near_dups(train=rest, test=held_out, threshold=0.8)
 
 
 def _q_contamination_check(sf_dir: str):

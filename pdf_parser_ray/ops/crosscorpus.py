@@ -1,8 +1,8 @@
-"""Cross-corpus operators: benchmark-contamination check and a
-Bloom-filter membership filter.
+"""Cross-corpus operators: benchmark-contamination check, a
+Bloom-filter membership filter, and MinHash near-dup decontamination.
 
-Both answer "how does corpus B relate to corpus A?" without ever joining
-the two corpora on text:
+All three answer "how does corpus B relate to corpus A?" without ever
+joining the two corpora on text:
 
 * :func:`contamination_scores` — per test doc, the fraction of its
   distinct word n-grams that appear ANYWHERE in the train corpus (the
@@ -10,6 +10,11 @@ the two corpora on text:
   inverted semi-join: both sides explode to (gram_hash, …) postings, one
   coarse groupby co-locates every posting of a gram, per-bucket hit
   partials re-group by doc. Text never crosses a shuffle.
+
+* :func:`cross_corpus_near_dups` — NEAR-duplicate (train, test) pairs
+  via cross-side-only MinHash-LSH band collisions plus exact-Jaccard
+  verify: the fuzzy sibling of contamination_scores for paraphrased
+  leakage.
 
 * :func:`bloom_filter_novel` — membership of each candidate doc's exact
   text in a reference corpus via a seeded Bloom filter. The classic
@@ -325,6 +330,7 @@ def bloom_filter_novel(
 
 
 def cross_corpus_near_dups(
+    *,
     train: ray.data.Dataset,
     test: ray.data.Dataset,
     threshold: float = 0.8,
@@ -348,7 +354,14 @@ def cross_corpus_near_dups(
     pairs are the single-corpus ops' job), then the standard routed
     exact-Jaccard verify scores candidates against the union corpus. Text
     never rides the band shuffle. Doc ids must be unique ACROSS the two
-    corpora (the contamination-family contract).
+    corpora (the contamination-family contract); rows with a null id are
+    dropped up front (SQL's NULL-comparison exclusion, robustly). The two
+    sides are keyword-only — sibling contamination_scores takes (test,
+    train) and a silent positional swap would transpose every output row.
+
+    Each side's (id, text) projection is materialized once: bands and the
+    verify corpus both consume it, which would otherwise re-execute the
+    upstream read per consumer.
 
     Output: (train_id, test_id, jaccard), jaccard rounded half-even to 6.
     """
@@ -366,20 +379,35 @@ def cross_corpus_near_dups(
 
         return add
 
-    def prep(ds: ray.data.Dataset, side: int) -> ray.data.Dataset:
-        bands = minhash_band_rows(
-            ds.select_columns([id_col, text_col]),
-            num_perm,
-            band_size,
-            shingle_size,
+    def _std(ds: ray.data.Dataset) -> ray.data.Dataset:
+        # normalize to the dedup family's (doc_id, text) column names so
+        # generic id/text columns actually work (minhash_band_rows and the
+        # verify path select those names internally), and drop null ids
+        def norm(batch: pa.Table) -> pa.Table:
+            t = pa.table(
+                {"doc_id": batch[id_col], "text": batch[text_col]}
+            )
+            return t.filter(pc.is_valid(t["doc_id"]))
+
+        return (
+            ds.select_columns([id_col, text_col])
+            .map_batches(norm, batch_format="pyarrow")
+            .materialize()
         )
+
+    train_std, test_std = _std(train), _std(test)
+
+    def prep(ds: ray.data.Dataset, side: int) -> ray.data.Dataset:
+        bands = minhash_band_rows(ds, num_perm, band_size, shingle_size)
         return bands.map_batches(tag(side), batch_format="pyarrow")
 
-    bands = prep(train, 0).union(prep(test, 1))
+    bands = prep(train_std, 0).union(prep(test_std, 1))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         b = pc.cast(
-            pc.bit_wise_and(batch["band_hash"], pa.scalar(255, pa.int64())),
+            pc.bit_wise_and(
+                batch["band_hash"], pa.scalar(_BUCKETS - 1, pa.int64())
+            ),
             pa.int64(),
         )
         return batch.append_column("_b", b)
@@ -407,9 +435,7 @@ def cross_corpus_near_dups(
         pa.schema([("doc_a", pa.string()), ("doc_b", pa.string())]),
     )
 
-    corpus = train.select_columns([id_col, text_col]).union(
-        test.select_columns([id_col, text_col])
-    )
+    corpus = train_std.union(test_std)
     verified = verify_pairs_jaccard(
         candidates, corpus, threshold=threshold, n=shingle_size
     )

@@ -38,7 +38,7 @@ def null_sf_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("null_sf")
     docs = pa.table(
         {
-            "doc_id": pa.array([1, 2, None, 4, 5, 6, None], pa.int64()),
+            "doc_id": pa.array([1, 2, None, 4, 5, 6, None, 10, 20], pa.int64()),
             "text": pa.array(
                 [
                     GOOD,
@@ -48,12 +48,23 @@ def null_sf_dir(tmp_path_factory):
                     GOOD + " extra tail words", # near-dup of 1
                     GOOD,                        # exact dup of 1
                     None,                        # both null
+                    GOOD,                        # id%10==0: held-out side dup
+                    None,                        # held-out side, null text
                 ],
                 pa.string(),
             ),
-            "lang": pa.array(["en", "en", "de", None, "fr", "en", None], pa.string()),
-            "source": pa.array(["a", None, "a", "b", None, "a", "b"], pa.string()),
-            "n_chars": pa.array([len(GOOD), None, len(GOOD), 0, 10, len(GOOD), None], pa.int64()),
+            "lang": pa.array(
+                ["en", "en", "de", None, "fr", "en", None, "en", None],
+                pa.string(),
+            ),
+            "source": pa.array(
+                ["a", None, "a", "b", None, "a", "b", "c", None], pa.string()
+            ),
+            "n_chars": pa.array(
+                [len(GOOD), None, len(GOOD), 0, 10, len(GOOD), None,
+                 len(GOOD), None],
+                pa.int64(),
+            ),
         }
     )
     pq.write_table(docs, f"{d}/documents.parquet")
@@ -115,6 +126,7 @@ NULL_SENSITIVE = [
     "top_docs_per_source",
     "chars_quantiles_by_lang",
     "heavy_hitter_sources",
+    "cross_corpus_near_dups",
     # text-family ops that coalesce early — cheap to pin, and the corpus
     # exercises their null text / null id paths too
     "scrub_pii",

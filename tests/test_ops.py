@@ -1141,7 +1141,7 @@ def test_cross_corpus_near_dups_planted(ray_session):
             {"doc_id": "h2", "text": "unrelated held-out content on weather"},
         ]
     )
-    out = cross_corpus_near_dups(train, test, threshold=0.8).to_pandas()
+    out = cross_corpus_near_dups(train=train, test=test, threshold=0.8).to_pandas()
     pairs = {(r.train_id, r.test_id) for r in out.itertuples()}
     assert ("t1", "h1") in pairs
     assert all(t == "h1" for _, t in pairs)  # h2 never pairs
