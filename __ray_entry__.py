@@ -1090,6 +1090,30 @@ def _q_media_features_wav(sf_dir: str):
     )
 
 
+def _q_resize_images(sf_dir: str):
+    """REAL resize path (decode -> nearest-neighbor resample -> PNG
+    re-encode) over synthesized JPEG payloads, max_side=16 so the
+    4..35-px synth dims actually downscale. Source and target dims are
+    closed-form (the shared _fit_dims law: half-even rounding =
+    round_even); the resized PNG bytes are pinned by round-trip tests,
+    not the oracle (DEFLATE length has no closed form)."""
+    from pdf_parser_ray.ops.multimodal import media_inventory, resize_media
+    from pdf_parser_ray.pipelines import extract_fused
+    from pdf_parser_ray.sources import corpus_from_documents
+
+    media = media_inventory(
+        extract_fused(corpus_from_documents(sf_dir)),
+        synth_payloads=True,
+        synth_format="jpeg",
+    )
+    return _int_doc_id(
+        resize_media(media, max_side=16, fake=False).select_columns(
+            ["doc_id", "media_ref", "width", "height",
+             "out_width", "out_height", "decode_ok"]
+        )
+    )
+
+
 def _q_media_probe_mp4(sf_dir: str):
     """REAL video-container metadata path: deterministic ISO-BMFF
     skeletons per media ref, parsed by the pure-stdlib box walk —
@@ -1233,6 +1257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_jpeg": _q_media_features_jpeg,
         "media_features_wav": _q_media_features_wav,
         "media_probe_mp4": _q_media_probe_mp4,
+        "resize_images": _q_resize_images,
         # corpus-level validation report (reference step 5)
         "validation_summary": _q_validation_summary,
     }
@@ -2395,6 +2420,24 @@ def oracle_sql() -> dict[str, str]:
     # (entropy-coded length and lossy pixels have no closed form, so both
     # oracles are dims + status only) — alias, don't duplicate the SQL
     out["media_features_jpeg"] = out["media_features_png"]
+    # real resize over the JPEG synth payloads: source dims from the md5
+    # rule, target dims from the shared _fit_dims law — identical double
+    # arithmetic order (w * LEAST(1, 16/GREATEST(w,h))) and half-even
+    # rounding on both sides
+    out["resize_images"] = _EXTRACT_BASE_SQL + (
+        ", imgs AS ("
+        "  SELECT doc_id, 'img://' || CAST(doc_id AS VARCHAR) || '/p' || pg || '/0' AS media_ref"
+        "  FROM pages WHERE (h+pg)%4=0"
+        "), dims AS ("
+        "  SELECT doc_id, media_ref, "
+        "    4 + ('0x'||substr(md5(media_ref),1,2))::INT % 32 AS w, "
+        "    4 + ('0x'||substr(md5(media_ref),3,2))::INT % 32 AS h "
+        "  FROM imgs"
+        ") SELECT doc_id, media_ref, CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+        "CAST(GREATEST(1, round_even(w * LEAST(1.0, 16.0 / GREATEST(w, h, 1)), 0)) AS INT) AS out_width, "
+        "CAST(GREATEST(1, round_even(h * LEAST(1.0, 16.0 / GREATEST(w, h, 1)), 0)) AS INT) AS out_height, "
+        "TRUE AS decode_ok FROM dims"
+    )
     # WAV: the synthesize_wav closed form (n = 500 + d0*37 + d1,
     # channels = 1 + d2 % 2, rate 8000, duration = n*1000 // 8000 —
     # integer //, a DOUBLE->BIGINT cast would ROUND)

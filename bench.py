@@ -173,7 +173,8 @@ FAMILIES: dict[str, list[str]] = {
     "crosscorpus": ["contamination_check", "cross_corpus_near_dups",
                     "bloom_novel_docs",
                     "media_features_png", "media_features_jpeg",
-                    "media_features_wav", "media_probe_mp4"],
+                    "media_features_wav", "media_probe_mp4",
+                    "resize_images"],
 }
 
 

@@ -533,28 +533,118 @@ def media_inventory(
     return doc_results.map_batches(explode, batch_format="pyarrow")
 
 
+def _fit_dims(w: int, h: int, max_side: int) -> tuple[int, int]:
+    """Aspect-preserving fit into ``max_side`` (downscale only) — ONE
+    geometry law shared by the fake and real resize paths and mirrored in
+    the SQL oracle (Python round is half-even, = SQL round_even)."""
+    scale = min(1.0, max_side / max(w, h, 1))
+    return max(1, round(w * scale)), max(1, round(h * scale))
+
+
+def decode_image_pixels(payload: bytes, max_pixels: int = 8_000_000):
+    """(width, height, channels, uint8 HxWxC array) for the formats with a
+    faithful pixel layout here (PPM/PGM, baseline PNG, baseline JPEG);
+    None for anything else (BMP rows are padded/BGR — feature-only)."""
+    magic = payload[:2]
+    if magic in (b"P6", b"P5"):
+        w, h, off = _parse_pnm_header(payload)
+        ch = 3 if magic == b"P6" else 1
+        need = w * h * ch
+        if w * h > max_pixels or len(payload) - off < need:
+            raise ValueError("bad PNM dimensions/body")
+        flat = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+    elif magic == b"\x89P":
+        from pdf_parser_ray.functions.png import decode_png
+
+        w, h, flat = decode_png(payload, max_pixels=max_pixels)
+        ch = flat.size // (w * h)
+    elif magic == b"\xff\xd8":
+        from pdf_parser_ray.functions.jpeg import decode_jpeg
+
+        w, h, flat = decode_jpeg(payload, max_pixels=max_pixels)
+        ch = flat.size // (w * h)
+    else:
+        return None
+    return w, h, ch, flat.reshape(h, w, ch)
+
+
+RESIZED_MEDIA_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("media_type", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("out_width", pa.int32()),
+        ("out_height", pa.int32()),
+        ("payload", pa.binary()),
+        ("decode_ok", pa.bool_()),
+    ]
+)
+
+
 class ImageResizer:
-    """Actor-pool resize stage (STUB kernel): real deployments decode +
-    resample in `_resize`; the stub deterministically computes the target
-    geometry (aspect-preserving fit into ``max_side``) from the fake
-    decoder's dimensions so the schema/batching plumbing is exercised."""
+    """Actor-pool resize stage. ``fake=False`` (the REAL kernel, enabled by
+    the pure-stdlib codecs): consumes the raw media table (payload
+    column), decodes, resamples nearest-neighbor with one vectorized
+    fancy-index, and re-encodes the result as PNG — undecodable payloads
+    degrade to a ``decode_ok=False`` row. ``fake=True`` keeps the original
+    geometry-only stub over a FEATURES table (no payloads needed) for
+    plumbing tests."""
+
+    _PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}
 
     def __init__(self, max_side: int = 256, fake: bool = True):
         self.max_side = max_side
         self.fake = fake
 
+    def _resize_real(self, row: dict) -> dict:
+        from pdf_parser_ray.functions.png import encode_png
+
+        base = {
+            "doc_id": row.get("doc_id", ""),
+            "media_ref": row.get("media_ref", ""),
+            "media_type": row.get("media_type", "image"),
+        }
+        try:
+            decoded = decode_image_pixels(row.get("payload") or b"")
+            if decoded is None:
+                raise ValueError("no faithful pixel decode for this format")
+            w, h, ch, img = decoded
+        except (ValueError, struct_error, IndexError, ZeroDivisionError):
+            return {
+                **base,
+                "width": 0, "height": 0, "out_width": 0, "out_height": 0,
+                "payload": b"", "decode_ok": False,
+            }
+        ow, oh = _fit_dims(w, h, self.max_side)
+        rows_idx = np.minimum((np.arange(oh) * (h / oh)).astype(np.int64), h - 1)
+        cols_idx = np.minimum((np.arange(ow) * (w / ow)).astype(np.int64), w - 1)
+        resized = img[rows_idx][:, cols_idx]
+        out_png = encode_png(
+            ow, oh, resized.ravel(), color_type=self._PNG_COLOR_TYPE[ch]
+        )
+        return {
+            **base,
+            "width": w, "height": h, "out_width": ow, "out_height": oh,
+            "payload": out_png, "decode_ok": True,
+        }
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
-            raise NotImplementedError("real resize needs an image codec")
+            return pa.Table.from_pylist(
+                [self._resize_real(row) for row in batch.to_pylist()],
+                schema=RESIZED_MEDIA_SCHEMA,
+            )
         rows = []
         for row in batch.to_pylist():
             w, h = int(row["width"]), int(row["height"])
-            scale = min(1.0, self.max_side / max(w, h, 1))
+            ow, oh = _fit_dims(w, h, self.max_side)
             rows.append(
                 {
                     **{k: row[k] for k in ("doc_id", "media_ref", "media_type")},
-                    "width": max(1, round(w * scale)),
-                    "height": max(1, round(h * scale)),
+                    "width": ow,
+                    "height": oh,
                     "n_bytes": row["n_bytes"],
                     "feature": row["feature"],
                     "decode_ok": row["decode_ok"],
@@ -569,6 +659,9 @@ def resize_media(
     batch_size: int = 16,
     fake: bool = True,
 ) -> ray.data.Dataset:
+    """Resize stage: with ``fake=False`` pass the raw MEDIA table (payload
+    column) — real decode + resample + PNG re-encode; with ``fake=True``
+    pass a features table — geometry only."""
     return features_ds.map_batches(
         ImageResizer,
         fn_constructor_kwargs={"max_side": max_side, "fake": fake},

@@ -2523,3 +2523,66 @@ def test_top_k_per_group_differential_fuzz_vs_duckdb(ray_session):
             "FROM docs) WHERE rn <= 3 ORDER BY doc_id"
         ).df().reset_index(drop=True)
         assert sorted(got.doc_id) == sorted(want.doc_id)
+
+
+def test_image_resizer_real_kernel_roundtrip(ray_session):
+    """Real resize: decode -> nearest-neighbor -> PNG re-encode. A flat
+    color survives exactly through every supported format; output dims
+    follow the shared _fit_dims law; the payload is a decodable PNG."""
+    from pdf_parser_ray.functions.jpeg import encode_jpeg
+    from pdf_parser_ray.functions.png import decode_png, encode_png
+    from pdf_parser_ray.ops import multimodal as mm
+
+    w, h = 24, 10
+    flat_rgb = np.full(3 * w * h, 77, dtype=np.uint8)
+    header = f"P6\n{w} {h}\n255\n".encode()
+    payloads = {
+        "ppm": header + flat_rgb.tobytes(),
+        "png": encode_png(w, h, flat_rgb, color_type=2),
+        "jpeg": encode_jpeg(w, h, flat_rgb, quality=95),
+    }
+    r = mm.ImageResizer(max_side=8, fake=False)
+    for fmt, payload in payloads.items():
+        out = r._resize_real(
+            {"doc_id": "d", "media_ref": fmt, "media_type": "image",
+             "payload": payload}
+        )
+        assert out["decode_ok"], fmt
+        assert (out["width"], out["height"]) == (w, h)
+        assert (out["out_width"], out["out_height"]) == mm._fit_dims(w, h, 8)
+        ow, oh, px = decode_png(out["payload"])
+        assert (ow, oh) == (out["out_width"], out["out_height"])
+        # flat color survives resampling bit-for-bit (JPEG q95 flat ±1)
+        assert np.abs(px.astype(int) - 77).max() <= 1, fmt
+
+    # no upscaling: small image passes through at original dims
+    small = r._resize_real(
+        {"doc_id": "d", "media_ref": "s", "media_type": "image",
+         "payload": payloads["png"][:0] + encode_png(4, 3, np.zeros(36, np.uint8), 2)}
+    )
+    assert (small["out_width"], small["out_height"]) == (4, 3)
+
+    # BMP has no faithful pixel layout here -> degrade, don't guess
+    bad = r._resize_real(
+        {"doc_id": "d", "media_ref": "b", "media_type": "image",
+         "payload": b"BM" + b"\x00" * 60}
+    )
+    assert not bad["decode_ok"]
+
+
+def test_resize_media_stage_over_synth_corpus(ray_session):
+    from pdf_parser_ray.ops import multimodal as mm
+
+    media = ray.data.from_arrow(
+        pa.Table.from_pylist(
+            [
+                {"doc_id": "1", "media_ref": f"img://x/{i}", "media_type": "image",
+                 "payload": mm.synthesize_jpeg(f"img://x/{i}")}
+                for i in range(6)
+            ],
+            schema=mm.MEDIA_SCHEMA,
+        )
+    )
+    out = mm.resize_media(media, max_side=16, fake=False).to_pandas()
+    assert len(out) == 6 and out.decode_ok.all()
+    assert (out.out_width <= 16).all() and (out.out_height <= 16).all()
