@@ -20,6 +20,7 @@ survive pandas round-trips intact — see ray_guide.md pitfalls).
 from __future__ import annotations
 
 import hashlib
+import zlib
 from struct import error as struct_error
 
 import numpy as np
@@ -130,9 +131,11 @@ def synthesize_wav(media_ref: str) -> bytes:
     return encode_wav(vals, sample_rate=8000, channels=channels)
 
 
-def _parse_pnm_header(payload: bytes) -> tuple[int, int, int]:
-    """(width, height, pixel-data offset) from a P6/P5 header: magic, then
-    whitespace-separated width/height/maxval with '#' comments skipped."""
+def _parse_pnm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, maxval, pixel-data offset) from a P6/P5 header:
+    magic, then whitespace-separated width/height/maxval with '#'
+    comments skipped. Callers must check maxval — 65535 means 2-byte
+    samples, which the 8-bit readers here reject rather than misread."""
     tokens: list[int] = []
     i = 2  # past magic
     n = len(payload)
@@ -158,7 +161,7 @@ def _parse_pnm_header(payload: bytes) -> tuple[int, int, int]:
         raise ValueError("truncated PNM header")
     # `i` was already advanced past the single whitespace byte terminating
     # maxval by the loop's increment — it IS the pixel-data offset
-    return tokens[0], tokens[1], i
+    return tokens[0], tokens[1], tokens[2], i
 
 
 class MediaDecoder:
@@ -197,7 +200,11 @@ class MediaDecoder:
         magic = payload[:2]
         if magic in (b"P6", b"P5"):
             try:
-                w, h, off = _parse_pnm_header(payload)
+                w, h, maxval, off = _parse_pnm_header(payload)
+                if maxval != 255 or w <= 0 or h <= 0:
+                    # 2-byte-sample (maxval 65535) or degenerate PNM: the
+                    # 8-bit reader would produce garbage — degrade instead
+                    raise ValueError("unsupported PNM maxval/dims")
                 channels = 3 if magic == b"P6" else 1
                 count = max(0, min(channels * w * h, len(payload) - off))
                 pixels = np.frombuffer(payload, dtype=np.uint8, count=count, offset=off)
@@ -547,10 +554,12 @@ def decode_image_pixels(payload: bytes, max_pixels: int = 8_000_000):
     None for anything else (BMP rows are padded/BGR — feature-only)."""
     magic = payload[:2]
     if magic in (b"P6", b"P5"):
-        w, h, off = _parse_pnm_header(payload)
+        w, h, maxval, off = _parse_pnm_header(payload)
+        if maxval != 255:
+            raise ValueError("non-8-bit PNM (2-byte samples would misread)")
         ch = 3 if magic == b"P6" else 1
         need = w * h * ch
-        if w * h > max_pixels or len(payload) - off < need:
+        if w <= 0 or h <= 0 or w * h > max_pixels or len(payload) - off < need:
             raise ValueError("bad PNM dimensions/body")
         flat = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
     elif magic == b"\x89P":
@@ -611,7 +620,7 @@ class ImageResizer:
             if decoded is None:
                 raise ValueError("no faithful pixel decode for this format")
             w, h, ch, img = decoded
-        except (ValueError, struct_error, IndexError, ZeroDivisionError):
+        except (ValueError, struct_error, IndexError, ZeroDivisionError, zlib.error):
             return {
                 **base,
                 "width": 0, "height": 0, "out_width": 0, "out_height": 0,

@@ -2558,7 +2558,7 @@ def test_image_resizer_real_kernel_roundtrip(ray_session):
     # no upscaling: small image passes through at original dims
     small = r._resize_real(
         {"doc_id": "d", "media_ref": "s", "media_type": "image",
-         "payload": payloads["png"][:0] + encode_png(4, 3, np.zeros(36, np.uint8), 2)}
+         "payload": encode_png(4, 3, np.zeros(36, np.uint8), 2)}
     )
     assert (small["out_width"], small["out_height"]) == (4, 3)
 
@@ -2586,3 +2586,45 @@ def test_resize_media_stage_over_synth_corpus(ray_session):
     out = mm.resize_media(media, max_side=16, fake=False).to_pandas()
     assert len(out) == 6 and out.decode_ok.all()
     assert (out.out_width <= 16).all() and (out.out_height <= 16).all()
+
+
+def test_resize_degrade_paths_never_crash(ray_session):
+    """Corrupt-DEFLATE PNG, zero-dimension PNM, and 16-bit PNM must all
+    degrade to decode_ok=False in the real resize path — none may crash
+    the task (review-found crash/garbage paths)."""
+    import struct
+    import zlib as _zlib
+
+    from pdf_parser_ray.functions.png import PNG_SIGNATURE
+    from pdf_parser_ray.ops import multimodal as mm
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", _zlib.crc32(ctype + data))
+        )
+
+    corrupt_png = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", b"\x99\x88\x77\x66garbage-not-deflate")
+        + chunk(b"IEND", b"")
+    )
+    zero_pnm = b"P6\n0 5\n255\n" + b"\x00" * 16
+    pnm16 = b"P6\n4 4\n65535\n" + b"\x00\x01" * 48
+
+    r = mm.ImageResizer(max_side=8, fake=False)
+    for name, payload in [
+        ("corrupt_png", corrupt_png),
+        ("zero_pnm", zero_pnm),
+        ("pnm16", pnm16),
+    ]:
+        out = r._resize_real(
+            {"doc_id": "d", "media_ref": name, "media_type": "image",
+             "payload": payload}
+        )
+        assert not out["decode_ok"], name
+
+    # the 16-bit PNM also degrades (not garbage-decodes) in MediaDecoder
+    feat = mm.MediaDecoder(fake=False)._decode("x", pnm16)
+    assert not feat["decode_ok"]
