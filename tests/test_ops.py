@@ -601,7 +601,8 @@ def test_pnm_offset_exact(ray_session):
     # synthesized payload carries exactly 3*w*h pixel bytes after the header
     ref = "img://7/p1/0"
     payload = multimodal.synthesize_ppm(ref)
-    w, h, off = multimodal._parse_pnm_header(payload)
+    w, h, maxval, off = multimodal._parse_pnm_header(payload)
+    assert maxval == 255
     assert len(payload) - off == 3 * w * h
     # known pixels -> exact histogram: 6 zero bytes, 8-bin histogram
     out = multimodal.MediaDecoder(fake=False)._decode("y", b"P5\n3 2\n255\n" + bytes(6))
