@@ -2629,3 +2629,23 @@ def test_resize_degrade_paths_never_crash(ray_session):
     # the 16-bit PNM also degrades (not garbage-decodes) in MediaDecoder
     feat = mm.MediaDecoder(fake=False)._decode("x", pnm16)
     assert not feat["decode_ok"]
+
+
+def test_fit_dims_sql_parity_exhaustive():
+    """The resize geometry law must equal the oracle's SQL expression for
+    EVERY source dimension the synth corpus can produce (4..35 per side)
+    — an exhaustive pin, so no rounding boundary can ever drift."""
+    import duckdb
+
+    from pdf_parser_ray.ops.multimodal import _fit_dims
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT w, h, "
+        "CAST(GREATEST(1, round_even(w * LEAST(1.0, 16.0 / GREATEST(w, h, 1)), 0)) AS INT), "
+        "CAST(GREATEST(1, round_even(h * LEAST(1.0, 16.0 / GREATEST(w, h, 1)), 0)) AS INT) "
+        "FROM range(4, 36) t1(w), range(4, 36) t2(h)"
+    ).fetchall()
+    assert len(rows) == 32 * 32
+    for w, h, sql_ow, sql_oh in rows:
+        assert _fit_dims(int(w), int(h), 16) == (sql_ow, sql_oh), (w, h)
