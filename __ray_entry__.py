@@ -1374,10 +1374,10 @@ def _embedding_lsh_sql(
         "  FROM keys a JOIN keys b "
         "  ON a.bucket_key = b.bucket_key AND a.vec_id < b.vec_id"
         ") SELECT c.id_a, c.id_b, "
-        "ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cosine "
+        "round_even(list_cosine_similarity(ea.v, eb.v), 6) AS cosine "
         "FROM cand c JOIN e ea ON ea.vec_id = c.id_a "
         "JOIN e eb ON eb.vec_id = c.id_b "
-        f"WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}"
+        f"WHERE round_even(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}"
     )
 
 
@@ -1459,7 +1459,7 @@ def _semantic_dedup_sql(
         + f", pairs AS (SELECT b.vec_id AS dup FROM {a} a "
         + f"JOIN {a} b ON a.cluster = b.cluster AND a.vec_id < b.vec_id "
         + "JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id "
-        + "WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= "
+        + "WHERE round_even(list_cosine_similarity(ea.v, eb.v), 6) >= "
         + f"{threshold}) "
         + "SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster, "
         + f"a.vec_id NOT IN (SELECT dup FROM pairs) AS keep FROM {a} a"
@@ -1722,20 +1722,20 @@ def oracle_sql() -> dict[str, str]:
             for q in (0.25, 0.5, 0.75)
         ),
         "knn_bruteforce": (
-            "SELECT e.vec_id, ROUND(list_cosine_similarity("
+            "SELECT e.vec_id, round_even(list_cosine_similarity("
             "CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cosine "
             "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
             "ORDER BY cosine DESC, e.vec_id LIMIT 10"
         ),
         # n_probe == n_centroids makes IVF exhaustive -> exact same answer
         "knn_ivf": (
-            "SELECT e.vec_id, ROUND(list_cosine_similarity("
+            "SELECT e.vec_id, round_even(list_cosine_similarity("
             "CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cosine "
             "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
             "ORDER BY cosine DESC, e.vec_id LIMIT 10"
         ),
         "knn_ivf_indexed": (
-            "SELECT e.vec_id, ROUND(list_cosine_similarity("
+            "SELECT e.vec_id, round_even(list_cosine_similarity("
             "CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cosine "
             "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
             "ORDER BY cosine DESC, e.vec_id LIMIT 10"
@@ -1750,16 +1750,16 @@ def oracle_sql() -> dict[str, str]:
             "cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cidx, v AS c "
             "  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)), "
             "probe AS (SELECT cidx FROM cent, q "
-            "  ORDER BY ROUND(list_cosine_similarity(c, q.v), 6) DESC, cidx LIMIT 1), "
+            "  ORDER BY round_even(list_cosine_similarity(c, q.v), 6) DESC, cidx LIMIT 1), "
             "asg AS (SELECT vec_id, cidx FROM ("
             "  SELECT e.vec_id, cent.cidx, ROW_NUMBER() OVER (PARTITION BY e.vec_id "
-            "    ORDER BY ROUND(list_cosine_similarity(e.v, cent.c), 6) DESC, cent.cidx) AS rn "
+            "    ORDER BY round_even(list_cosine_similarity(e.v, cent.c), 6) DESC, cent.cidx) AS rn "
             "  FROM e CROSS JOIN cent) WHERE rn = 1), "
             "ivf AS (SELECT e.vec_id FROM e JOIN asg USING (vec_id), q "
             "  WHERE asg.cidx IN (SELECT cidx FROM probe) "
-            "  ORDER BY ROUND(list_cosine_similarity(e.v, q.v), 6) DESC, e.vec_id LIMIT 10), "
+            "  ORDER BY round_even(list_cosine_similarity(e.v, q.v), 6) DESC, e.vec_id LIMIT 10), "
             "brute AS (SELECT vec_id FROM e, q "
-            "  ORDER BY ROUND(list_cosine_similarity(e.v, q.v), 6) DESC, vec_id LIMIT 10) "
+            "  ORDER BY round_even(list_cosine_similarity(e.v, q.v), 6) DESC, vec_id LIMIT 10) "
             "SELECT CAST((SELECT COUNT(*) FROM ivf JOIN brute USING (vec_id)) AS DOUBLE) / 10 "
             "AS recall_at_k"
         ),
@@ -1767,10 +1767,10 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": (
             "SELECT query_id, vec_id, cosine FROM ("
             "  SELECT q.vec_id AS query_id, e.vec_id, "
-            "    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "    round_even(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
             "      CAST(q.embedding AS DOUBLE[])), 6) AS cosine, "
             "    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
-            "      ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "      round_even(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
             "        CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rn "
             "  FROM embeddings e CROSS JOIN "
             "    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q"
@@ -1780,10 +1780,10 @@ def oracle_sql() -> dict[str, str]:
         # >= cut can never straddle a 6th-decimal boundary differently
         "embedding_near_dup": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-            "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "round_even(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-            "WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "WHERE round_even(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])), 6) >= 0.45"
         ),
         "pricing_summary": (

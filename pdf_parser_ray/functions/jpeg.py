@@ -215,7 +215,12 @@ class _BitReader:
             raise ValueError("truncated entropy stream")
         b = self.data[self.pos]
         if b == 0xFF:
-            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0
+            if self.pos + 1 >= len(self.data):
+                # a lone trailing 0xFF is a truncation, not a stuffed byte;
+                # decoding it as entropy data would emit one spurious byte
+                # before the error surfaced
+                raise ValueError("truncated entropy stream")
+            nxt = self.data[self.pos + 1]
             if nxt != 0x00:
                 raise ValueError("marker inside entropy segment")
             self.pos += 2

@@ -339,6 +339,7 @@ def cross_corpus_near_dups(
     shingle_size: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_band_postings: "int | None" = 4096,
 ) -> ray.data.Dataset:
     """NEAR-duplicate pairs BETWEEN two corpora (train doc, test doc,
     exact Jaccard) — the fuzzy sibling of :func:`contamination_scores`:
@@ -362,6 +363,17 @@ def cross_corpus_near_dups(
     Each side's (id, text) projection is materialized once: bands and the
     verify corpus both consume it, which would otherwise re-execute the
     upstream read per consumer.
+
+    ``max_band_postings`` is the hot-band guard (the ``max_df`` analogue
+    of the n-gram pair path): a band value held by more than that many
+    docs on EITHER side is dropped before the per-bucket cross merge —
+    without it a degenerate corpus where thousands of near-empty docs
+    share one band value makes a single task's candidate frame
+    |left|x|right|. All rows of one (band_id, band_hash) key land in the
+    same coarse bucket, so the per-group count IS the global posting
+    count and the cap is exact, not per-task. Recall cost: only pairs
+    whose EVERY colliding band is that hot are lost — at 64/4 MinHash a
+    true near-dup pair collides on many bands. ``None`` disables.
 
     Output: (train_id, test_id, jaccard), jaccard rounded half-even to 6.
     """
@@ -415,6 +427,30 @@ def cross_corpus_near_dups(
     def cross_pairs(group: pd.DataFrame) -> pd.DataFrame:
         left = group[group["side"] == 0][["band_id", "band_hash", "doc_id"]]
         right = group[group["side"] == 1][["band_id", "band_hash", "doc_id"]]
+        if max_band_postings is not None and (
+            len(left) > max_band_postings or len(right) > max_band_postings
+        ):
+            # only bother counting when a side could even contain a
+            # hot key; the count is global (bucket = f(band_hash))
+            keys = ["band_id", "band_hash"]
+            lc = left.groupby(keys)["doc_id"].transform("size")
+            rc = right.groupby(keys)["doc_id"].transform("size")
+            hot = pd.concat(
+                [
+                    left.loc[lc > max_band_postings, keys],
+                    right.loc[rc > max_band_postings, keys],
+                ]
+            ).drop_duplicates()
+            if len(hot):
+                hot["_hot"] = True
+                left = left.merge(hot, on=keys, how="left")
+                left = left[left["_hot"].isna()][
+                    ["band_id", "band_hash", "doc_id"]
+                ]
+                right = right.merge(hot, on=keys, how="left")
+                right = right[right["_hot"].isna()][
+                    ["band_id", "band_hash", "doc_id"]
+                ]
         if left.empty or right.empty:
             return pd.DataFrame(
                 {

@@ -1320,6 +1320,10 @@ def _update_band_store_locked(
     # manifest is recomputed; a leftover staging dir is removed here).
     chunk_size = 16  # bounds concurrent actor pools per execution
     staging = os.path.join(store_dir, "_staging")
+    # unconditional: a crash after the last chunk's manifests were written
+    # but before its trailing cleanup leaves a stale staging dir that a
+    # fully-resumed run (empty `stale`) would otherwise never remove
+    shutil.rmtree(staging, ignore_errors=True)
     for i in range(0, len(stale), chunk_size):
         chunk = stale[i : i + chunk_size]
         shutil.rmtree(staging, ignore_errors=True)

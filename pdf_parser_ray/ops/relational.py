@@ -711,6 +711,16 @@ def exact_quantiles(
     so a value's bin is consistent by construction. Nulls are excluded,
     as in SQL.
 
+    Precision domain: every pass (binning, the (value, count) pair key,
+    interpolation) views the column through a float64 cast. For int64
+    inputs with |v| > 2^53, distinct raw values that share a float64
+    representation merge into one pair — harmless for the RESULT, because
+    the cast is monotone (the float64 multiset's order statistics are the
+    casts of the raw order statistics, and SQL ``quantile_cont`` returns
+    DOUBLE anyway) but it means the op cannot distinguish such values; a
+    caller needing exact >2^53 integer quantiles should use a DECIMAL /
+    string-keyed path instead.
+
     Returns rows (q, value), value rounded half-even to 6."""
     from ray.data.aggregate import Count, Max, Min, Sum
 
