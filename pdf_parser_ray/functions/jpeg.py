@@ -27,6 +27,11 @@ import struct
 
 import numpy as np
 
+from pdf_parser_ray.functions.native import (
+    decode_image_native,
+    native_available,
+)
+
 # zigzag scan order: ZIGZAG[k] = natural (row-major) index of the k-th
 # coefficient in scan order (T.81 Figure A.6)
 ZIGZAG = np.array(
@@ -429,11 +434,22 @@ def encode_jpeg(
 
 
 def decode_jpeg(
-    payload: bytes, max_pixels: int = 64_000_000
+    payload: bytes, max_pixels: int = 64_000_000, backend: str = "auto"
 ) -> tuple[int, int, np.ndarray]:
     """(width, height, flat uint8 pixels — RGB for 3 components, single
     channel for grayscale) from a baseline sequential JPEG. Raises
-    ValueError on anything malformed or outside the supported baseline."""
+    ValueError on anything malformed or outside the supported baseline.
+
+    ``backend``: ``"auto"`` routes through the native (Pillow) decoder when
+    importable — the 100x-scale escape hatch for this codec's per-symbol
+    Python Huffman loop; identical dims/channels, pixels within one
+    intensity step (IDCTs are implementation-defined at the ulp level;
+    equivalence pinned in tests/test_native_codec.py). ``"stdlib"`` forces
+    the pure-Python baseline codec; ``"native"`` requires Pillow."""
+    if backend not in ("auto", "stdlib", "native"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if backend == "native" or (backend == "auto" and native_available()):
+        return decode_image_native(payload, max_pixels)
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG SOI")
     qtabs: dict[int, np.ndarray] = {}

@@ -19,12 +19,17 @@ import zlib
 
 import numpy as np
 
+from pdf_parser_ray.functions.native import (
+    decode_image_native,
+    native_available,
+)
+
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def decode_png(
-    payload: bytes, max_pixels: int = 64_000_000
+    payload: bytes, max_pixels: int = 64_000_000, backend: str = "auto"
 ) -> tuple[int, int, np.ndarray]:
     """(width, height, flat uint8 pixel array) from a baseline PNG.
 
@@ -32,7 +37,16 @@ def decode_png(
     on anything malformed or outside the supported baseline.
     ``max_pixels`` bounds accepted dimensions — batch feature-extraction
     callers pass a lower cap because the left-dependent unfilters iterate
-    per pixel."""
+    per pixel.
+
+    ``backend``: ``"auto"`` routes through the native (Pillow) decoder when
+    importable — PNG is lossless, so native pixels are EXACTLY the stdlib
+    pixels (pinned in tests/test_native_codec.py); ``"stdlib"`` forces the
+    pure-Python codec; ``"native"`` requires Pillow."""
+    if backend not in ("auto", "stdlib", "native"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if backend == "native" or (backend == "auto" and native_available()):
+        return decode_image_native(payload, max_pixels)
     if payload[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG signature")
     i = 8

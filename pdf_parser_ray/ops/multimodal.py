@@ -174,6 +174,7 @@ class MediaDecoder:
     """
 
     def __init__(self, fake: bool = False, feature_dim: int = 8):
+        # fake=False is the public default: real decode, degrade on failure
         self.fake = fake
         self.feature_dim = feature_dim
 
@@ -339,13 +340,16 @@ class MediaDecoder:
 
 def media_features(
     media_ds: ray.data.Dataset,
-    fake: bool = True,
+    fake: bool = False,
     feature_dim: int = 8,
     batch_size: int = 16,
     concurrency=(1, 4),
 ) -> ray.data.Dataset:
     """Decode/feature stage: small batches (large binary payloads), Arrow
-    batches end-to-end, actor pool for warm codec state."""
+    batches end-to-end, actor pool for warm codec state. The REAL decode
+    is the default now that every format has one — ``fake=True`` is an
+    explicit plumbing-test knob (deterministic ref-hash features, no
+    payloads needed)."""
     return media_ds.map_batches(
         MediaDecoder,
         fn_constructor_kwargs={"fake": fake, "feature_dim": feature_dim},
@@ -603,7 +607,8 @@ class ImageResizer:
 
     _PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}
 
-    def __init__(self, max_side: int = 256, fake: bool = True):
+    def __init__(self, max_side: int = 256, fake: bool = False):
+        # fake=False is the public default: real decode+resample+re-encode
         self.max_side = max_side
         self.fake = fake
 
@@ -666,11 +671,12 @@ def resize_media(
     features_ds: ray.data.Dataset,
     max_side: int = 256,
     batch_size: int = 16,
-    fake: bool = True,
+    fake: bool = False,
 ) -> ray.data.Dataset:
-    """Resize stage: with ``fake=False`` pass the raw MEDIA table (payload
-    column) — real decode + resample + PNG re-encode; with ``fake=True``
-    pass a features table — geometry only."""
+    """Resize stage. Default (``fake=False``, the real kernel): pass the
+    raw MEDIA table (payload column) — real decode + resample + PNG
+    re-encode. ``fake=True`` is an explicit plumbing-test knob: pass a
+    FEATURES table, geometry only."""
     return features_ds.map_batches(
         ImageResizer,
         fn_constructor_kwargs={"max_side": max_side, "fake": fake},

@@ -427,7 +427,7 @@ def test_media_resize_and_frames(ray_session):
         )
     )
     feats = multimodal.media_features(media, fake=True, concurrency=1)
-    resized = multimodal.resize_media(feats, max_side=64).to_pandas()
+    resized = multimodal.resize_media(feats, max_side=64, fake=True).to_pandas()
     assert resized.width.iloc[0] <= 64 and resized.height.iloc[0] <= 64
     frames = multimodal.sample_frames(media, every_n=5, max_frames=3).to_pandas()
     assert list(frames.frame_index) == [0, 5, 10]
