@@ -686,6 +686,27 @@ def quantiles(
     return approx_quantiles(ds, col, qs)
 
 
+def _is_scan_only(ds: ray.data.Dataset) -> bool:
+    """True when the dataset's logical plan is a bare (possibly
+    column-projected) parquet/file read — re-executing it is a pruned
+    re-scan, not a recomputation. Version-tolerant: any introspection
+    failure routes to the safe answer (False -> keep the pin)."""
+    try:
+        from ray.data._internal.logical.operators.read_operator import Read
+
+        node = ds._plan._logical_plan.dag
+        while not isinstance(node, Read):
+            if (
+                type(node).__name__ != "Project"
+                or len(node.input_dependencies) != 1
+            ):
+                return False
+            node = node.input_dependencies[0]
+        return True
+    except Exception:
+        return False
+
+
 def exact_quantiles(
     ds: ray.data.Dataset, col: str, qs: list[float], n_bins: int = 8192
 ) -> ray.data.Dataset:
@@ -705,8 +726,12 @@ def exact_quantiles(
     row-count of a hot bin (a value held by half the column contributes
     ONE pair). The earlier distinct-value groupby pulled every distinct
     value to the driver, which on a near-unique 100-TB column is the
-    corpus. The single-column projection is materialized once so the
-    three passes don't re-execute upstream stages. Binning uses one
+    corpus. The single-column projection is routed on input kind: for a
+    TRANSFORMED input it is materialized once so the three passes don't
+    re-execute upstream stages, but for a bare (possibly projected)
+    parquet read each pass re-scans instead — a pruned column read is
+    cheaper than pinning a 100-TB column in the object store, where the
+    pin itself can spill. Binning uses one
     shared searchsorted rule on identical float64 edges in every pass,
     so a value's bin is consistent by construction. Nulls are excluded,
     as in SQL.
@@ -727,11 +752,11 @@ def exact_quantiles(
     def drop_nulls(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_valid(batch[col]))
 
-    proj = (
-        ds.select_columns([col])
-        .map_batches(drop_nulls, batch_format="pyarrow")
-        .materialize()
+    proj = ds.select_columns([col]).map_batches(
+        drop_nulls, batch_format="pyarrow"
     )
+    if not _is_scan_only(ds):
+        proj = proj.materialize()
     stats = proj.aggregate(
         Min(col, alias_name="mn"), Max(col, alias_name="mx"),
         Count(alias_name="n"),
@@ -1044,11 +1069,47 @@ def top_k_per_group(
     )
 
 
+def _grouped_quantiles_census(
+    ds: ray.data.Dataset, group_col: str, col: str
+) -> list[tuple[object, int]]:
+    """(group value, count of valid ``col`` values) per distinct group —
+    one driver row per group, the same order as the op's own output, so
+    the driver load is output-bounded by construction. Per-batch Arrow
+    group_by partials merge in one tiny prefix-encoded-key groupby (Ray
+    2.49 groupby crashes on null keys; the raw group value rides along as
+    a non-key column and survives via Min)."""
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, col]).filter(pc.is_valid(batch[col]))
+        gvals = t[group_col].to_pylist()
+        keys = pa.array(
+            ["\x01" + str(v) if v is not None else "\x00" for v in gvals],
+            pa.string(),
+        )
+        part = (
+            pa.table(
+                {"_gkey": keys, "_gval": t[group_col]}
+            )
+            .group_by("_gkey")
+            .aggregate([("_gval", "min"), ([], "count_all")])
+        )
+        return part.rename_columns(["_gkey", "_gval", "n"])
+
+    rows = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("_gkey")
+        .aggregate(Sum("n", alias_name="n"), Min("_gval", alias_name="_gval"))
+        .take_all()
+    )
+    return [(r["_gval"], int(r["n"])) for r in rows]
+
+
 def grouped_quantiles(
     ds: ray.data.Dataset,
     group_col: str,
     col: str,
     qs: list[float],
+    max_group_rows: "int | None" = 4_000_000,
 ) -> ray.data.Dataset:
     """Per-group exact quantiles with linear interpolation (SQL
     ``quantile_cont(col, q) ... GROUP BY group`` semantics): one row per
@@ -1056,12 +1117,93 @@ def grouped_quantiles(
     ignored; a group with no valid values emits no rows; a NULL group is
     its own group (SQL GROUP BY law).
 
-    Scale shape: ONE hash-bucketed shuffle of (group, value) pairs, then
-    per-group sorted-array interpolation inside the bucket — group
-    cardinality bounds nothing here (any number of tiny groups share the
-    coarse buckets), and a single giant group is one in-task sort, the
-    same per-group contract as map_groups itself."""
+    Scale shape: a census pass (one driver row per group — output-bounded),
+    then ONE hash-bucketed shuffle of (group, value) pairs with per-group
+    sorted-array interpolation inside the bucket — group cardinality
+    bounds nothing here (any number of tiny groups share the coarse
+    buckets). The giant-group guard: a skewed key (one language = 40% of
+    a 100-TB corpus) would otherwise sort in a single task, so any group
+    whose valid-value count exceeds ``max_group_rows`` detours through
+    :func:`exact_quantiles`' histogram-cut order statistics (driver load
+    bounded by n_bins + the needed bins' distinct pairs, never the group's
+    rows), and only the remaining small groups ride the bucketed sort.
+    Giant groups are few by definition (each holds > cap rows), so the
+    per-group detour count is bounded by corpus_rows / cap.
+    ``max_group_rows=None`` disables the guard (and the census).
+
+    The two routes share the interpolation law (h = (n-1)q between
+    flanking order statistics, then decimal rounding) — route equality is
+    pinned by the planted giant-group test. One documented divergence:
+    a float column holding literal NaN values drops them here but ranks
+    them in exact_quantiles; integer/decimal columns are unaffected."""
     cols = [group_col, col]
+
+    giants: list[tuple[object, int]] = []
+    if max_group_rows is not None:
+        giants = [
+            (g, n)
+            for g, n in _grouped_quantiles_census(ds, group_col, col)
+            if n > max_group_rows
+        ]
+
+    gtype_field = ds.schema().base_schema.field(group_col).type
+    giant_tables: list[pa.Table] = []
+    if giants:
+        small_mask_vals = [g for g, _ in giants if g is not None]
+        drop_null_group = any(g is None for g, _ in giants)
+
+        def keep_small(batch: pa.Table) -> pa.Table:
+            keep = pa.array([True] * batch.num_rows)
+            if small_mask_vals:
+                keep = pc.and_(
+                    keep,
+                    pc.coalesce(
+                        pc.invert(
+                            pc.is_in(
+                                # an all-null block slice types the column
+                                # `null` — cast to the schema type first
+                                pc.cast(batch[group_col], gtype_field),
+                                value_set=pa.array(small_mask_vals, gtype_field),
+                            )
+                        ),
+                        pa.scalar(True),
+                    ),
+                )
+            if drop_null_group:
+                keep = pc.and_(keep, pc.is_valid(batch[group_col]))
+            return batch.filter(keep)
+
+        ds_small = ds.map_batches(keep_small, batch_format="pyarrow")
+        for gval, _n in giants:
+            if gval is None:
+                pred = lambda b: b.filter(pc.is_null(b[group_col]))
+            else:
+                pred = lambda b, _g=gval: b.filter(
+                    pc.coalesce(
+                        pc.equal(
+                            pc.cast(b[group_col], gtype_field),
+                            pa.scalar(_g, gtype_field),
+                        ),
+                        pa.scalar(False),
+                    )
+                )
+            sub = ds.map_batches(
+                lambda b, _p=pred: _p(b.select(cols)), batch_format="pyarrow"
+            )
+            grows = exact_quantiles(sub, col, qs).take_all()  # |qs| rows
+            giant_tables.append(
+                pa.table(
+                    {
+                        group_col: pa.array([gval] * len(grows), gtype_field),
+                        "q": pa.array([r["q"] for r in grows], pa.float64()),
+                        "value": pa.array(
+                            [r["value"] for r in grows], pa.float64()
+                        ),
+                    }
+                )
+            )
+        ds = ds_small
+
     bucketized = _bucket_by_group(ds, group_col, cols)
 
     def quants(group: pa.Table) -> pa.Table:
@@ -1099,15 +1241,20 @@ def grouped_quantiles(
             }
         )
 
-    gtype = ds.schema().base_schema.field(group_col).type
     out_schema = pa.schema(
-        [(group_col, gtype), ("q", pa.float64()), ("value", pa.float64())]
+        [(group_col, gtype_field), ("q", pa.float64()), ("value", pa.float64())]
     )
-    return (
+    small = (
         bucketized.groupby("_gb")
         .map_groups(quants, batch_format="pyarrow")
         .map_batches(schema_pin(out_schema), batch_format="pyarrow")
     )
+    if giant_tables:
+        giant_ds = ray.data.from_arrow(
+            pa.concat_tables(giant_tables).cast(out_schema)
+        ).map_batches(schema_pin(out_schema), batch_format="pyarrow")
+        return small.union(giant_ds)
+    return small
 
 
 # ---- heavy hitters (Misra-Gries-style mergeable summary) -------------------

@@ -1247,6 +1247,81 @@ def test_grouped_quantiles_matches_numpy(ray_session):
     assert got == {"x": 2.5, "y": 15.0}
 
 
+def test_exact_quantiles_pin_routed_on_input_kind(ray_session, tmp_path, monkeypatch):
+    """A bare (or column-projected) parquet read must NOT be pinned in the
+    object store — each pass re-scans the pruned column instead; a
+    transformed input keeps the one-shot materialize. Same answer on
+    both routes."""
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.ops.relational import _is_scan_only, exact_quantiles
+
+    path = str(tmp_path / "t.parquet")
+    rng = np.random.RandomState(3)
+    pq.write_table(
+        pa.table({"v": rng.randint(0, 1000, 400), "w": np.ones(400)}), path
+    )
+
+    read = ray.data.read_parquet(path)
+    assert _is_scan_only(read)
+    assert _is_scan_only(read.select_columns(["v"]))
+    xform = read.map_batches(lambda b: b, batch_format="pyarrow")
+    assert not _is_scan_only(xform)
+
+    calls = []
+    orig = ray.data.Dataset.materialize
+
+    def spy(self, **kw):
+        calls.append(1)
+        return orig(self, **kw)
+
+    monkeypatch.setattr(ray.data.Dataset, "materialize", spy)
+    got_scan = exact_quantiles(read, "v", [0.25, 0.75]).take_all()
+    assert calls == []  # read path: no pin
+    got_xform = exact_quantiles(xform, "v", [0.25, 0.75]).take_all()
+    assert len(calls) == 1  # transformed path: exactly the one pin
+    assert got_scan == got_xform
+
+
+def test_grouped_quantiles_giant_group_guard(ray_session):
+    """Planted one-giant-group corpus: the guard must (a) route the giant
+    group through the histogram-cut path — pinned by the census marking
+    it — and (b) produce EXACTLY the unguarded result (route equality:
+    both share the interpolation law). A null group rides along to pin
+    the null-group detour too."""
+    from pdf_parser_ray.ops.relational import (
+        _grouped_quantiles_census,
+        grouped_quantiles,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [{"lang": "en", "n_chars": int(v)} for v in rng.randint(1, 10_000, 500)]
+    rows += [{"lang": "fr", "n_chars": int(v)} for v in rng.randint(1, 500, 40)]
+    rows += [{"lang": None, "n_chars": int(v)} for v in rng.randint(1, 500, 90)]
+    rows += [{"lang": "de", "n_chars": None}]  # all-null group: no rows
+    ds = ray.data.from_items(rows)
+
+    census = dict(_grouped_quantiles_census(ds, "lang", "n_chars"))
+    assert census == {"en": 500, "fr": 40, None: 90}
+
+    qs = [0.25, 0.5, 0.75]
+    # cap 60: giant = {en (500), null (90)}; fr stays on the bucketed sort
+    guarded = (
+        grouped_quantiles(ds, "lang", "n_chars", qs, max_group_rows=60)
+        .to_pandas()
+        .sort_values(["lang", "q"], na_position="first")
+        .reset_index(drop=True)
+    )
+    unguarded = (
+        grouped_quantiles(ds, "lang", "n_chars", qs, max_group_rows=None)
+        .to_pandas()
+        .sort_values(["lang", "q"], na_position="first")
+        .reset_index(drop=True)
+    )
+    assert len(guarded) == 9  # 3 groups x 3 qs, de emits nothing
+    pd.testing.assert_frame_equal(guarded, unguarded)
+
+
 def test_knn_ivf_recall_exhaustive_probe_is_one(ray_session):
     """n_probe == n_centroids makes IVF exhaustive: recall@k vs brute
     force must be exactly 1.0; a 1-of-8 probe on clustered data drops
