@@ -1,10 +1,17 @@
 """Local simulation of the driver's correctness gate: run each
 __ray_entry__ query at a given sf and compare to its DuckDB oracle
-(row count, column names, order-insensitive value hash)."""
+(row count, column names, order-insensitive value hash).
+
+Queries whose semantics have no SQL closed form compare against a
+committed golden fixture instead (tests/fixtures/<name>_<sf>.json,
+produced by the matching scripts/make_*_fixture.py single-process
+oracle) — same row/column/hash gate, different oracle source."""
 
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 import sys
 import time
 
@@ -13,6 +20,25 @@ import pandas as pd
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = sys.argv[2:] or None
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURE_ORACLES = {"validation_summary": "validation_summary_{sf}.json"}
+
+
+def fixture_frame(name: str) -> "pd.DataFrame | None":
+    tmpl = FIXTURE_ORACLES.get(name)
+    if tmpl is None:
+        return None
+    path = os.path.join(
+        _REPO,
+        "tests",
+        "fixtures",
+        tmpl.format(sf=os.path.basename(SF_DIR.rstrip("/"))),
+    )
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return pd.DataFrame([json.load(f)])
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -69,8 +95,9 @@ def main() -> None:
             n_fail += 1
             continue
         dt = time.time() - t0
-        if name in oracles:
-            want = con.execute(oracles[name]).df()
+        want_fx = fixture_frame(name)
+        if name in oracles or want_fx is not None:
+            want = con.execute(oracles[name]).df() if name in oracles else want_fx
             ok_rows = len(got) == len(want)
             ok_cols = sorted(got.columns) == sorted(want.columns)
             ok_vals = ok_rows and ok_cols and value_hash(got) == value_hash(want)

@@ -29,6 +29,38 @@ def test_validation_summary(ray_session):
     assert summary["page_coverage_pct"] == 100.0
 
 
+def test_validation_summary_matches_single_process_oracle(ray_session):
+    """Route equality: the distributed summary (corpus lift -> fused
+    extraction -> one-pass aggregate) must equal the single-process
+    oracle (scripts/make_validation_fixture.py) that produces the
+    committed gate fixture — run here at sf0.001 so the fixture
+    mechanism itself stays honest in CI."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "make_validation_fixture",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "make_validation_fixture.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    sf_dir = "/root/testdata/sf0.001"
+    want = mod.summarize(sf_dir)
+
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__ as entrymod
+
+    got = entrymod.queries()["validation_summary"](sf_dir).iloc[0].to_dict()
+    assert got == want
+
+
 def test_write_validation_report(ray_session, tmp_path):
     corpus = ray.data.from_arrow(generate_corpus(5))
     summary = validation_summary(extract_fused(corpus))
