@@ -91,16 +91,50 @@ def _prepare_corpus() -> tuple[str, int]:
     return path, n_docs
 
 
-def run_headline() -> dict:
+def _prepare_planted_giant(n_pages: int = 28_000) -> str:
+    """One pathological ~100k-span document (28k pages) as its own parquet
+    file (untimed, cached) — the skew-stress payload. Its single-task
+    doclogic cost is ~2 s, so the hybrid path's claim is that the giant-doc
+    tail hides under the parallel small-doc work rather than serializing
+    the run."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.schemas import CORPUS_SCHEMA
+    from pdf_parser_ray.synthgen import (
+        CHARS_PER_LINE,
+        LINES_PER_PAGE,
+        doc_text_to_spans,
+    )
+
+    path = f"/tmp/bench_giant_doc_{n_pages}.parquet"
+    if not os.path.exists(path):
+        row = doc_text_to_spans(
+            "bench-giant-doc", "a" * (CHARS_PER_LINE * LINES_PER_PAGE * n_pages)
+        )
+        pq.write_table(pa.Table.from_pylist([row], schema=CORPUS_SCHEMA), path)
+    return path
+
+
+def run_headline(plant_giant: bool = False) -> dict:
     """Flagship: read span corpus (size-partitioned) -> skew-aware
     extraction: whole-doc rows map in place, the giant-doc tail goes through
-    the groupby(bucket) reassembly shuffle -> parquet results."""
+    the groupby(bucket) reassembly shuffle -> parquet results.
+
+    ``plant_giant`` additionally feeds the ~100k-span pathological document
+    into the giant branch (the --skewed stress)."""
+    import glob as _glob
+
     import ray.data
 
     from pdf_parser_ray.pipelines import extract, extract_fused
 
     shutil.rmtree(OUT_DIR, ignore_errors=True)
     corpus_path, n_docs = _prepare_corpus()
+    giant_files = sorted(_glob.glob(f"{corpus_path}/giant/*.parquet"))
+    if plant_giant:
+        giant_files.append(_prepare_planted_giant())
+        n_docs += 1
 
     # untimed warm-up: page cache, worker imports (either size class may
     # be absent — an empty write creates no directory)
@@ -119,9 +153,9 @@ def run_headline() -> dict:
         branches = []
         if os.path.isdir(f"{corpus_path}/small"):
             branches.append(extract_fused(ray.data.read_parquet(f"{corpus_path}/small")))
-        if os.path.isdir(f"{corpus_path}/giant"):
+        if giant_files:
             branches.append(
-                extract(ray.data.read_parquet(f"{corpus_path}/giant"), n_buckets=n_buckets)
+                extract(ray.data.read_parquet(giant_files), n_buckets=n_buckets)
             )
         if not branches:
             raise SystemExit(f"no corpus partitions under {corpus_path}")
@@ -221,6 +255,29 @@ def _bench_resumable_cold_warm() -> dict[str, float]:
     return out
 
 
+def _bench_cc_routes() -> dict[str, float]:
+    """Driver union-find vs forced distributed label-propagation CC for
+    the same sf0.1 MinHash dedup — the fallback route above
+    ``driver_cc_max_pairs`` had never been benched. Equality of the two
+    routes is pinned by tests; this records the distributed route's cost
+    next to the driver route's."""
+    import ray.data
+
+    from pdf_parser_ray.ops.dedup import minhash_dedup
+
+    out: dict[str, float] = {}
+    for label, cap in (("drivercc", 1_000_000), ("distcc", 0)):
+        ds = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        t0 = time.time()
+        minhash_dedup(
+            ds, jaccard_threshold=0.8, driver_cc_max_pairs=cap
+        ).select_columns(["doc_id"]).to_pandas()
+        out[f"minhash_dedup_{label}"] = round(time.time() - t0, 3)
+    return out
+
+
 def run_family(fam: str) -> dict[str, float]:
     """One family's per-query timings, inside this process's fresh
     session (called via the --family child)."""
@@ -255,6 +312,7 @@ def run_family(fam: str) -> dict[str, float]:
         out[name] = round(time.time() - t0, 3)
     if fam == "minhash":
         out.update(_bench_resumable_cold_warm())
+        out.update(_bench_cc_routes())
     return out
 
 
@@ -287,6 +345,10 @@ def main() -> None:
 
     if "--scaling" in sys.argv:
         run_scaling()
+        return
+
+    if "--skewed" in sys.argv:
+        run_skew_stress()
         return
 
     # silence per-block schema-hash warnings in driver AND workers: the env
@@ -323,7 +385,7 @@ def main() -> None:
         ray.shutdown()
         return
 
-    head = run_headline()
+    head = run_headline(plant_giant="--plant-giant" in sys.argv)
     if headline_only:
         queries = {}
     else:
@@ -352,6 +414,48 @@ def main() -> None:
     )
     if ray.is_initialized():
         ray.shutdown()
+
+
+def run_skew_stress() -> None:
+    """The skew claim, measured: the same mult-64 headline with and without
+    one planted ~100k-span document, fresh process each (sequential, so the
+    box is never shared). The hybrid path's giant-doc tail runs in one task
+    while the small-doc fleet proceeds — PASS is a ratio within 1.5x (the
+    variance band; single-sample swings on this box reach 2-3x, which is
+    why both runs are median-of-3)."""
+
+    def child(plant: bool) -> dict:
+        env = dict(
+            os.environ,
+            GRAFT_BENCH_MULT=os.environ.get("GRAFT_BENCH_MULT", "64"),
+        )
+        args = [sys.executable, os.path.abspath(__file__), "--headline-only"]
+        if plant:
+            args.append("--plant-giant")
+        out = subprocess.run(
+            args, env=env, capture_output=True, text=True, check=True
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    base = child(False)
+    skew = child(True)
+    ratio = skew["value"] / base["value"] if base["value"] else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "skew stress: mult-64 headline with one planted "
+                "~100k-span document vs without",
+                "headline_mult64": base["value"],
+                "headline_skewed": skew["value"],
+                "headline_samples": base["headline_samples"],
+                "skewed_samples": skew["headline_samples"],
+                "ratio": round(ratio, 3),
+                "within_band": ratio <= 1.5,
+                "sf": skew["sf"],
+                "n_docs": skew["n_docs"],
+            }
+        )
+    )
 
 
 def run_scaling() -> None:

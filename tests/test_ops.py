@@ -519,6 +519,31 @@ def test_minhash_dedup_distributed_route_matches_driver(docs_with_dups):
     assert d_driver == d_dist == d_anti
 
 
+def test_minhash_dedup_cc_route_equality_sf01(ray_session):
+    """Route equality at real-data scale (sf0.1, 5k docs): the forced
+    distributed label-propagation CC must keep exactly the same survivor
+    set as the driver union-find — the small-fixture equality test above,
+    promoted per the round-4 verdict so the fallback route is exercised
+    against the same corpus the bench times (bench.py _bench_cc_routes)."""
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.1/documents.parquet", columns=["doc_id", "text"]
+    )
+    kept_driver = sorted(
+        dedup.minhash_dedup(ds, jaccard_threshold=0.8)
+        .select_columns(["doc_id"])
+        .to_pandas()
+        .doc_id
+    )
+    kept_dist = sorted(
+        dedup.minhash_dedup(ds, jaccard_threshold=0.8, driver_cc_max_pairs=0)
+        .select_columns(["doc_id"])
+        .to_pandas()
+        .doc_id
+    )
+    assert len(kept_driver) > 0
+    assert kept_driver == kept_dist
+
+
 def test_filter_out_ids_anti_join(ray_session):
     data = ray.data.from_items(
         [{"doc_id": i, "text": f"t{i}"} for i in range(20)]
