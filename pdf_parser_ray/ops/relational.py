@@ -1078,6 +1078,7 @@ def _grouped_quantiles_census(
     group_by partials merge in one tiny prefix-encoded-key groupby (Ray
     2.49 groupby crashes on null keys; the raw group value rides along as
     a non-key column and survives via Min)."""
+    gtype = ds.schema().base_schema.field(group_col).type
 
     def count_partial(batch: pa.Table) -> pa.Table:
         t = batch.select([group_col, col]).filter(pc.is_valid(batch[col]))
@@ -1088,7 +1089,9 @@ def _grouped_quantiles_census(
         )
         part = (
             pa.table(
-                {"_gkey": keys, "_gval": t[group_col]}
+                # cast: an all-null block slice types the column `null`,
+                # which would diverge partial schemas across blocks
+                {"_gkey": keys, "_gval": pc.cast(t[group_col], gtype)}
             )
             .group_by("_gkey")
             .aggregate([("_gval", "min"), ([], "count_all")])
