@@ -291,6 +291,37 @@ def _q_cross_corpus_near_dups(sf_dir: str):
     return cross_corpus_near_dups(train=rest, test=held_out, threshold=0.8)
 
 
+def _q_cross_corpus_embedding_near_dups(sf_dir: str):
+    """Semantic decontamination BETWEEN corpora: sign-LSH cross-side
+    candidates over the deterministic embeddings split (vec_id % 10 == 0
+    held out, the _split_documents law on the vector table), exact
+    rounded-cosine scored — the embedding-space sibling of
+    cross_corpus_near_dups. Same seeded hyperplane bank as
+    embedding_near_dup, so the SQL oracle embeds the identical plane
+    literals with side predicates."""
+    import ray.data
+
+    from pdf_parser_ray.ops.crossembed import cross_corpus_embedding_near_dups
+
+    def side(held_out: bool):
+        def f(batch):
+            m = (batch["vec_id"].to_numpy(zero_copy_only=False) % 10) == 0
+            return batch.filter(pa.array(m if held_out else ~m))
+
+        return f
+
+    def read():
+        return ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+
+    held = read().map_batches(side(True), batch_format="pyarrow")
+    rest = read().map_batches(side(False), batch_format="pyarrow")
+    return cross_corpus_embedding_near_dups(
+        train=rest, test=held, threshold=0.4
+    )
+
+
 def _q_contamination_check(sf_dir: str):
     from pdf_parser_ray.ops.crosscorpus import contamination_scores
 
@@ -1186,6 +1217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-corpus
         "contamination_check": _q_contamination_check,
         "cross_corpus_near_dups": _q_cross_corpus_near_dups,
+        "cross_corpus_embedding_near_dups": _q_cross_corpus_embedding_near_dups,
         "bloom_novel_docs": _q_bloom_novel_docs,
         "gopher_rules": _q_gopher_rules,
         "chunk_documents": _q_chunk_documents,
@@ -1377,6 +1409,46 @@ def _embedding_lsh_sql(
         "round_even(list_cosine_similarity(ea.v, eb.v), 6) AS cosine "
         "FROM cand c JOIN e ea ON ea.vec_id = c.id_a "
         "JOIN e eb ON eb.vec_id = c.id_b "
+        f"WHERE round_even(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}"
+    )
+
+
+def _cross_embedding_lsh_sql(
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 11,
+    dim: int = 64,
+) -> str:
+    """The cross-corpus sign-LSH pipeline (ops/crossembed.py) in SQL: the
+    _embedding_lsh_sql plane-literal trick, with the same-bucket join
+    restricted to CROSS-side collisions only (train = vec_id % 10 != 0,
+    test = vec_id % 10 == 0 — the deterministic split the query uses) and
+    pairs oriented (train_id, test_id), not id-sorted."""
+    rows = []
+    for t in range(n_tables):
+        planes = np.random.RandomState(seed + t).standard_normal((dim, n_planes))
+        for p in range(n_planes):
+            vals = ",".join(repr(float(x)) for x in planes[:, p])
+            rows.append(f"({t}, {p}, [{vals}]::DOUBLE[])")
+    values = ", ".join(rows)
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+        "  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL), "
+        f"pl(t, p, pv) AS (VALUES {values}), "
+        "keys AS ("
+        f"  SELECT e.vec_id, pl.t * {1 << n_planes} + "
+        "    SUM(CASE WHEN list_dot_product(e.v, pl.pv) > 0 "
+        "        THEN (1::BIGINT << pl.p) ELSE 0 END) AS bucket_key "
+        "  FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.t"
+        "), cand AS ("
+        "  SELECT DISTINCT a.vec_id AS train_id, b.vec_id AS test_id "
+        "  FROM keys a JOIN keys b ON a.bucket_key = b.bucket_key "
+        "  WHERE a.vec_id % 10 != 0 AND b.vec_id % 10 = 0"
+        ") SELECT c.train_id, c.test_id, "
+        "round_even(list_cosine_similarity(ea.v, eb.v), 6) AS cosine "
+        "FROM cand c JOIN e ea ON ea.vec_id = c.train_id "
+        "JOIN e eb ON eb.vec_id = c.test_id "
         f"WHERE round_even(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}"
     )
 
@@ -1955,6 +2027,12 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN CAST(doc_a AS BIGINT) % 10 = 0 THEN doc_a ELSE doc_b END AS test_id, "
             "round_even(j, 6) AS jaccard FROM verified WHERE j >= 0.8 AND "
             "(CAST(doc_a AS BIGINT) % 10 = 0) != (CAST(doc_b AS BIGINT) % 10 = 0)"
+        ),
+        # embedding-space decontamination: the seeded-plane-literal LSH
+        # oracle restricted to cross-side bucket collisions, oriented
+        # train-first
+        "cross_corpus_embedding_near_dups": _cross_embedding_lsh_sql(
+            threshold=0.4, n_planes=6, n_tables=8, seed=11
         ),
         # exact inverted-index Jaccard: same shingle CTE as the MinHash
         # oracle, but pairs come from sharing >=1 shingle (posting-list

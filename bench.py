@@ -205,6 +205,7 @@ FAMILIES: dict[str, list[str]] = {
     "curation": ["tfidf_top_terms", "lm_surprisal", "assign_splits",
                  "curate_corpus", "rebalance_sources", "surprisal_filter"],
     "crosscorpus": ["contamination_check", "cross_corpus_near_dups",
+                    "cross_corpus_embedding_near_dups",
                     "bloom_novel_docs",
                     "media_features_png", "media_features_jpeg",
                     "media_features_wav", "media_probe_mp4",

@@ -51,8 +51,23 @@ def cross_corpus_embedding_near_dups(
     def _std(ds: ray.data.Dataset, side: int) -> ray.data.Dataset:
         def norm(batch: pa.Table) -> pa.Table:
             t = pa.table({"vec_id": batch[id_col], "vec": batch[vec_col]})
+            # drop null ids, null vectors AND empty vectors (an empty list
+            # is not a point in the space; it would also make the batch
+            # matrix ragged). Remaining vectors must share one dimension —
+            # the embedding-table contract.
             t = t.filter(
-                pc.and_(pc.is_valid(t["vec_id"]), pc.is_valid(t["vec"]))
+                pc.and_(
+                    pc.and_(
+                        pc.is_valid(t["vec_id"]), pc.is_valid(t["vec"])
+                    ),
+                    pc.greater(
+                        pc.coalesce(
+                            pc.list_value_length(t["vec"]),
+                            pa.scalar(0, pa.int32()),
+                        ),
+                        0,
+                    ),
+                )
             )
             return t.append_column(
                 "side", pa.array([side] * t.num_rows, pa.int8())

@@ -70,9 +70,9 @@ def test_cross_embedding_near_dups_drops_nulls(ray_session):
     train = ray.data.from_arrow(
         pa.table(
             {
-                "vec_id": pa.array([1, None, 3], pa.int64()),
+                "vec_id": pa.array([1, None, 3, 4], pa.int64()),
                 "embedding": pa.array(
-                    [_axis(0).tolist(), _axis(0).tolist(), None],
+                    [_axis(0).tolist(), _axis(0).tolist(), None, []],
                     pa.list_(pa.float64()),
                 ),
             }
