@@ -35,15 +35,43 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["disc_price"] = df.l_extendedprice * (1 - df.l_discount)
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            count_order=("l_quantity", "size"),
+        # all-Arrow partial: no pandas copy per batch (the aggregate sums
+        # go through decimal formatting downstream, which absorbs
+        # summation-order ULP differences)
+        disc = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = (
+            pa.table(
+                {
+                    "l_returnflag": batch["l_returnflag"],
+                    "l_linestatus": batch["l_linestatus"],
+                    "l_quantity": batch["l_quantity"],
+                    "l_extendedprice": batch["l_extendedprice"],
+                    "disc_price": disc,
+                }
+            )
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate(
+                [
+                    ("l_quantity", "sum"),
+                    ("l_extendedprice", "sum"),
+                    ("disc_price", "sum"),
+                    ([], "count_all"),
+                ]
+            )
+        )
+        return g.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty",
+                "sum_base_price",
+                "sum_disc_price",
+                "count_order",
+            ]
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(

@@ -72,13 +72,22 @@ def quality_score(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Data
     """
 
     def score(batch: pa.Table) -> pa.Table:
-        text = pc.cast(batch[text_col], pa.string()).to_pandas().fillna("")
-        n_chars = text.str.len().to_numpy(dtype=np.float64)
-        n_tokens = text.str.count(r"\S+").to_numpy(dtype=np.float64)
-        n_punct = text.str.count(r"[.,;:!?]").to_numpy(dtype=np.float64)
-        n_stop = text.str.lower().str.count(
-            r"\b(?:the|and|of|to|a|in|is|it|that|for)\b"
-        ).to_numpy(dtype=np.float64)
+        # all-Arrow counters (no pandas copy): RE2 kernels, the same
+        # engine family as the DuckDB oracle's regexp_extract_all
+        text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+
+        def f64(arr) -> np.ndarray:
+            return arr.to_numpy(zero_copy_only=False).astype(np.float64)
+
+        n_chars = f64(pc.utf8_length(text))
+        n_tokens = f64(pc.count_substring_regex(text, r"\S+"))
+        n_punct = f64(pc.count_substring_regex(text, r"[.,;:!?]"))
+        n_stop = f64(
+            pc.count_substring_regex(
+                pc.utf8_lower(text),
+                r"\b(?:the|and|of|to|a|in|is|it|that|for)\b",
+            )
+        )
         tokens_safe = np.maximum(n_tokens, 1.0)
         punct_ratio = n_punct / tokens_safe
         stop_ratio = n_stop / tokens_safe
