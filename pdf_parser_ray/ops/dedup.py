@@ -1175,7 +1175,11 @@ def _dedup_with_candidates(
         )
         drop_ids = [node for node, rep in clusters.items() if node != rep]
     else:
-        cc = connected_components_distributed(verified, numeric_ids=numeric)
+        cc = connected_components_distributed(
+            verified,
+            numeric_ids=numeric,
+            num_buckets=_cc_num_buckets(n_pairs),  # already counted
+        )
 
         def nonrep(batch: pa.Table) -> pa.Table:
             return batch.filter(
@@ -1412,8 +1416,17 @@ def minhash_dedup_resumable(
     )
 
 
+def _cc_num_buckets(n_pairs: int) -> int:
+    """Shuffle width for the distributed-CC rounds: ~64k directed edge rows
+    per bucket (2 rows per pair), floor 8, cap _DEDUP_BUCKETS."""
+    return min(_DEDUP_BUCKETS, max(8, (2 * n_pairs) // 65_536 + 8))
+
+
 def connected_components_distributed(
-    pairs_ds: ray.data.Dataset, max_rounds: int = 50, numeric_ids: bool = False
+    pairs_ds: ray.data.Dataset,
+    max_rounds: int = 50,
+    numeric_ids: bool = False,
+    num_buckets: "int | None" = None,
 ) -> ray.data.Dataset:
     """Distributed connected components over candidate pairs via iterative
     min-label propagation — the scale path when the pair set outgrows the
@@ -1432,7 +1445,19 @@ def connected_components_distributed(
     MIN(doc_id): ids are zero-padded to 20 digits internally so the
     lexicographic min-label propagation orders them numerically, and
     decoded at finalize.
+
+    ``num_buckets`` sizes the per-round shuffles. Every round runs TWO
+    all-to-all exchanges whose driver-side coordination cost is paid PER
+    BLOCK (~0.1-0.3 s each on this Ray build), so bucket count must track
+    the EDGE count, not a fixed constant: the first sf0.1 bench of this
+    route spent 276 s on a few-hundred-pair graph at 256 buckets —
+    per-round block overhead, zero data. Default: one bucket per ~64k
+    directed edge rows, floor 8, cap _DEDUP_BUCKETS (callers that already
+    counted the pairs pass it in; otherwise one cheap count() on the
+    materialized pair set).
     """
+    if num_buckets is None:
+        num_buckets = _cc_num_buckets(pairs_ds.count())
 
     def enc(x: str) -> str:
         return f"{int(x):020d}" if numeric_ids else str(x)
@@ -1450,7 +1475,7 @@ def connected_components_distributed(
                 "dst": pa.array(b + a, pa.string()),
                 "label": pa.array([None] * len(keys), pa.string()),
                 "_b": pa.array(
-                    [_md5_64([k])[0] % _DEDUP_BUCKETS for k in keys], pa.int64()
+                    [_md5_64([k])[0] % num_buckets for k in keys], pa.int64()
                 ),
             }
         )
@@ -1471,7 +1496,7 @@ def connected_components_distributed(
     def min_label_per_key(group: pd.DataFrame) -> pd.DataFrame:
         out = group.groupby("key", as_index=False)["label"].min()
         out["dst"] = None
-        out["_b"] = [_md5_64([k])[0] % _DEDUP_BUCKETS for k in out["key"]]
+        out["_b"] = [_md5_64([k])[0] % num_buckets for k in out["key"]]
         return out[["key", "dst", "label", "_b"]]
 
     def as_arrow(batch: pa.Table) -> pa.Table:
@@ -1495,7 +1520,7 @@ def connected_components_distributed(
         out = pd.concat([labs, sent], ignore_index=True)
         out = out.groupby("key", as_index=False)["label"].min()
         out["dst"] = None
-        out["_b"] = [_md5_64([k])[0] % _DEDUP_BUCKETS for k in out["key"]]
+        out["_b"] = [_md5_64([k])[0] % num_buckets for k in out["key"]]
         return out[["key", "dst", "label", "_b"]]
 
     def checksum(labels_ds: ray.data.Dataset) -> int:
