@@ -448,10 +448,13 @@ def decode_jpeg(
     the pure-Python baseline codec; ``"native"`` requires Pillow."""
     if backend not in ("auto", "stdlib", "native"):
         raise ValueError(f"unknown backend {backend!r}")
-    if backend == "native" or (backend == "auto" and native_available()):
-        return decode_image_native(payload, max_pixels)
+    # magic sniff BEFORE backend routing: Pillow would happily decode a
+    # PNG handed to decode_jpeg, making the format contract (and
+    # decode_ok) environment-dependent
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG SOI")
+    if backend == "native" or (backend == "auto" and native_available()):
+        return decode_image_native(payload, max_pixels)
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None

@@ -45,10 +45,13 @@ def decode_png(
     pure-Python codec; ``"native"`` requires Pillow."""
     if backend not in ("auto", "stdlib", "native"):
         raise ValueError(f"unknown backend {backend!r}")
-    if backend == "native" or (backend == "auto" and native_available()):
-        return decode_image_native(payload, max_pixels)
+    # magic sniff BEFORE backend routing: Pillow would happily decode a
+    # JPEG handed to decode_png, making the format contract (and
+    # decode_ok) environment-dependent
     if payload[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG signature")
+    if backend == "native" or (backend == "auto" and native_available()):
+        return decode_image_native(payload, max_pixels)
     i = 8
     ihdr = None
     plte = None

@@ -339,7 +339,7 @@ def cross_corpus_near_dups(
     shingle_size: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_band_postings: "int | None" = 4096,
+    max_band_postings: "int | None" = None,
 ) -> ray.data.Dataset:
     """NEAR-duplicate pairs BETWEEN two corpora (train doc, test doc,
     exact Jaccard) — the fuzzy sibling of :func:`contamination_scores`:
@@ -365,15 +365,18 @@ def cross_corpus_near_dups(
     upstream read per consumer.
 
     ``max_band_postings`` is the hot-band guard (the ``max_df`` analogue
-    of the n-gram pair path): a band value held by more than that many
-    docs on EITHER side is dropped before the per-bucket cross merge —
-    without it a degenerate corpus where thousands of near-empty docs
-    share one band value makes a single task's candidate frame
-    |left|x|right|. All rows of one (band_id, band_hash) key land in the
-    same coarse bucket, so the per-group count IS the global posting
-    count and the cap is exact, not per-task. Recall cost: only pairs
-    whose EVERY colliding band is that hot are lost — at 64/4 MinHash a
-    true near-dup pair collides on many bands. ``None`` disables.
+    of the n-gram pair path, and like ``max_df`` it is OPT-IN — default
+    ``None`` keeps the op exactly equal to its SQL oracle, which models
+    no cap): a band value held by more than that many docs on EITHER
+    side is dropped before the per-bucket cross merge — without it a
+    degenerate corpus where thousands of near-empty docs share one band
+    value makes a single task's candidate frame |left|x|right|. All rows
+    of one (band_id, band_hash) key land in the same coarse bucket, so
+    the per-group count IS the global posting count and the cap is
+    exact, not per-task. Recall cost: pairs whose EVERY colliding band
+    is that hot are lost (at 64/4 MinHash a true near-dup pair collides
+    on many bands, but a fully-duplicated boilerplate cluster is hot on
+    ALL of them) — enable deliberately, at a cap sized to the corpus.
 
     Output: (train_id, test_id, jaccard), jaccard rounded half-even to 6.
     """

@@ -1453,10 +1453,12 @@ def connected_components_distributed(
     route spent 276 s on a few-hundred-pair graph at 256 buckets —
     per-round block overhead, zero data. Default: one bucket per ~64k
     directed edge rows, floor 8, cap _DEDUP_BUCKETS (callers that already
-    counted the pairs pass it in; otherwise one cheap count() on the
-    materialized pair set).
+    counted the pairs pass it in; otherwise the pair set is materialized
+    here FIRST so the count and the edge build don't each re-execute an
+    unmaterialized upstream verify pipeline).
     """
     if num_buckets is None:
+        pairs_ds = pairs_ds.materialize()
         num_buckets = _cc_num_buckets(pairs_ds.count())
 
     def enc(x: str) -> str:

@@ -62,7 +62,18 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
                 ]
             )
         )
-        return g.rename_columns(
+        # select by GENERATED name before renaming: pyarrow versions
+        # disagree on whether group keys come first or last
+        return g.select(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity_sum",
+                "l_extendedprice_sum",
+                "disc_price_sum",
+                "count_all",
+            ]
+        ).rename_columns(
             [
                 "l_returnflag",
                 "l_linestatus",
@@ -1124,7 +1135,11 @@ def _grouped_quantiles_census(
             .group_by("_gkey")
             .aggregate([("_gval", "min"), ([], "count_all")])
         )
-        return part.rename_columns(["_gkey", "_gval", "n"])
+        # select by GENERATED name before renaming: pyarrow versions
+        # disagree on whether group keys come first or last
+        return part.select(["_gkey", "_gval_min", "count_all"]).rename_columns(
+            ["_gkey", "_gval", "n"]
+        )
 
     rows = (
         ds.map_batches(count_partial, batch_format="pyarrow")
@@ -1168,6 +1183,14 @@ def grouped_quantiles(
     a float column holding literal NaN values drops them here but ranks
     them in exact_quantiles; integer/decimal columns are unaffected."""
     cols = [group_col, col]
+
+    if max_group_rows is not None and not _is_scan_only(ds):
+        # the guard adds a census pass (plus per-giant-group detours) on
+        # top of the main shuffle: pin the two-column projection ONCE so a
+        # transformed upstream isn't re-executed per pass. A bare parquet
+        # read skips the pin and re-scans its pruned columns instead —
+        # the exact_quantiles routing rationale.
+        ds = ds.select_columns(cols).materialize()
 
     giants: list[tuple[object, int]] = []
     if max_group_rows is not None:

@@ -51,7 +51,12 @@ def test_native_backend_raises_when_absent():
     with pytest.raises(ValueError, match="not importable"):
         decode_jpeg(b"\xff\xd8junk", backend="native")
     with pytest.raises(ValueError, match="not importable"):
-        decode_png(b"\x89PNGjunk", backend="native")
+        decode_png(b"\x89PNG\r\n\x1a\njunk", backend="native")
+    # wrong magic is rejected BEFORE backend routing, regardless of backend
+    with pytest.raises(ValueError, match="not a JPEG SOI"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\njunk", backend="native")
+    with pytest.raises(ValueError, match="not a PNG signature"):
+        decode_png(b"\xff\xd8junk", backend="native")
 
 
 def test_unknown_backend_rejected():

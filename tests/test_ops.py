@@ -1175,6 +1175,41 @@ def test_cross_corpus_near_dups_planted(ray_session):
     assert (out.jaccard >= 0.8).all()
 
 
+def test_cross_corpus_hot_band_guard(ray_session):
+    """The opt-in max_band_postings guard: a boilerplate cluster whose
+    band keys are hot on both sides is dropped from the candidate merge,
+    while a distinct (non-hot) cross pair survives. Default (None) keeps
+    every pair — oracle parity."""
+    from pdf_parser_ray.ops.crosscorpus import cross_corpus_near_dups
+
+    boiler = "common boilerplate text repeated verbatim across many documents"
+    rare = (
+        "a genuinely distinctive paragraph about histogram-cut order "
+        "statistics that appears exactly once per side of the corpus"
+    )
+    train = ray.data.from_items(
+        [{"doc_id": f"t{i}", "text": boiler} for i in range(6)]
+        + [{"doc_id": "tr", "text": rare}]
+    )
+    test = ray.data.from_items(
+        [{"doc_id": f"h{i}", "text": boiler} for i in range(6)]
+        + [{"doc_id": "hr", "text": rare}]
+    )
+
+    capped = cross_corpus_near_dups(
+        train=train, test=test, threshold=0.8, max_band_postings=2
+    ).to_pandas()
+    pairs = {(r.train_id, r.test_id) for r in capped.itertuples()}
+    # boilerplate bands have 6 postings per side (> 2): all 36 cross
+    # pairs dropped; the rare pair's bands are 1-per-side: it survives
+    assert pairs == {("tr", "hr")}
+
+    uncapped = cross_corpus_near_dups(
+        train=train, test=test, threshold=0.8
+    ).to_pandas()
+    assert len(uncapped) == 37  # 36 boilerplate cross pairs + the rare one
+
+
 def test_heavy_hitters_exact_regime_and_undercount_bound(ray_session):
     from pdf_parser_ray.ops.relational import heavy_hitters
 
