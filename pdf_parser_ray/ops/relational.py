@@ -1184,13 +1184,17 @@ def grouped_quantiles(
     them in exact_quantiles; integer/decimal columns are unaffected."""
     cols = [group_col, col]
 
-    if max_group_rows is not None and not _is_scan_only(ds):
+    if max_group_rows is not None:
         # the guard adds a census pass (plus per-giant-group detours) on
-        # top of the main shuffle: pin the two-column projection ONCE so a
-        # transformed upstream isn't re-executed per pass. A bare parquet
-        # read skips the pin and re-scans its pruned columns instead —
-        # the exact_quantiles routing rationale.
-        ds = ds.select_columns(cols).materialize()
+        # top of the main shuffle: project to the two columns ONCE so no
+        # pass drags unrelated columns, and pin a TRANSFORMED upstream so
+        # it isn't re-executed per pass. A bare parquet read skips the pin
+        # and re-scans its pruned (Project pushes into Read) columns
+        # instead — the exact_quantiles routing rationale.
+        scan_only = _is_scan_only(ds)
+        ds = ds.select_columns(cols)
+        if not scan_only:
+            ds = ds.materialize()
 
     giants: list[tuple[object, int]] = []
     if max_group_rows is not None:
