@@ -1394,7 +1394,8 @@ def _embedding_lsh_sql(
             rows.append(f"({t}, {p}, [{vals}]::DOUBLE[])")
     values = ", ".join(rows)
     return (
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+        "  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) > 0), "
         f"pl(t, p, pv) AS (VALUES {values}), "
         "keys AS ("
         f"  SELECT e.vec_id, pl.t * {1 << n_planes} + "
@@ -1434,7 +1435,7 @@ def _cross_embedding_lsh_sql(
     values = ", ".join(rows)
     return (
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
-        "  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL), "
+        "  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) > 0), "
         f"pl(t, p, pv) AS (VALUES {values}), "
         "keys AS ("
         f"  SELECT e.vec_id, pl.t * {1 << n_planes} + "
@@ -1851,12 +1852,16 @@ def oracle_sql() -> dict[str, str]:
         # exact all-pairs near-dup: compare on the ROUNDED cosine so the
         # >= cut can never straddle a 6th-decimal boundary differently
         "embedding_near_dup": (
+            # the embedding-family null law: null id / null vec / EMPTY vec
+            # rows are dropped (an empty list crashes DuckDB's
+            # list_cosine_similarity, so the filter is load-bearing here)
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "  FROM embeddings WHERE vec_id IS NOT NULL "
+            "  AND embedding IS NOT NULL AND len(embedding) > 0) "
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-            "round_even(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
-            "CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
-            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-            "WHERE round_even(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
-            "CAST(b.embedding AS DOUBLE[])), 6) >= 0.45"
+            "round_even(list_cosine_similarity(a.v, b.v), 6) AS cosine "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE round_even(list_cosine_similarity(a.v, b.v), 6) >= 0.45"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, "

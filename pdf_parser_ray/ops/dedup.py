@@ -843,6 +843,30 @@ def simhash_pairs(
 # ---- embedding near-dup ---------------------------------------------------
 
 
+def _valid_vector_rows(batch: pa.Table, id_col: str, vec_col: str) -> pa.Table:
+    """Drop rows with a null id, null vector or EMPTY vector — the
+    embedding-family null law (shared with semantic_dedup and the
+    cross-corpus variants): an empty list is not a point in the space, and
+    it would make the per-batch matrix ragged. The matching SQL filter is
+    ``WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND
+    len(embedding) > 0`` (an empty list additionally CRASHES DuckDB's
+    list_cosine_similarity, so oracles must pre-filter it anyway)."""
+    return batch.filter(
+        pc.and_(
+            pc.and_(
+                pc.is_valid(batch[id_col]), pc.is_valid(batch[vec_col])
+            ),
+            pc.greater(
+                pc.coalesce(
+                    pc.list_value_length(batch[vec_col]),
+                    pa.scalar(0, pa.int32()),
+                ),
+                0,
+            ),
+        )
+    )
+
+
 def embedding_near_dup(
     ds: ray.data.Dataset,
     threshold: float = 0.95,
@@ -862,7 +886,18 @@ def embedding_near_dup(
     pair at angle θ survives one table with p = (1-θ/π)^n_planes, and L
     tables with 1-(1-p)^L. Pairs found by several tables dedupe in one
     coarse groupby. Recall < 1 always; :func:`embedding_near_dup_exact`
-    is the recall-1.0 reference (subset relation pinned in tests)."""
+    is the recall-1.0 reference (subset relation pinned in tests).
+
+    Rows with a null id, null vector or empty vector are dropped up front
+    (the embedding-family null law — see :func:`_valid_vector_rows`)."""
+
+    # a SEPARATE filter stage, not a filter inside bucketize: Ray never
+    # invokes a map UDF on a zero-row block, so bucketize always sees >= 1
+    # row and its vecs.shape[1] access is safe
+    ds = ds.map_batches(
+        lambda b: _valid_vector_rows(b, id_col, vec_col),
+        batch_format="pyarrow",
+    )
 
     def bucketize(batch: pa.Table) -> pa.Table:
         vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
@@ -953,19 +988,30 @@ def embedding_near_dup_exact(
     O(n^2) similarity math distributed over batches, no shuffle. This is
     the recall-1.0 reference for :func:`embedding_near_dup` (the sign-LSH
     scale path, whose buckets bound the quadratic work but can miss pairs
-    straddling a hyperplane)."""
+    straddling a hyperplane).
+
+    Rows with a null id, null vector or empty vector are dropped up front
+    (the embedding-family null law — see :func:`_valid_vector_rows`)."""
     import ray as _ray
 
+    ds = ds.select_columns([id_col, vec_col]).map_batches(
+        lambda b: _valid_vector_rows(b, id_col, vec_col),
+        batch_format="pyarrow",
+    )
     ids: list = []
     vecs: list = []
     # embeddings are the small side (corpus of vectors, not documents);
     # collected once — the per-batch work stays distributed
-    for batch in ds.select_columns([id_col, vec_col]).iter_batches(
-        batch_format="pyarrow"
-    ):
+    for batch in ds.iter_batches(batch_format="pyarrow"):
         ids.extend(batch[id_col].to_pylist())
         vecs.extend(batch[vec_col].to_pylist())
-    mat = np.asarray(vecs, dtype=np.float64)
+    # a fully-filtered corpus leaves a 1-D empty array whose axis-1 norm
+    # would raise; keep the (0, d) shape explicit
+    mat = (
+        np.asarray(vecs, dtype=np.float64)
+        if vecs
+        else np.zeros((0, 1), dtype=np.float64)
+    )
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     ref = _ray.put((np.asarray(ids), mat / norms))

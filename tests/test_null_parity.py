@@ -93,14 +93,19 @@ def null_sf_dir(tmp_path_factory):
     def _vec(seed):
         return [float((seed * 37 + j * 11) % 13 - 6) for j in range(64)]
 
+    # vec_ids 10 and 11 share one vector and straddle the %10 split the
+    # cross-corpus embedding query uses, so the near-dup family (exact,
+    # sign-LSH and cross-corpus) each surface >= 1 REAL pair here — an
+    # all-empty Ray pair result loses its schema (Ray 2.49 zero-row blocks
+    # are schema-less), which would turn this replay into a vacuous check
     emb = pa.table(
         {
-            "vec_id": pa.array([1, 2, 3, 4, None], pa.int64()),
+            "vec_id": pa.array([1, 2, 3, 4, None, 10, 11], pa.int64()),
             "embedding": pa.array(
-                [_vec(1), None, [], _vec(4), _vec(5)],
+                [_vec(1), None, [], _vec(4), _vec(5), _vec(7), _vec(7)],
                 pa.list_(pa.float32()),
             ),
-            "label": pa.array([0, 1, 0, 1, 0], pa.int32()),
+            "label": pa.array([0, 1, 0, 1, 0, 1, 0], pa.int32()),
         }
     )
     pq.write_table(emb, f"{d}/embeddings.parquet")
@@ -127,6 +132,9 @@ NULL_SENSITIVE = [
     "chars_quantiles_by_lang",
     "heavy_hitter_sources",
     "cross_corpus_near_dups",
+    "cross_corpus_embedding_near_dups",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
     # text-family ops that coalesce early — cheap to pin, and the corpus
     # exercises their null text / null id paths too
     "scrub_pii",
