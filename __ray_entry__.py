@@ -672,6 +672,20 @@ def _q_knn_join(sf_dir: str):
         columns=["vec_id", "embedding"],
         filters=[("vec_id", "<", 8)],
     )
+    # the embedding-family null law on the QUERY side too: a null/empty
+    # query vector is not a query (matches the oracle's q-side WHERE)
+    qt = qt.filter(
+        pc.and_(
+            pc.and_(pc.is_valid(qt["vec_id"]), pc.is_valid(qt["embedding"])),
+            pc.greater(
+                pc.coalesce(
+                    pc.list_value_length(qt["embedding"]),
+                    pa.scalar(0, pa.int32()),
+                ),
+                0,
+            ),
+        )
+    )
     queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
     qids = qt["vec_id"].to_pylist()
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -1795,30 +1809,34 @@ def oracle_sql() -> dict[str, str]:
             for q in (0.25, 0.5, 0.75)
         ),
         "knn_bruteforce": (
-            "SELECT e.vec_id, round_even(list_cosine_similarity("
-            "CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cosine "
-            "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
-            "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+            "  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) > 0), "
+            "q AS (SELECT v FROM e WHERE vec_id = 0) "
+            "SELECT e.vec_id, round_even(list_cosine_similarity(e.v, q.v), 6) AS cosine "
+            "FROM e, q ORDER BY cosine DESC, e.vec_id LIMIT 10"
         ),
         # n_probe == n_centroids makes IVF exhaustive -> exact same answer
         "knn_ivf": (
-            "SELECT e.vec_id, round_even(list_cosine_similarity("
-            "CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cosine "
-            "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
-            "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+            "  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) > 0), "
+            "q AS (SELECT v FROM e WHERE vec_id = 0) "
+            "SELECT e.vec_id, round_even(list_cosine_similarity(e.v, q.v), 6) AS cosine "
+            "FROM e, q ORDER BY cosine DESC, e.vec_id LIMIT 10"
         ),
         "knn_ivf_indexed": (
-            "SELECT e.vec_id, round_even(list_cosine_similarity("
-            "CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cosine "
-            "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
-            "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+            "  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) > 0), "
+            "q AS (SELECT v FROM e WHERE vec_id = 0) "
+            "SELECT e.vec_id, round_even(list_cosine_similarity(e.v, q.v), 6) AS cosine "
+            "FROM e, q ORDER BY cosine DESC, e.vec_id LIMIT 10"
         ),
         # approximate IVF (n_probe=1/16) vs exact top-10: the oracle
         # re-derives centroids (unit vecs of the 16 smallest ids), the
         # probed lists and the rounded-cosine assignment (index tiebreaks
         # = the op's argmax/lexsort laws), then the overlap fraction
         "knn_ivf_recall": (
-            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+            "  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) > 0), "
             "q AS (SELECT v FROM e WHERE vec_id = 0), "
             "cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cidx, v AS c "
             "  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)), "
@@ -1838,15 +1856,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         # multi-query kNN: cross join + per-query ROW_NUMBER cut
         "knn_join": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+            "  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) > 0), "
+            "q AS (SELECT vec_id, v FROM e WHERE vec_id < 8) "
             "SELECT query_id, vec_id, cosine FROM ("
             "  SELECT q.vec_id AS query_id, e.vec_id, "
-            "    round_even(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-            "      CAST(q.embedding AS DOUBLE[])), 6) AS cosine, "
+            "    round_even(list_cosine_similarity(e.v, q.v), 6) AS cosine, "
             "    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
-            "      round_even(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-            "        CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rn "
-            "  FROM embeddings e CROSS JOIN "
-            "    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q"
+            "      round_even(list_cosine_similarity(e.v, q.v), 6) DESC, e.vec_id) AS rn "
+            "  FROM e CROSS JOIN q"
             ") WHERE rn <= 5"
         ),
         # exact all-pairs near-dup: compare on the ROUNDED cosine so the

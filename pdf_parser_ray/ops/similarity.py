@@ -25,6 +25,36 @@ def _unit(v: np.ndarray) -> np.ndarray:
     return v / n
 
 
+def _drop_invalid_vectors(
+    ds: ray.data.Dataset, id_col: str, vec_col: str
+) -> ray.data.Dataset:
+    """The embedding-family null law (shared with ops/dedup.py and
+    ops/crossembed.py): rows with a null id, null vector or EMPTY vector
+    are dropped up front — they cannot be neighbors, they would make the
+    per-batch matrix ragged, and an empty list crashes DuckDB's list
+    kernels, so the matching oracle filter is ``WHERE id IS NOT NULL AND
+    vec IS NOT NULL AND len(vec) > 0``. A separate map stage so downstream
+    UDFs never see a post-filter zero-row batch (Ray skips empty blocks)."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.and_(
+                pc.and_(
+                    pc.is_valid(batch[id_col]), pc.is_valid(batch[vec_col])
+                ),
+                pc.greater(
+                    pc.coalesce(
+                        pc.list_value_length(batch[vec_col]),
+                        pa.scalar(0, pa.int32()),
+                    ),
+                    0,
+                ),
+            )
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def knn_bruteforce(
     ds: ray.data.Dataset,
     query: np.ndarray,
@@ -33,7 +63,9 @@ def knn_bruteforce(
     vec_col: str = "embedding",
 ) -> ray.data.Dataset:
     """Exact top-k by cosine similarity to ``query`` (1-D float array).
-    Deterministic tiebreak: (-cosine, id)."""
+    Deterministic tiebreak: (-cosine, id). Corpus rows with a null id,
+    null vector or empty vector are dropped (:func:`_drop_invalid_vectors`)."""
+    ds = _drop_invalid_vectors(ds, id_col, vec_col)
     q_ref = ray.put(_unit(np.asarray(query, dtype=np.float64)))
 
     class BatchTopK:
@@ -88,9 +120,12 @@ def knn_join(
     (rounded-cosine desc, id asc) determinism contract as the other kNN
     ops, so the cross-join + ROW_NUMBER SQL oracle matches exactly.
 
-    Returns (query_id, id_col, cosine) rows, k per query."""
+    Returns (query_id, id_col, cosine) rows, k per query. Corpus rows with
+    a null id, null vector or empty vector are dropped
+    (:func:`_drop_invalid_vectors`)."""
     import pandas as pd
 
+    ds = _drop_invalid_vectors(ds, id_col, vec_col)
     q_mat = np.asarray(queries, dtype=np.float64)
     norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -208,7 +243,9 @@ def knn_ivf(
 ) -> ray.data.Dataset:
     """IVF-style ANN: assign vectors to nearest centroid (broadcast centroid
     matrix, one matmul per batch), prune to the query's ``n_probe`` nearest
-    lists, exact cosine inside."""
+    lists, exact cosine inside. Corpus rows with a null id, null vector or
+    empty vector are dropped (:func:`_drop_invalid_vectors`)."""
+    ds = _drop_invalid_vectors(ds, id_col, vec_col)
     if centroids is None:
         centroids = deterministic_centroids(ds, n_centroids, id_col, vec_col)
     c_ref = ray.put(centroids)
@@ -272,10 +309,14 @@ def build_ivf_index(
     (:func:`knn_ivf_index`) — centroid assignment is never recomputed per
     query and query IO is corpus_size * n_probe / n_centroids.
 
-    Returns the centroid matrix (also persisted to ``centroids.npy``)."""
+    Returns the centroid matrix (also persisted to ``centroids.npy``).
+    Corpus rows with a null id, null vector or empty vector are dropped
+    (:func:`_drop_invalid_vectors`) — the persisted index holds only
+    indexable rows."""
     import json
     import os
 
+    ds = _drop_invalid_vectors(ds, id_col, vec_col)
     if centroids is None:
         centroids = deterministic_centroids(ds, n_centroids, id_col, vec_col)
     c_ref = ray.put(centroids)

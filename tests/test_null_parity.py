@@ -98,14 +98,17 @@ def null_sf_dir(tmp_path_factory):
     # sign-LSH and cross-corpus) each surface >= 1 REAL pair here — an
     # all-empty Ray pair result loses its schema (Ray 2.49 zero-row blocks
     # are schema-less), which would turn this replay into a vacuous check
+    # vec_id 0 is the knn family's query vector — it must exist and be
+    # valid for those replays (a missing/null QUERY is a crash, not a
+    # null-semantics question)
     emb = pa.table(
         {
-            "vec_id": pa.array([1, 2, 3, 4, None, 10, 11], pa.int64()),
+            "vec_id": pa.array([0, 1, 2, 3, 4, None, 10, 11], pa.int64()),
             "embedding": pa.array(
-                [_vec(1), None, [], _vec(4), _vec(5), _vec(7), _vec(7)],
+                [_vec(0), _vec(1), None, [], _vec(4), _vec(5), _vec(7), _vec(7)],
                 pa.list_(pa.float32()),
             ),
-            "label": pa.array([0, 1, 0, 1, 0, 1, 0], pa.int32()),
+            "label": pa.array([1, 0, 1, 0, 1, 0, 1, 0], pa.int32()),
         }
     )
     pq.write_table(emb, f"{d}/embeddings.parquet")
@@ -135,6 +138,8 @@ NULL_SENSITIVE = [
     "cross_corpus_embedding_near_dups",
     "embedding_near_dup",
     "embedding_near_dup_lsh",
+    "knn_bruteforce",
+    "knn_join",
     # text-family ops that coalesce early — cheap to pin, and the corpus
     # exercises their null text / null id paths too
     "scrub_pii",
