@@ -445,6 +445,14 @@ def kmeans(
     fixed-order reduction. Empty clusters keep their previous centroid.
 
     Returns (assignments Dataset (id_col, cluster), final centroid matrix).
+
+    CLEAN-INPUT CONTRACT (unlike the kNN/near-dup family): rows must have
+    non-null ids and non-null, non-empty, same-dimension vectors — a
+    filter here would silently change the fit, and the unrolled-Lloyd's
+    SQL oracle is intentionally unfiltered to match. Pre-clean with the
+    same predicate the other ops use (id/vec not null, len(vec) > 0) if
+    the input may be dirty; :func:`semantic_dedup` does exactly that
+    before delegating.
     """
     from ray.data.aggregate import Sum
 
