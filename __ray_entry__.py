@@ -493,7 +493,9 @@ def _q_embedding_near_dup(sf_dir: str):
 
     from pdf_parser_ray.ops.dedup import embedding_near_dup_exact
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
     return embedding_near_dup_exact(ds, threshold=0.45)
 
 
@@ -506,7 +508,9 @@ def _q_embedding_near_dup_lsh(sf_dir: str):
 
     from pdf_parser_ray.ops.dedup import embedding_near_dup
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
     return embedding_near_dup(ds, threshold=0.45, n_planes=6, n_tables=8)
 
 
@@ -567,7 +571,9 @@ def _q_knn(sf_dir: str):
 
     from pdf_parser_ray.ops.similarity import knn_bruteforce
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
     return knn_bruteforce(ds, _query_vector(sf_dir), k=10)
 
 
@@ -576,7 +582,9 @@ def _q_knn_ivf(sf_dir: str):
 
     from pdf_parser_ray.ops.similarity import knn_ivf
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
     return knn_ivf(ds, _query_vector(sf_dir), k=10, n_centroids=16, n_probe=16)
 
 
@@ -688,7 +696,9 @@ def _q_knn_join(sf_dir: str):
     )
     queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
     qids = qt["vec_id"].to_pylist()
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
     return knn_join(ds, queries, qids, k=5)
 
 
@@ -702,7 +712,9 @@ def _q_kmeans_clusters(sf_dir: str):
 
     from pdf_parser_ray.ops.similarity import kmeans
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
     assignments, _ = kmeans(ds, k=8, n_iters=5)
     return (
         assignments.groupby("cluster").aggregate(Count(alias_name="size")).sort("cluster")
