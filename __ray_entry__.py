@@ -1018,6 +1018,28 @@ def _q_doc_frequency(sf_dir: str):
     return doc_frequency(ds, k=20)
 
 
+# the BM25 gate query's terms — shared between the op call and the SQL
+# generator so the per-term sum order is identical on both sides.
+# "the" appears in BOTH the sf corpora and the null-parity corpus, so the
+# null replay of this query ranks real rows instead of comparing empties
+_BM25_TERMS = ["the", "vector", "join"]
+
+
+def _bm25_oracle() -> str:
+    from pdf_parser_ray.ops.retrieval import bm25_sql
+
+    return bm25_sql(_BM25_TERMS, k=20)
+
+
+def _q_bm25_top_docs(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.retrieval import bm25_top_docs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_top_docs(ds, _BM25_TERMS, k=20)
+
+
 def _q_orders_price_bands(sf_dir: str):
     from pdf_parser_ray.ops.relational import orders_price_bands
 
@@ -1302,6 +1324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": _q_top_ngrams,
         "doc_frequency": _q_doc_frequency,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "bm25_top_docs": _q_bm25_top_docs,
         "pack_shards": _q_pack_shards,
         "stratified_sample": _q_stratified_sample,
         "orders_price_bands": _q_orders_price_bands,
@@ -2488,6 +2511,9 @@ def oracle_sql() -> dict[str, str]:
             r"(PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn FROM scored) "
             r"SELECT doc_id, token, tfidf FROM ranked WHERE rn <= 3"
         ),
+        # Okapi BM25: generated so constants/parens/term order match the
+        # op exactly (ops/retrieval.py bm25_sql docstring has the law)
+        "bm25_top_docs": _bm25_oracle(),
         # budget-quantized contiguous packing: shard = prior cumulative
         # tokens within the id range // budget — a windowed SUM
         "pack_shards": (

@@ -140,6 +140,7 @@ NULL_SENSITIVE = [
     "embedding_near_dup_lsh",
     "knn_bruteforce",
     "knn_join",
+    "bm25_top_docs",
     # text-family ops that coalesce early — cheap to pin, and the corpus
     # exercises their null text / null id paths too
     "scrub_pii",

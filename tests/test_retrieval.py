@@ -1,0 +1,131 @@
+"""BM25 ranked retrieval: hand-checked scores, edge paths, and a
+differential fuzz run against the generated DuckDB oracle."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pdf_parser_ray.ops.retrieval import bm25_sql, bm25_top_docs
+
+
+def _hand_bm25(texts, terms, k1=1.2, b=0.75):
+    toks = [(t or "").lower().split() for t in texts]
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks) / n
+    scores = []
+    for tk in toks:
+        dl = len(tk)
+        s = 0.0
+        for term in terms:
+            f = tk.count(term)
+            if f == 0:
+                continue
+            df = sum(1 for other in toks if term in other)
+            idf = math.log((float(n - df) + 0.5) / (float(df) + 0.5) + 1.0)
+            s = s + idf * (
+                (f * (1.2 + 1.0))
+                / (f + k1 * ((1.0 - b) + b * (dl / avgdl)))
+            )
+        scores.append(round(float(s), 6))
+    return scores
+
+
+def test_bm25_hand_checked_scores(ray_session):
+    texts = [
+        "the cat sat on the mat",
+        "a dog and a cat",
+        "nothing relevant here",
+        "cat cat cat dog",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()), "text": texts})
+    )
+    out = bm25_top_docs(ds, ["cat", "dog"], k=10).to_pandas()
+    expected = _hand_bm25(texts, ["cat", "dog"])
+    exp = sorted(
+        [(i + 1, s) for i, s in enumerate(expected) if s > 0],
+        key=lambda r: (-r[1], r[0]),
+    )
+    assert list(zip(out["doc_id"], out["score"])) == exp
+    # doc 3 has no query term: filtered by score > 0
+    assert 3 not in set(out["doc_id"])
+
+
+def test_bm25_null_text_and_null_id(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, None, 3], pa.int64()),
+                "text": pa.array(["cat", "cat", None], pa.string()),
+            }
+        )
+    )
+    out = bm25_top_docs(ds, ["cat"], k=10).to_pandas()
+    # null id dropped up front; null text contributes dl=0 but scores 0
+    assert list(out["doc_id"]) == [1]
+
+
+def test_bm25_empty_and_no_match(ray_session):
+    empty = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    out_ds = bm25_top_docs(empty, ["cat"], k=5)
+    # Ray 2.49's to_pandas drops columns on an empty dataset; the
+    # Dataset-level schema is the contract we pin
+    assert out_ds.schema().names == ["doc_id", "score"]
+    assert len(out_ds.to_pandas()) == 0
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["dog"]})
+    )
+    assert len(bm25_top_docs(ds, ["cat"], k=5).to_pandas()) == 0
+    with pytest.raises(ValueError):
+        bm25_top_docs(ds, [], k=5)
+
+
+def test_bm25_k_cut_ties_break_on_id(ray_session):
+    # identical docs -> identical scores; the cut must take lowest ids
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(10)), pa.int64()),
+                "text": pa.array(["cat mat"] * 10),
+            }
+        )
+    )
+    out = bm25_top_docs(ds, ["cat"], k=3).to_pandas()
+    assert list(out["doc_id"]) == [0, 1, 2]
+
+
+def test_bm25_differential_fuzz_vs_duckdb(ray_session, tmp_path):
+    rng = random.Random(7)
+    vocab = ["cat", "dog", "fish", "the", "a", "mat", "tree", "sky"]
+    rows = []
+    for i in range(300):
+        nwords = rng.randint(0, 12)
+        text = " ".join(rng.choice(vocab) for _ in range(nwords))
+        rows.append((i, text if rng.random() > 0.05 else None))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    terms = ["cat", "FISH", "mat", "mat"]  # mixed case + dupe: normalized
+    out = (
+        bm25_top_docs(ray.data.from_arrow(tbl), terms, k=25)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    oracle = con.execute(bm25_sql(terms, k=25)).df()
+    pd.testing.assert_frame_equal(
+        out.astype({"doc_id": "int64"}), oracle.astype({"doc_id": "int64"})
+    )
