@@ -1040,6 +1040,57 @@ def _q_bm25_top_docs(sf_dir: str):
     return bm25_top_docs(ds, _BM25_TERMS, k=20)
 
 
+def _q_bm25_index_top_docs(sf_dir: str):
+    """Index-served BM25: one-time inverted-index build (term-bucket
+    partitioned postings), then a pruned read of only the query terms'
+    buckets — bit-identical to the scan path, same oracle. The index is
+    CACHED under /tmp keyed by (source path, mtime, n_buckets), built in
+    a scratch dir and renamed into place atomically (the IVF convention)."""
+    import hashlib
+    import os
+    import shutil
+
+    import ray.data
+
+    from pdf_parser_ray.ops.retrieval import bm25_index_top_docs, build_text_index
+
+    src = f"{sf_dir}/documents.parquet"
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:64".encode()
+    ).hexdigest()[:12]
+    index_dir = os.path.join(_cache_root(), f"tidx_{key}")
+
+    def cache_valid() -> bool:
+        # require the build's outputs, not just a dir at a guessable path
+        try:
+            import glob as _glob
+            import json as _json
+
+            with open(os.path.join(index_dir, "meta.json")) as f:
+                meta = _json.load(f)
+            return (
+                isinstance(meta, dict)
+                and meta.get("n_buckets") == 64
+                and bool(_glob.glob(os.path.join(index_dir, "postings", "*", "*.parquet")))
+            )
+        except (OSError, ValueError):
+            return False
+
+    if not cache_valid():
+        shutil.rmtree(index_dir, ignore_errors=True)
+        scratch = f"{index_dir}.build.{os.getpid()}"
+        build_text_index(
+            ray.data.read_parquet(src, columns=["doc_id", "text"]),
+            scratch,
+            n_buckets=64,
+        )
+        try:
+            os.rename(scratch, index_dir)
+        except OSError:  # a concurrent builder won the rename
+            shutil.rmtree(scratch, ignore_errors=True)
+    return bm25_index_top_docs(index_dir, _BM25_TERMS, k=20)
+
+
 def _q_orders_price_bands(sf_dir: str):
     from pdf_parser_ray.ops.relational import orders_price_bands
 
@@ -1325,6 +1376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_frequency": _q_doc_frequency,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bm25_top_docs": _q_bm25_top_docs,
+        "bm25_index_top_docs": _q_bm25_index_top_docs,
         "pack_shards": _q_pack_shards,
         "stratified_sample": _q_stratified_sample,
         "orders_price_bands": _q_orders_price_bands,
@@ -2514,6 +2566,9 @@ def oracle_sql() -> dict[str, str]:
         # Okapi BM25: generated so constants/parens/term order match the
         # op exactly (ops/retrieval.py bm25_sql docstring has the law)
         "bm25_top_docs": _bm25_oracle(),
+        # the index-served path is bit-identical to the scan path by the
+        # 0.0-addition law (ops/retrieval.py bm25_index_top_docs) — same SQL
+        "bm25_index_top_docs": _bm25_oracle(),
         # budget-quantized contiguous packing: shard = prior cumulative
         # tokens within the id range // budget — a windowed SUM
         "pack_shards": (

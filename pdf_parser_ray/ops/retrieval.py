@@ -193,6 +193,306 @@ def bm25_top_docs(
     )
 
 
+def build_text_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """One-time inverted-index build: the corpus is scanned ONCE and
+    written as term-bucket-partitioned parquet postings; ranked queries
+    then read only the buckets their terms hash into
+    (:func:`bm25_index_top_docs`) — the text sibling of
+    :func:`~pdf_parser_ray.ops.similarity.build_ivf_index`.
+
+    Layout under ``index_dir``:
+
+    * ``postings/bucket=<md5_bucket(term, n_buckets)>/*.parquet`` — one row
+      per distinct (term, doc): (term, doc, tf, dl). dl rides every posting
+      so scoring never joins back to the corpus.
+    * ``postings/bucket=<n_buckets>/`` — the stats partition: one row per
+      build batch carrying (tf = docs in batch, dl = batch token total),
+      so corpus N / avgdl come from a tiny pruned read, never a rescan.
+      Docs with empty/null text emit no postings but ARE counted here
+      (BM25's N and avgdl include zero-length docs, as in the scan path).
+    * ``meta.json`` — n_buckets, column names, and the id type alias (the
+      empty-result path reconstructs a typed schema from it).
+
+    Null-id docs are dropped (they cannot be ranked — same law as
+    :func:`bm25_top_docs`). Returns the meta dict."""
+    import json
+    import os
+    import shutil
+
+    from pdf_parser_ray.functions.hashing import md5_bucket
+
+    _schema = ds.schema()
+    id_type = _schema.types[_schema.names.index(id_col)]
+
+    ds = ds.select_columns([id_col, text_col]).map_batches(
+        lambda t: t.filter(pc.is_valid(t[id_col])), batch_format="pyarrow"
+    )
+
+    post_schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("doc", id_type),
+            ("tf", pa.int64()),
+            ("dl", pa.int64()),
+            ("bucket", pa.int32()),
+        ]
+    )
+
+    def postings(batch: pa.Table) -> pa.Table:
+        texts = pc.cast(batch[text_col], pa.string()).to_pylist()
+        ids = batch[id_col].to_pylist()
+        out_t: list = []
+        out_doc: list = []
+        out_tf: list = []
+        out_dl: list = []
+        out_b: list = []
+        n_docs = 0
+        dl_total = 0
+        for doc, text in zip(ids, texts):
+            toks = (text or "").lower().split()
+            n_docs += 1
+            dl_total += len(toks)
+            tf: dict[str, int] = {}
+            for tok in toks:
+                tf[tok] = tf.get(tok, 0) + 1
+            for term, f in tf.items():
+                out_t.append(term)
+                out_doc.append(doc)
+                out_tf.append(f)
+                out_dl.append(len(toks))
+                out_b.append(md5_bucket(term, n_buckets))
+        # the batch's corpus-stats row rides its own partition (bucket ==
+        # n_buckets — term buckets are [0, n_buckets), so never a collision)
+        out_t.append(None)
+        out_doc.append(None)
+        out_tf.append(n_docs)
+        out_dl.append(dl_total)
+        out_b.append(n_buckets)
+        return pa.table(
+            {
+                "term": pa.array(out_t, pa.string()),
+                "doc": pa.array(out_doc, id_type),
+                "tf": pa.array(out_tf, pa.int64()),
+                "dl": pa.array(out_dl, pa.int64()),
+                "bucket": pa.array(out_b, pa.int32()),
+            }
+        ).cast(post_schema)
+
+    os.makedirs(index_dir, exist_ok=True)
+    post_dir = os.path.join(index_dir, "postings")
+    # a rebuild must not leave stale partition files: write_parquet adds
+    # uniquely-named files and the query path globs *.parquet per bucket
+    if os.path.isdir(post_dir):
+        shutil.rmtree(post_dir)
+    ds.map_batches(postings, batch_format="pyarrow").write_parquet(
+        post_dir, partition_cols=["bucket"]
+    )
+    meta = {
+        "n_buckets": int(n_buckets),
+        "id_col": id_col,
+        "text_col": text_col,
+        "id_type": str(id_type),
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _term_bucket_files(index_dir: str, terms: list[str]) -> list[str]:
+    """The pruned read set: every parquet file of the buckets the query
+    terms hash into (deduped, sorted). The point of the index is that this
+    is |query buckets| / n_buckets of the postings, not all of them."""
+    import glob
+    import json
+    import os
+
+    from pdf_parser_ray.functions.hashing import md5_bucket
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        n_buckets = json.load(f)["n_buckets"]
+    buckets = sorted({md5_bucket(t, n_buckets) for t in terms})
+    return [
+        f
+        for b in buckets
+        for f in sorted(
+            glob.glob(os.path.join(index_dir, "postings", f"bucket={b}", "*.parquet"))
+        )
+    ]
+
+
+def bm25_index_top_docs(
+    index_dir: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> ray.data.Dataset:
+    """Okapi BM25 served from a persisted :func:`build_text_index` —
+    bit-identical output to :func:`bm25_top_docs` over the indexed corpus
+    (same oracle), but the query reads ONLY the stats partition plus the
+    term buckets: corpus IO is |query buckets| / n_buckets of the postings
+    instead of a full text scan per query.
+
+    Exact-parity law: a posting exists only where tf > 0, and per-doc the
+    per-term contributions are summed left-to-right in normalized term
+    order with absent terms contributing literal 0.0 — IEEE adding 0.0 is
+    exact, so the fold equals the scan path's skip-sum bit-for-bit."""
+    import glob
+    import json
+    import os
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    terms = _normalize_terms(query_terms)
+    if not terms:
+        raise ValueError("bm25_index_top_docs needs at least one query term")
+    id_col = meta["id_col"]
+    id_type = pa.type_for_alias(meta["id_type"])
+
+    def _empty() -> ray.data.Dataset:
+        return ray.data.from_arrow(
+            pa.table(
+                {id_col: pa.array([], id_type), "score": pa.array([], pa.float64())}
+            )
+        )
+
+    # corpus stats: a tiny pruned read (one row per build batch)
+    stats_files = sorted(
+        glob.glob(
+            os.path.join(
+                index_dir, "postings", f"bucket={meta['n_buckets']}", "*.parquet"
+            )
+        )
+    )
+    if not stats_files:
+        return _empty()
+    stats = (
+        ray.data.read_parquet(stats_files, columns=["tf", "dl"])
+        .aggregate(Sum("tf", alias_name="n"), Sum("dl", alias_name="dl_total"))
+    )
+    n = int(stats["n"] or 0)
+    if n == 0:
+        return _empty()
+    avgdl = int(stats["dl_total"] or 0) / n  # int/int: the oracle's double
+
+    files = _term_bucket_files(index_dir, terms)
+    if not files:
+        return _empty()
+    postings = (
+        ray.data.read_parquet(files, columns=["term", "doc", "tf", "dl"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["term"], pa.array(terms, pa.string()))),
+            batch_format="pyarrow",
+        )
+        # bounded by the query terms' postings (never the corpus); pinned
+        # so the df pass and the scoring pass don't re-read the buckets
+        .materialize()
+    )
+    if postings.count() == 0:  # terms share buckets with other terms only
+        return _empty()
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("term").aggregate([("term", "count")])
+        return pa.table(
+            {
+                "term": g["term"],
+                "df": pc.cast(g["term_count"], pa.int64()),
+            }
+        )
+
+    df_rows = (
+        postings.map_batches(df_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .take_all()  # bounded: at most len(terms) rows
+    )
+    df_by_term = {r["term"]: int(r["df"]) for r in df_rows}
+    idf = np.array(
+        [
+            math.log(
+                (float(n - df_by_term.get(t, 0)) + 0.5)
+                / (float(df_by_term.get(t, 0)) + 0.5)
+                + 1.0
+            )
+            for t in terms
+        ],
+        dtype=np.float64,
+    )
+    ref = _ray.put((terms, idf, avgdl, k1, b))
+
+    def contribs(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        terms_, idf_, avgdl_, k1_, b_ = _ray.get(_ref)
+        t_to_i = {t: i for i, t in enumerate(terms_)}
+        idx = np.array([t_to_i[t] for t in batch["term"].to_pylist()], dtype=np.int64)
+        f = pc.cast(batch["tf"], pa.float64()).to_numpy(zero_copy_only=False)
+        dl = pc.cast(batch["dl"], pa.float64()).to_numpy(zero_copy_only=False)
+        # identical arithmetic order to bm25_top_docs' scalar formula —
+        # elementwise IEEE double ops match Python float bit-for-bit
+        c = idf_[idx] * (
+            (f * (k1_ + 1.0)) / (f + k1_ * ((1.0 - b_) + b_ * (dl / avgdl_)))
+        )
+        cols: dict = {"doc": batch["doc"]}
+        for i in range(len(terms_)):
+            cols[f"c{i}"] = pa.array(np.where(idx == i, c, 0.0), pa.float64())
+        return pa.table(cols)
+
+    grouped = (
+        postings.map_batches(contribs, batch_format="pyarrow")
+        .groupby("doc")
+        .aggregate(
+            *[Sum(f"c{i}", alias_name=f"c{i}") for i in range(len(terms))]
+        )
+    )
+
+    class Finish:
+        def __init__(self, ref, k: int):
+            self.terms, _, _, _, _ = _ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            docs = batch["doc"]
+            # left-to-right fold in term order; every doc has at most one
+            # posting per term so each Sum'd c_i is exact (0.0s add exactly)
+            s = np.zeros(len(batch), dtype=np.float64)
+            for i in range(len(self.terms)):
+                s = s + batch[f"c{i}"].to_numpy(zero_copy_only=False)
+            scores = np.array([round(float(v), 6) for v in s], dtype=np.float64)
+            keep = scores > 0.0
+            out = pa.table(
+                {
+                    id_col: docs.filter(pa.array(keep)),
+                    "score": pa.array(scores[keep], pa.float64()),
+                }
+            )
+            if out.num_rows > self.k:
+                order = pc.sort_indices(
+                    out,
+                    sort_keys=[("score", "descending"), (id_col, "ascending")],
+                )
+                out = out.take(order[: self.k])
+            return out
+
+    return (
+        grouped.map_batches(
+            Finish,
+            batch_format="pyarrow",
+            fn_constructor_args=(ref, k),
+            concurrency=(1, 8),
+        )
+        .sort(["score", id_col], descending=[True, False])
+        .limit(k)
+    )
+
+
 def bm25_sql(
     query_terms: list[str],
     k: int = 20,

@@ -12,7 +12,13 @@ import pyarrow as pa
 import pytest
 import ray.data
 
-from pdf_parser_ray.ops.retrieval import bm25_sql, bm25_top_docs
+from pdf_parser_ray.ops.retrieval import (
+    _term_bucket_files,
+    bm25_index_top_docs,
+    bm25_sql,
+    bm25_top_docs,
+    build_text_index,
+)
 
 
 def _hand_bm25(texts, terms, k1=1.2, b=0.75):
@@ -129,3 +135,79 @@ def test_bm25_differential_fuzz_vs_duckdb(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         out.astype({"doc_id": "int64"}), oracle.astype({"doc_id": "int64"})
     )
+
+
+def _fuzz_table(n=300, null_p=0.05, seed=7):
+    rng = random.Random(seed)
+    vocab = ["cat", "dog", "fish", "the", "a", "mat", "tree", "sky"]
+    rows = []
+    for i in range(n):
+        nwords = rng.randint(0, 12)
+        text = " ".join(rng.choice(vocab) for _ in range(nwords))
+        rows.append((i, text if rng.random() > null_p else None))
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+
+def test_bm25_index_matches_scan_path(ray_session, tmp_path):
+    tbl = _fuzz_table()
+    idx = str(tmp_path / "tidx")
+    build_text_index(ray.data.from_arrow(tbl), idx, n_buckets=16)
+    terms = ["cat", "FISH", "mat", "mat"]
+    scan = bm25_top_docs(ray.data.from_arrow(tbl), terms, k=25).to_pandas()
+    served = bm25_index_top_docs(idx, terms, k=25).to_pandas()
+    pd.testing.assert_frame_equal(
+        served.reset_index(drop=True), scan.reset_index(drop=True)
+    )
+
+
+def test_bm25_index_pruned_read(ray_session, tmp_path):
+    import glob
+    import os
+
+    tbl = _fuzz_table()
+    idx = str(tmp_path / "tidx")
+    build_text_index(ray.data.from_arrow(tbl), idx, n_buckets=16)
+    all_files = glob.glob(os.path.join(idx, "postings", "bucket=*", "*.parquet"))
+    pruned = _term_bucket_files(idx, ["cat"])
+    # the point of the index: one term touches ONE bucket's files
+    assert pruned and set(pruned) < set(all_files)
+    dirs = {os.path.basename(os.path.dirname(f)) for f in pruned}
+    assert len(dirs) == 1
+
+
+def test_bm25_index_rebuild_drops_stale_partitions(ray_session, tmp_path):
+    import glob
+    import os
+
+    idx = str(tmp_path / "tidx")
+    t1 = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["cat dog"]})
+    build_text_index(ray.data.from_arrow(t1), idx, n_buckets=4)
+    n1 = len(glob.glob(os.path.join(idx, "postings", "bucket=*", "*.parquet")))
+    t2 = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["cat"]})
+    build_text_index(ray.data.from_arrow(t2), idx, n_buckets=4)
+    out = bm25_index_top_docs(idx, ["dog"], k=5).to_pandas()
+    assert len(out) == 0  # "dog" postings from build 1 must be gone
+    assert n1 >= 1
+
+
+def test_bm25_index_null_and_absent_term(ray_session, tmp_path):
+    idx = str(tmp_path / "tidx")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, None, 3], pa.int64()),
+            "text": pa.array(["cat", "cat", None], pa.string()),
+        }
+    )
+    build_text_index(ray.data.from_arrow(tbl), idx, n_buckets=4)
+    out = bm25_index_top_docs(idx, ["cat"], k=10).to_pandas()
+    # null id dropped at build; null-text doc counts toward N (idf parity
+    # with the scan path is pinned by test_bm25_index_matches_scan_path)
+    assert list(out["doc_id"]) == [1]
+    assert len(bm25_index_top_docs(idx, ["zebra"], k=10).to_pandas()) == 0
+    with pytest.raises(ValueError):
+        bm25_index_top_docs(idx, [], k=10)
