@@ -1071,6 +1071,7 @@ def _q_bm25_index_top_docs(sf_dir: str):
             return (
                 isinstance(meta, dict)
                 and meta.get("n_buckets") == 64
+                and "n_docs" in meta  # rejects pre-stats-in-meta builds
                 and bool(_glob.glob(os.path.join(index_dir, "postings", "*", "*.parquet")))
             )
         except (OSError, ValueError):

@@ -204,6 +204,7 @@ FAMILIES: dict[str, list[str]] = {
     "streaming": ["events_window_agg", "sessionize", "events_asof_join"],
     "curation": ["tfidf_top_terms", "lm_surprisal", "assign_splits",
                  "curate_corpus", "rebalance_sources", "surprisal_filter"],
+    "retrieval": ["term_search", "bm25_top_docs"],
     "crosscorpus": ["contamination_check", "cross_corpus_near_dups",
                     "cross_corpus_embedding_near_dups",
                     "bloom_novel_docs",
@@ -253,6 +254,37 @@ def _bench_resumable_cold_warm() -> dict[str, float]:
             out[f"minhash_dedup_resumable_{label}"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
+def _bench_bm25_index_cold_warm() -> dict[str, float]:
+    """One-time inverted-index build vs the pruned-read query it buys:
+    the measured point of build_text_index is that a served query never
+    re-scans the corpus text (bm25_top_docs does, every time)."""
+    import tempfile
+
+    import ray.data
+
+    import __ray_entry__ as em
+    from pdf_parser_ray.ops.retrieval import bm25_index_top_docs, build_text_index
+
+    idx = tempfile.mkdtemp(prefix="bench_tidx_")
+    out: dict[str, float] = {}
+    try:
+        t0 = time.time()
+        build_text_index(
+            ray.data.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            idx,
+            n_buckets=64,
+        )
+        out["bm25_index_build"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        bm25_index_top_docs(idx, em._BM25_TERMS, k=20).to_pandas()
+        out["bm25_index_query"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
     return out
 
 
@@ -314,6 +346,8 @@ def run_family(fam: str) -> dict[str, float]:
     if fam == "minhash":
         out.update(_bench_resumable_cold_warm())
         out.update(_bench_cc_routes())
+    if fam == "retrieval":
+        out.update(_bench_bm25_index_cold_warm())
     return out
 
 

@@ -212,12 +212,13 @@ def build_text_index(
       per distinct (term, doc): (term, doc, tf, dl). dl rides every posting
       so scoring never joins back to the corpus.
     * ``postings/bucket=<n_buckets>/`` — the stats partition: one row per
-      build batch carrying (tf = docs in batch, dl = batch token total),
-      so corpus N / avgdl come from a tiny pruned read, never a rescan.
+      build batch carrying (tf = docs in batch, dl = batch token total).
       Docs with empty/null text emit no postings but ARE counted here
       (BM25's N and avgdl include zero-length docs, as in the scan path).
-    * ``meta.json`` — n_buckets, column names, and the id type alias (the
-      empty-result path reconstructs a typed schema from it).
+    * ``meta.json`` — n_buckets, column names, the id type alias (the
+      empty-result path reconstructs a typed schema from it), and the
+      corpus totals (n_docs, dl_total) folded in from the stats partition
+      at build time so served queries pay zero IO for N / avgdl.
 
     Null-id docs are dropped (they cannot be ranked — same law as
     :func:`bm25_top_docs`). Returns the meta dict."""
@@ -229,6 +230,12 @@ def build_text_index(
 
     _schema = ds.schema()
     id_type = _schema.types[_schema.names.index(id_col)]
+    # size probe on the RAW input: for a parquet read this is metadata;
+    # after any transform it would execute the pipeline just to ask
+    try:
+        in_bytes = ds.size_bytes()
+    except Exception:
+        in_bytes = None
 
     ds = ds.select_columns([id_col, text_col]).map_batches(
         lambda t: t.filter(pc.is_valid(t[id_col])), batch_format="pyarrow"
@@ -290,14 +297,34 @@ def build_text_index(
     # uniquely-named files and the query path globs *.parquet per bucket
     if os.path.isdir(post_dir):
         shutil.rmtree(post_dir)
-    ds.map_batches(postings, batch_format="pyarrow").write_parquet(
-        post_dir, partition_cols=["bucket"]
-    )
+    post_ds = ds.map_batches(postings, batch_format="pyarrow")
+    # partitioned write fans out to n_buckets files PER BLOCK — size the
+    # block count from the data (~64 MB each), not from CPU count, or a
+    # small corpus shatters into thousands of KB files whose per-file
+    # open cost then dominates every served query
+    if in_bytes:
+        post_ds = post_ds.repartition(max(1, min(512, in_bytes // (64 << 20) + 1)))
+    post_ds.write_parquet(post_dir, partition_cols=["bucket"])
+    # fold the corpus totals into meta at BUILD time (one tiny pruned read
+    # of the stats partition) so a served query pays zero executions for
+    # N / avgdl — build is the once-per-corpus place to spend this
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    n_docs = 0
+    dl_total = 0
+    for f in _glob.glob(os.path.join(post_dir, f"bucket={n_buckets}", "*.parquet")):
+        t = pq.read_table(f, columns=["tf", "dl"])
+        n_docs += int(pc.sum(t["tf"]).as_py() or 0)
+        dl_total += int(pc.sum(t["dl"]).as_py() or 0)
     meta = {
         "n_buckets": int(n_buckets),
         "id_col": id_col,
         "text_col": text_col,
         "id_type": str(id_type),
+        "n_docs": n_docs,
+        "dl_total": dl_total,
     }
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -332,18 +359,27 @@ def bm25_index_top_docs(
     k: int = 20,
     k1: float = 1.2,
     b: float = 0.75,
+    driver_max_bytes: int = 64 << 20,
 ) -> ray.data.Dataset:
     """Okapi BM25 served from a persisted :func:`build_text_index` —
     bit-identical output to :func:`bm25_top_docs` over the indexed corpus
-    (same oracle), but the query reads ONLY the stats partition plus the
-    term buckets: corpus IO is |query buckets| / n_buckets of the postings
-    instead of a full text scan per query.
+    (same oracle), but the query reads ONLY the term buckets (N / avgdl
+    come straight from meta.json): corpus IO is |query buckets| /
+    n_buckets of the postings instead of a full text scan per query.
+
+    Routed by measured size (the repo convention, e.g. tfidf's vocab
+    route): the pruned files' total byte size is known BEFORE reading —
+    at or under ``driver_max_bytes`` the whole query runs driver-side on
+    one Arrow table (zero cluster executions — the common case: a few
+    query terms against a bucketed index); above it, the distributed
+    path (per-batch contributions -> groupby(doc) -> local top-k ->
+    global sort) handles stopword-scale postings. A route-equality test
+    pins the two paths to identical output.
 
     Exact-parity law: a posting exists only where tf > 0, and per-doc the
     per-term contributions are summed left-to-right in normalized term
     order with absent terms contributing literal 0.0 — IEEE adding 0.0 is
     exact, so the fold equals the scan path's skip-sum bit-for-bit."""
-    import glob
     import json
     import os
 
@@ -365,28 +401,68 @@ def bm25_index_top_docs(
             )
         )
 
-    # corpus stats: a tiny pruned read (one row per build batch)
-    stats_files = sorted(
-        glob.glob(
-            os.path.join(
-                index_dir, "postings", f"bucket={meta['n_buckets']}", "*.parquet"
-            )
-        )
-    )
-    if not stats_files:
-        return _empty()
-    stats = (
-        ray.data.read_parquet(stats_files, columns=["tf", "dl"])
-        .aggregate(Sum("tf", alias_name="n"), Sum("dl", alias_name="dl_total"))
-    )
-    n = int(stats["n"] or 0)
+    # corpus stats were folded into meta at build time — zero query IO
+    n = int(meta["n_docs"])
     if n == 0:
         return _empty()
-    avgdl = int(stats["dl_total"] or 0) / n  # int/int: the oracle's double
+    avgdl = int(meta["dl_total"]) / n  # int/int: the oracle's double
 
     files = _term_bucket_files(index_dir, terms)
     if not files:
         return _empty()
+
+    if sum(os.path.getsize(f) for f in files) <= driver_max_bytes:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(files, columns=["term", "doc", "tf", "dl"]).filter(
+            pc.is_in(pc.field("term"), pa.array(terms, pa.string()))
+        )
+        if t.num_rows == 0:
+            return _empty()
+        t_to_i = {term: i for i, term in enumerate(terms)}
+        tidx = np.array([t_to_i[v] for v in t["term"].to_pylist()], dtype=np.int64)
+        df_np = np.bincount(tidx, minlength=len(terms))
+        idf = np.array(
+            [
+                math.log(
+                    (float(n - int(df_np[i])) + 0.5) / (float(int(df_np[i])) + 0.5)
+                    + 1.0
+                )
+                for i in range(len(terms))
+            ],
+            dtype=np.float64,
+        )
+        f = pc.cast(t["tf"], pa.float64()).to_numpy(zero_copy_only=False)
+        dl = pc.cast(t["dl"], pa.float64()).to_numpy(zero_copy_only=False)
+        # identical arithmetic order to bm25_top_docs' scalar formula
+        c = idf[tidx] * ((f * (k1 + 1.0)) / (f + k1 * ((1.0 - b) + b * (dl / avgdl))))
+        # per-doc fold in term-index order: one posting per (doc, term),
+        # so summing sorted-by-term-index contributions per doc equals the
+        # scan path's skip-sum (absent terms contribute exactly 0.0)
+        dockey = pa.table({"d": t["doc"]})
+        codes = pc.dictionary_encode(dockey["d"]).combine_chunks().indices
+        codes_np = codes.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tidx, codes_np))
+        starts = np.flatnonzero(np.diff(codes_np[order], prepend=-1))
+        sums = np.add.reduceat(c[order], starts)
+        scores = np.array([round(float(v), 6) for v in sums], dtype=np.float64)
+        doc_arr = t["doc"].combine_chunks().take(
+            pa.array(order[starts], pa.int64())
+        )
+        keep = scores > 0.0
+        out = pa.table(
+            {
+                id_col: doc_arr.filter(pa.array(keep)),
+                "score": pa.array(scores[keep], pa.float64()),
+            }
+        )
+        top = out.take(
+            pc.sort_indices(
+                out, sort_keys=[("score", "descending"), (id_col, "ascending")]
+            )[:k]
+        )
+        return ray.data.from_arrow(top)
+
     postings = (
         ray.data.read_parquet(files, columns=["term", "doc", "tf", "dl"])
         .map_batches(
@@ -409,13 +485,11 @@ def bm25_index_top_docs(
             }
         )
 
-    df_rows = (
-        postings.map_batches(df_partials, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"))
-        .take_all()  # bounded: at most len(terms) rows
-    )
-    df_by_term = {r["term"]: int(r["df"]) for r in df_rows}
+    # partials are <= len(terms) rows per batch — merge them driver-side
+    # instead of paying an all-to-all groupby for a terms-sized table
+    df_by_term: dict[str, int] = {}
+    for r in postings.map_batches(df_partials, batch_format="pyarrow").take_all():
+        df_by_term[r["term"]] = df_by_term.get(r["term"], 0) + int(r["df"])
     idf = np.array(
         [
             math.log(
@@ -453,41 +527,36 @@ def bm25_index_top_docs(
         )
     )
 
-    class Finish:
-        def __init__(self, ref, k: int):
-            self.terms, _, _, _, _ = _ray.get(ref)
-            self.k = k
+    n_terms = len(terms)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            docs = batch["doc"]
-            # left-to-right fold in term order; every doc has at most one
-            # posting per term so each Sum'd c_i is exact (0.0s add exactly)
-            s = np.zeros(len(batch), dtype=np.float64)
-            for i in range(len(self.terms)):
-                s = s + batch[f"c{i}"].to_numpy(zero_copy_only=False)
-            scores = np.array([round(float(v), 6) for v in s], dtype=np.float64)
-            keep = scores > 0.0
-            out = pa.table(
-                {
-                    id_col: docs.filter(pa.array(keep)),
-                    "score": pa.array(scores[keep], pa.float64()),
-                }
+    # plain function, not an actor pool: the only state is (n_terms, k) —
+    # ints shipped by closure, no per-actor setup to amortize
+    def finish(batch: pa.Table) -> pa.Table:
+        docs = batch["doc"]
+        # left-to-right fold in term order; every doc has at most one
+        # posting per term so each Sum'd c_i is exact (0.0s add exactly)
+        s = np.zeros(len(batch), dtype=np.float64)
+        for i in range(n_terms):
+            s = s + batch[f"c{i}"].to_numpy(zero_copy_only=False)
+        scores = np.array([round(float(v), 6) for v in s], dtype=np.float64)
+        keep = scores > 0.0
+        out = pa.table(
+            {
+                id_col: docs.filter(pa.array(keep)),
+                "score": pa.array(scores[keep], pa.float64()),
+            }
+        )
+        if out.num_rows > k:
+            # local pre-trim: the global sort sees <= k rows per batch
+            order = pc.sort_indices(
+                out,
+                sort_keys=[("score", "descending"), (id_col, "ascending")],
             )
-            if out.num_rows > self.k:
-                order = pc.sort_indices(
-                    out,
-                    sort_keys=[("score", "descending"), (id_col, "ascending")],
-                )
-                out = out.take(order[: self.k])
-            return out
+            out = out.take(order[:k])
+        return out
 
     return (
-        grouped.map_batches(
-            Finish,
-            batch_format="pyarrow",
-            fn_constructor_args=(ref, k),
-            concurrency=(1, 8),
-        )
+        grouped.map_batches(finish, batch_format="pyarrow")
         .sort(["score", id_col], descending=[True, False])
         .limit(k)
     )

@@ -211,3 +211,21 @@ def test_bm25_index_null_and_absent_term(ray_session, tmp_path):
     assert len(bm25_index_top_docs(idx, ["zebra"], k=10).to_pandas()) == 0
     with pytest.raises(ValueError):
         bm25_index_top_docs(idx, [], k=10)
+
+
+def test_bm25_index_route_equality(ray_session, tmp_path):
+    # driver route (default) vs forced distributed route: identical frames
+    tbl = _fuzz_table(n=400, seed=11)
+    idx = str(tmp_path / "tidx")
+    build_text_index(ray.data.from_arrow(tbl), idx, n_buckets=8)
+    terms = ["the", "cat", "sky"]
+    drv = bm25_index_top_docs(idx, terms, k=30).to_pandas()
+    dist = bm25_index_top_docs(idx, terms, k=30, driver_max_bytes=0).to_pandas()
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dist.reset_index(drop=True)
+    )
+    # and both equal the scan path
+    scan = bm25_top_docs(ray.data.from_arrow(tbl), terms, k=30).to_pandas()
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), scan.reset_index(drop=True)
+    )
