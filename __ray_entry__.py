@@ -171,6 +171,15 @@ def _q_quality(sf_dir: str):
     return quality_score(ds)
 
 
+def _q_script_mix(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.text_analysis import script_mix
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return script_mix(ds)
+
+
 def _q_classify_blocks(sf_dir: str):
     """Per-LINE class rows (not just the class histogram) so the oracle
     hash verifies every line's assigned class."""
@@ -334,6 +343,15 @@ def _q_bloom_novel_docs(sf_dir: str):
 
     cand, ref = _split_documents(sf_dir)
     return bloom_filter_novel(cand, ref, m_bits=1 << 20, k=4)
+
+
+def _q_split_sentences(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.curation import split_sentences
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return split_sentences(ds)
 
 
 def _q_chunk_documents(sf_dir: str):
@@ -1304,6 +1322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_search": _q_term_search,
         "doc_stats": _q_doc_stats,
         "quality_score": _q_quality,
+        "script_mix": _q_script_mix,
         "lang_id": _q_lang_id,
         "classify_blocks": _q_classify_blocks,
         "main_content": _q_main_content,
@@ -1320,6 +1339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_corpus_embedding_near_dups": _q_cross_corpus_embedding_near_dups,
         "bloom_novel_docs": _q_bloom_novel_docs,
         "gopher_rules": _q_gopher_rules,
+        "split_sentences": _q_split_sentences,
         "chunk_documents": _q_chunk_documents,
         "normalize_text": _q_normalize_text,
         "global_rank": _q_global_rank,
@@ -1747,6 +1767,34 @@ def oracle_sql() -> dict[str, str]:
             "  UNION ALL SELECT 'table', nt FROM sums"
             "  UNION ALL SELECT 'text', np_ FROM sums"
             ") WHERE n > 0 ORDER BY kind"
+        ),
+        # Unicode-script composition: RE2 script classes are char-identical
+        # between Arrow and DuckDB (pinned in tests); dominant ties resolve
+        # by the CASE chain order = the op's np.select priority order
+        "script_mix": (
+            r"WITH c AS ("
+            r"  SELECT doc_id, len(COALESCE(text, '')) AS n_chars, "
+            r"    len(regexp_extract_all(COALESCE(text, ''), '\p{Latin}')) AS n_latin, "
+            r"    len(regexp_extract_all(COALESCE(text, ''), '\p{Cyrillic}')) AS n_cyrillic, "
+            r"    len(regexp_extract_all(COALESCE(text, ''), '\p{Han}')) AS n_han, "
+            r"    len(regexp_extract_all(COALESCE(text, ''), '\p{Hiragana}|\p{Katakana}')) AS n_kana, "
+            r"    len(regexp_extract_all(COALESCE(text, ''), '[0-9]')) AS n_digit "
+            r"  FROM documents"
+            r"), g AS ("
+            r"  SELECT *, greatest(n_latin, n_cyrillic, n_han, n_kana, n_digit) AS maxc FROM c"
+            r") SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+            r"  CAST(n_latin AS BIGINT) AS n_latin, CAST(n_cyrillic AS BIGINT) AS n_cyrillic, "
+            r"  CAST(n_han AS BIGINT) AS n_han, CAST(n_kana AS BIGINT) AS n_kana, "
+            r"  CAST(n_digit AS BIGINT) AS n_digit, "
+            r"  CASE WHEN maxc = 0 THEN 'none' "
+            r"       WHEN n_latin = maxc THEN 'latin' "
+            r"       WHEN n_cyrillic = maxc THEN 'cyrillic' "
+            r"       WHEN n_han = maxc THEN 'han' "
+            r"       WHEN n_kana = maxc THEN 'kana' "
+            r"       ELSE 'digit' END AS dominant_script, "
+            r"  CASE WHEN n_chars > 0 THEN round_even(CAST(maxc AS DOUBLE) / n_chars, 6) "
+            r"       ELSE 0.0 END AS dominant_ratio "
+            r"FROM g"
         ),
         "quality_score": (
             r"WITH c AS ("
@@ -2211,6 +2259,16 @@ def oracle_sql() -> dict[str, str]:
         # context-window chunking: the chunk rule (i*stride start, tail
         # chunk always emitted, whitespace-normalized rejoin) replayed
         # over regexp_extract_all token lists
+        # sentence explode: each sentence keeps its [.!?]+ tail; ordinal
+        # via the zip-unnest(range(len)) idiom (DuckDB has no ORDINALITY)
+        "split_sentences": (
+            "WITH s AS (SELECT doc_id, "
+            "regexp_extract_all(COALESCE(text, ''), '[^.!?]+[.!?]*') AS sents "
+            "FROM documents), "
+            "e AS (SELECT doc_id, unnest(sents) AS sentence, "
+            "unnest(range(len(sents))) AS i FROM s) "
+            "SELECT doc_id, CAST(i + 1 AS BIGINT) AS sent_idx, sentence FROM e"
+        ),
         "chunk_documents": (
             "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk "
             "FROM documents), "

@@ -605,6 +605,50 @@ def chunk_documents(
     )
 
 
+_SENT_RE = r"[^.!?]+[.!?]*"
+
+
+def split_sentences(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Explode each document into sentence-ish segments with ordinals —
+    the unit for sentence-level dedup / filtering / alignment pipelines.
+
+    Sentence law (deterministic, SQL-expressible): every maximal run of
+    non-terminator characters plus its trailing ``[.!?]+`` run —
+    ``regexp_extract_all(text, '[^.!?]+[.!?]*')``. Each sentence keeps
+    its terminal punctuation and any leading whitespace (no trim: SQL
+    TRIM and Python strip disagree on the whitespace set). Texts of only
+    terminators or null emit no rows; docs keep their null ids (the
+    chunk_documents convention). A pure map stage: each batch fans out
+    to its own rows, no shuffle at any corpus size.
+    """
+    import re
+
+    sent_re = re.compile(_SENT_RE)
+
+    def sentences(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = pc.cast(batch[text_col], pa.string()).to_pylist()
+        out_id, out_ix, out_s = [], [], []
+        for doc, t in zip(ids, texts):
+            for i, s in enumerate(sent_re.findall(t or "")):
+                out_id.append(doc)
+                out_ix.append(i + 1)
+                out_s.append(s)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, type=batch[id_col].type),
+                "sent_idx": pa.array(out_ix, pa.int64()),
+                "sentence": pa.array(out_s, pa.string()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        sentences, batch_format="pyarrow"
+    )
+
+
 def normalize_text(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:

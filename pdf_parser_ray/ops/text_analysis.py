@@ -111,6 +111,62 @@ def quality_score(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Data
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+_SCRIPTS: list[tuple[str, str]] = [
+    # (name, RE2 class) in PRIORITY order — dominant-script ties resolve
+    # to the earlier entry, identically in the op and the SQL CASE chain
+    ("latin", r"\p{Latin}"),
+    ("cyrillic", r"\p{Cyrillic}"),
+    ("han", r"\p{Han}"),
+    ("kana", r"\p{Hiragana}|\p{Katakana}"),
+    ("digit", r"[0-9]"),
+]
+
+
+def script_mix(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Per-doc Unicode-script composition: counts per script class
+    (Latin / Cyrillic / Han / Kana / digits), the dominant script, and its
+    share of the doc's codepoints — the script-level complement to
+    :class:`LangId` for routing a multilingual crawl (e.g. picking the
+    tokenizer or the language-ID model family per shard).
+
+    All counters are single Arrow RE2 kernels (the same engine family as
+    DuckDB's regexp_extract_all — script classes verified char-identical);
+    null text counts as empty, dominant = 'none' when no class hits.
+    Floats follow the repo law: np.round(,6) against round_even in SQL.
+    """
+
+    def mix(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        n_chars = (
+            pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        counts = {
+            name: pc.count_substring_regex(text, pat)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            for name, pat in _SCRIPTS
+        }
+        stacked = np.stack([counts[name] for name, _ in _SCRIPTS])
+        maxc = stacked.max(axis=0)
+        dominant = np.select(
+            [(maxc > 0) & (counts[name] == maxc) for name, _ in _SCRIPTS],
+            [name for name, _ in _SCRIPTS],
+            default="none",
+        )
+        ratio = np.where(
+            n_chars > 0, np.round(maxc.astype(np.float64) / n_chars, 6), 0.0
+        )
+        cols: dict = {"doc_id": batch["doc_id"]}
+        cols["n_chars"] = pa.array(n_chars, pa.int64())
+        for name, _ in _SCRIPTS:
+            cols[f"n_{name}"] = pa.array(counts[name], pa.int64())
+        cols["dominant_script"] = pa.array(dominant.astype(object), pa.string())
+        cols["dominant_ratio"] = pa.array(ratio, pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(mix, batch_format="pyarrow")
+
+
 class LangId:
     """Stopword-hit language classifier — an actor-pool stage: the token
     regex and stopword banks are built once per actor."""

@@ -144,6 +144,8 @@ NULL_SENSITIVE = [
     "bm25_index_top_docs",
     # text-family ops that coalesce early — cheap to pin, and the corpus
     # exercises their null text / null id paths too
+    "script_mix",
+    "split_sentences",
     "scrub_pii",
     "chunk_documents",
     "normalize_text",

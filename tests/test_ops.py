@@ -184,6 +184,103 @@ def test_lang_id(ray_session):
     assert out.loc[3, "lang_pred"] == "und"
 
 
+def test_script_mix_multilingual_vs_duckdb(ray_session):
+    """The sf corpora are ASCII-heavy, so the oracle gate never exercises
+    non-Latin branches — pin the multilingual rows against DuckDB here
+    (script classes + dominant CASE chain + ratio round law)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    texts = [
+        "Hello Мир 你好 123",  # latin wins the tie chain
+        "Кириллица только",
+        "日本語のテキストです",  # kana vs han
+        "漢字漢字",
+        None,
+        "",
+        "12345",
+        "ΑΒΓ ελληνικά",  # Greek: counted by NO class -> 'none'
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(1, len(texts) + 1)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = (
+        text_analysis.script_mix(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[out.doc_id == 2, "dominant_script"].iloc[0] == "cyrillic"
+    assert out.loc[out.doc_id == 4, "dominant_script"].iloc[0] == "han"
+    assert out.loc[out.doc_id == 5, "dominant_script"].iloc[0] == "none"
+    assert out.loc[out.doc_id == 7, "dominant_script"].iloc[0] == "digit"
+    assert out.loc[out.doc_id == 8, "dominant_script"].iloc[0] == "none"
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    import __ray_entry__ as em
+
+    oracle = (
+        con.execute(em.oracle_sql()["script_mix"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[oracle.columns.tolist()], oracle)
+
+
+def test_split_sentences_vs_duckdb(ray_session):
+    """The sf corpus has no terminators (1 sentence/doc at the gate) —
+    pin the multi-sentence, terminator-run, and edge rows here."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from pdf_parser_ray.ops import curation
+
+    texts = [
+        "Hello world. How are you? Fine!!! Ok",
+        "...",  # only terminators: zero sentences
+        "no terminator at all",
+        None,
+        "",
+        "a.b.c",  # no spaces: terminators still split
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, None, 4, 5, 6], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = (
+        curation.split_sentences(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .sort_values(["doc_id", "sent_idx"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out.doc_id == 1]
+    assert list(d1.sentence) == ["Hello world.", " How are you?", " Fine!!!", " Ok"]
+    assert list(d1.sent_idx) == [1, 2, 3, 4]
+    assert 2 not in set(out.doc_id.dropna())
+    assert 5 not in set(out.doc_id.dropna())
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    import __ray_entry__ as em
+
+    oracle = (
+        con.execute(em.oracle_sql()["split_sentences"])
+        .df()
+        .sort_values(["doc_id", "sent_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({"doc_id": "Int64"}), oracle.astype({"doc_id": "Int64"})
+    )
+
+
 def test_fingerprint_deterministic(ray_session):
     ds = ray.data.from_items([{"doc_id": 1, "text": "a b c d e f g h"}])
     a = text_analysis.fingerprint(ds).to_pandas()
