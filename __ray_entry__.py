@@ -892,6 +892,45 @@ def _q_order_priority_revenue(sf_dir: str):
     return _round_cols(order_priority_revenue(sf_dir), {"revenue": 2})
 
 
+def _copurchase_pairs_ds(sf_dir: str):
+    """Shared edge derivation for the graph queries: distinct part pairs
+    co-occurring in an order (the hot-group cap at 256 distinct items can
+    never trigger on TPC-H-ish orders, but the law is part of the oracle)."""
+    import ray.data
+
+    from pdf_parser_ray.ops.graph import cooccurrence_edges
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group_items=256)
+
+
+def _q_copurchase_pairs(sf_dir: str):
+    return _copurchase_pairs_ds(sf_dir)
+
+
+def _q_pagerank_copurchase(sf_dir: str):
+    import pyarrow as pa
+
+    from pdf_parser_ray.ops.graph import pagerank
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch["item_a"].combine_chunks()
+        b = batch["item_b"].combine_chunks()
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a, b]),
+                "dst": pa.concat_arrays([b, a]),
+            }
+        )
+
+    edges = _copurchase_pairs_ds(sf_dir).map_batches(
+        symmetrize, batch_format="pyarrow"
+    )
+    return pagerank(edges, iterations=8)
+
+
 def _q_supplier_stats(sf_dir: str):
     from pdf_parser_ray.ops.relational import supplier_balance_stats
 
@@ -1388,6 +1427,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": _q_price_quantiles,
         "top_orders_per_priority": _q_top_orders_per_priority,
         "order_priority_revenue": _q_order_priority_revenue,
+        # graph family: co-occurrence derivation + fixed-point PageRank
+        "copurchase_pairs": _q_copurchase_pairs,
+        "pagerank_copurchase": _q_pagerank_copurchase,
         # heading-strategy counters (reference ST3) over lifted page texts
         "heading_strategies": _q_heading_strategies,
         # corpus curation
@@ -1723,6 +1765,49 @@ WITH lines AS (
   FROM g
 )
 """
+
+
+_COPURCHASE_CTES = (
+    "li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem "
+    "  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), "
+    # the op's hot-group guard: only orders with 2..256 distinct parts pair up
+    "gsz AS (SELECT ok FROM li GROUP BY ok HAVING COUNT(*) BETWEEN 2 AND 256), "
+    "pairs AS (SELECT DISTINCT a.pk AS item_a, b.pk AS item_b FROM li a "
+    "  JOIN li b ON a.ok = b.ok AND a.pk < b.pk JOIN gsz g ON g.ok = a.ok)"
+)
+
+
+def _pagerank_sql(edges_ctes: str, iterations: int, unit: int = 10**12,
+                  d_num: int = 85, d_den: int = 100) -> str:
+    """Unrolled fixed-point PageRank (the kmeans-oracle technique): one
+    chained CTE per iteration replaying ops.graph's integer update law —
+    base + (d_num * SUM(r // deg)) // d_den over BIGINTs, floor division
+    exact on both engines since every quantity is non-negative. ``SUM``
+    returns HUGEINT; the CAST back to BIGINT keeps pandas from floating
+    the fixed-point column."""
+    base = ((d_den - d_num) * unit) // d_den
+    ctes = [
+        edges_ctes,
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({unit} AS BIGINT) AS r FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"r{k} AS (SELECT n.node, "
+            f"CAST({base} + ({d_num} * COALESCE(s.m, 0)) // {d_den} AS BIGINT) AS r "
+            "FROM nodes n LEFT JOIN ("
+            "  SELECT e.dst AS node, CAST(SUM(rr.r // d.deg) AS BIGINT) AS m "
+            f"  FROM edges e JOIN r{k - 1} rr ON rr.node = e.src "
+            "  JOIN deg d ON d.node = e.src GROUP BY e.dst) s ON n.node = s.node)"
+        )
+        # per-node message sums stay far inside BIGINT: total mass is
+        # ~N * unit and no node can absorb more than all of it
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT node, r AS rank_fp, "
+        f"round_even(r / CAST({unit} AS DOUBLE), 6) AS rank FROM r{iterations}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2172,6 +2257,16 @@ def oracle_sql() -> dict[str, str]:
             "  ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
             "    ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders"
             ") WHERE rn <= 3"
+        ),
+        "copurchase_pairs": (
+            "WITH " + _COPURCHASE_CTES + " SELECT item_a, item_b FROM pairs"
+        ),
+        # symmetrized co-purchase graph -> 8 unrolled integer-PageRank steps
+        "pagerank_copurchase": _pagerank_sql(
+            _COPURCHASE_CTES
+            + ", edges AS (SELECT item_a AS src, item_b AS dst FROM pairs "
+            "UNION ALL SELECT item_b, item_a FROM pairs)",
+            iterations=8,
         ),
         "minhash_pairs": _minhash_base_sql()
         + "SELECT doc_a, doc_b, round_even(j, 6) AS jaccard FROM verified WHERE j >= 0.8",

@@ -1,0 +1,434 @@
+"""Link-analysis operators: co-occurrence graph derivation and a
+fixed-point integer PageRank.
+
+The reference engine has no graph surface; these are the
+training-data-pipeline extensions a 100 TB curation run needs — product /
+document graphs (co-purchase, shared-shingle near-dup cliques, citation
+structure) ranked by stationary importance.
+
+PageRank here is EXACT-ARITHMETIC by construction: ranks live in integer
+fixed-point "mass units" (``unit`` = 10^12 per node) and every update is
+an integer multiply / floor-divide / sum — order-independent, so the
+driver route, the distributed co-partitioned route, and the unrolled
+DuckDB oracle produce bit-identical BIGINT ranks. (Float PageRank sums
+depend on reduction order; integer mass does not.) The update law, shared
+verbatim by all three:
+
+    base        = ((d_den - d_num) * unit) // d_den
+    share(u)    = r_t(u) // out_deg(u)          (0 when out_deg = 0)
+    r_{t+1}(v)  = base + (d_num * sum_{(u,v) in E} share(u)) // d_den
+
+with r_0(v) = unit for every node in src(E) ∪ dst(E). All quantities are
+non-negative, so floor division is identical in numpy, Python and DuckDB
+``//``. Total mass is ~N·unit; per-node ranks stay far inside int64 for
+any realistic graph (a node absorbing ALL mass of a 9-million-node graph
+would be needed to overflow).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from pdf_parser_ray.functions.hashing import md5_bucket
+from pdf_parser_ray.functions.tables import schema_pin
+from pdf_parser_ray.ops.streaming import hash_bucket_column
+
+# coarse shuffle-key cardinality, same rationale as ops.dedup._DEDUP_BUCKETS
+_GRAPH_BUCKETS = 256
+
+
+def _num_buckets(n_edges: int) -> int:
+    """One bucket per ~64k edge rows, floor 8 — per-round AllToAll cost on
+    this Ray build is paid PER BLOCK, so width must track data volume."""
+    return min(_GRAPH_BUCKETS, max(8, n_edges // 65_536 + 8))
+
+
+def cooccurrence_edges(
+    ds: ray.data.Dataset,
+    group_col: str,
+    item_col: str,
+    max_group_items: int = 256,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Distinct undirected co-occurrence pairs: (item_a, item_b) whenever
+    both items appear in the same group (e.g. parts in the same order),
+    with item_a < item_b — numerically for integer item columns, else
+    lexicographically (the ops.dedup pair-order convention).
+
+    Null groups / null items are dropped (the pair join law: SQL's
+    ``a.group = b.group AND a.item < b.item`` can never match a null).
+    Groups holding more than ``max_group_items`` DISTINCT items are
+    skipped entirely — the hot-group guard: one degenerate group of 100k
+    items would emit 5e9 pairs (same shape as the cross_pairs hot-band
+    cap). Two coarse shuffles: co-locate by group to emit pairs, then by
+    pair to dedup across groups.
+    """
+    int_items = pa.types.is_integer(ds.schema().base_schema.field(item_col).type)
+
+    def tag_group(batch: pa.Table) -> pa.Table:
+        batch = batch.select([group_col, item_col])
+        mask = pc.and_(pc.is_valid(batch[group_col]), pc.is_valid(batch[item_col]))
+        batch = batch.filter(mask)
+        # the hash_bucket_column convention: vectorized &-mask for integer
+        # keys (num_buckets is a power of two), md5 loop otherwise
+        return batch.append_column(
+            "_b", hash_bucket_column(batch, group_col, num_buckets)
+        )
+
+    item_t = pa.int64() if int_items else pa.string()
+    pair_schema = pa.schema(
+        [("item_a", item_t), ("item_b", item_t), ("_pb", pa.int64())]
+    )
+
+    def pairs_per_bucket(group: pa.Table) -> pa.Table:
+        df = group.select([group_col, item_col]).to_pandas().drop_duplicates()
+        out_a: list = []
+        out_b: list = []
+        for _, items in df.groupby(group_col)[item_col]:
+            if len(items) < 2 or len(items) > max_group_items:
+                continue
+            vals = np.sort(items.to_numpy())
+            ia, ib = np.triu_indices(len(vals), k=1)
+            out_a.extend(vals[ia])
+            out_b.extend(vals[ib])
+        if int_items:
+            a = pa.array([int(x) for x in out_a], pa.int64())
+            b = pa.array([int(x) for x in out_b], pa.int64())
+            pb = [int(x) % num_buckets for x in out_a]
+        else:
+            a = pa.array([str(x) for x in out_a], pa.string())
+            b = pa.array([str(x) for x in out_b], pa.string())
+            pb = [md5_bucket(str(x), num_buckets) for x in out_a]
+        return pa.table(
+            {"item_a": a, "item_b": b, "_pb": pa.array(pb, pa.int64())}
+        )
+
+    def distinct_pairs(group: pa.Table) -> pa.Table:
+        df = group.select(["item_a", "item_b"]).to_pandas().drop_duplicates()
+        if int_items:
+            # a null-free int64 frame: pandas keeps int64, no float hazard
+            a = pa.array(df["item_a"].to_numpy(np.int64), pa.int64())
+            b = pa.array(df["item_b"].to_numpy(np.int64), pa.int64())
+        else:
+            a = pa.array(df["item_a"].astype(str).tolist(), pa.string())
+            b = pa.array(df["item_b"].astype(str).tolist(), pa.string())
+        return pa.table({"item_a": a, "item_b": b})
+
+    return (
+        ds.map_batches(tag_group, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(pairs_per_bucket, batch_format="pyarrow")
+        .map_batches(schema_pin(pair_schema), batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(distinct_pairs, batch_format="pyarrow")
+        .map_batches(
+            schema_pin(pa.schema([("item_a", item_t), ("item_b", item_t)])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _pagerank_driver(
+    src: np.ndarray,
+    dst: np.ndarray,
+    node_vals: np.ndarray,
+    iterations: int,
+    d_num: int,
+    d_den: int,
+    unit: int,
+) -> np.ndarray:
+    """The update law over factorized edge arrays. int64 throughout;
+    np.add.at keeps the message sum exact (bincount would route through
+    float64 weights and lose ulps past 2^53)."""
+    idx = {v: i for i, v in enumerate(node_vals)}
+    s = np.fromiter((idx[v] for v in src), np.int64, len(src))
+    t = np.fromiter((idx[v] for v in dst), np.int64, len(dst))
+    n = len(node_vals)
+    deg = np.bincount(s, minlength=n).astype(np.int64)
+    base = ((d_den - d_num) * unit) // d_den
+    r = np.full(n, unit, np.int64)
+    safe_deg = np.maximum(deg, 1)
+    for _ in range(iterations):
+        share = np.where(deg > 0, r // safe_deg, 0)
+        msum = np.zeros(n, np.int64)
+        np.add.at(msum, t, share[s])
+        r = base + (d_num * msum) // d_den
+    return r
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    iterations: int = 8,
+    d_num: int = 85,
+    d_den: int = 100,
+    unit: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    driver_max_edges: int = 2_000_000,
+    num_buckets: "int | None" = None,
+) -> ray.data.Dataset:
+    """Fixed-iteration PageRank over a DIRECTED edge table (callers wanting
+    the undirected variant pass both orientations). Returns
+    (node, rank_fp BIGINT, rank DOUBLE) where rank = np.round(rank_fp /
+    unit, 6). Duplicate edge rows count as parallel edges — derive with
+    :func:`cooccurrence_edges` (distinct) when that is not wanted. Rows
+    with a null endpoint are dropped (SQL join law). Nodes appearing only
+    as destinations are dangling: they receive mass but emit none.
+
+    Scale routing, the ops.dedup convention: ≤ ``driver_max_edges`` edge
+    rows run the vectorized driver kernel (the edge list is bounded and
+    already materialized for the count); larger graphs run co-partitioned
+    message passing — edges and rank rows bucketed on the same endpoint
+    hash, one pandas-merge per bucket per round, messages re-bucketed by
+    destination, 2 coarse shuffles per iteration (the
+    connected_components_distributed topology, with a FIXED iteration
+    count instead of a fixpoint probe so the unrolled SQL oracle can
+    replay it exactly).
+    """
+    schema = edges.schema()
+    if schema is None:
+        # a fully-empty upstream (e.g. filter-all) has no schema at all;
+        # the node type is unknowable, so the empty result uses string
+        return ray.data.from_arrow(
+            pa.Table.from_pylist(
+                [],
+                schema=pa.schema(
+                    [
+                        ("node", pa.string()),
+                        ("rank_fp", pa.int64()),
+                        ("rank", pa.float64()),
+                    ]
+                ),
+            )
+        )
+    node_t = schema.base_schema.field(src_col).type
+    int_nodes = pa.types.is_integer(node_t)
+    out_t = pa.int64() if int_nodes else pa.string()
+
+    def clean(batch: pa.Table) -> pa.Table:
+        batch = batch.select([src_col, dst_col])
+        return batch.filter(
+            pc.and_(pc.is_valid(batch[src_col]), pc.is_valid(batch[dst_col]))
+        )
+
+    edges = edges.map_batches(clean, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    out_schema = pa.schema(
+        [("node", out_t), ("rank_fp", pa.int64()), ("rank", pa.float64())]
+    )
+    if n_edges == 0:
+        return ray.data.from_arrow(pa.Table.from_pylist([], schema=out_schema))
+
+    if n_edges <= driver_max_edges:
+        tbl = pa.concat_tables(
+            [b for b in edges.iter_batches(batch_format="pyarrow")]
+            if n_edges
+            else []
+        )
+        src = tbl[src_col].to_numpy(zero_copy_only=False)
+        dst = tbl[dst_col].to_numpy(zero_copy_only=False)
+        node_vals = np.unique(np.concatenate([src, dst]))
+        r = _pagerank_driver(src, dst, node_vals, iterations, d_num, d_den, unit)
+        out = pa.table(
+            {
+                "node": pa.array(
+                    [int(v) for v in node_vals] if int_nodes else [str(v) for v in node_vals],
+                    out_t,
+                ),
+                "rank_fp": pa.array(r, pa.int64()),
+                "rank": pa.array(np.round(r / float(unit), 6), pa.float64()),
+            }
+        )
+        return ray.data.from_arrow(out)
+
+    return _pagerank_distributed(
+        edges, iterations, d_num, d_den, unit, src_col, dst_col,
+        int_nodes, out_schema,
+        num_buckets if num_buckets is not None else _num_buckets(n_edges),
+    )
+
+
+def _pagerank_distributed(
+    edges: ray.data.Dataset,
+    iterations: int,
+    d_num: int,
+    d_den: int,
+    unit: int,
+    src_col: str,
+    dst_col: str,
+    int_nodes: bool,
+    out_schema: pa.Schema,
+    num_buckets: int,
+) -> ray.data.Dataset:
+    """Co-partitioned message-passing route. Internal row kinds share one
+    union schema (key, dst, deg, r, m, _b): edge rows carry dst; rank rows
+    carry deg + r; message rows carry m. Node keys travel as strings
+    (bucketing convention); integer node ids decode at finalize. The
+    per-bucket merges split the union frame into null-free sub-frames
+    FIRST, so int64 columns never float through pandas."""
+    base = ((d_den - d_num) * unit) // d_den
+    union_schema = pa.schema(
+        [
+            ("key", pa.string()),
+            ("dst", pa.string()),
+            ("deg", pa.int64()),
+            ("r", pa.int64()),
+            ("m", pa.int64()),
+            ("_b", pa.int64()),
+        ]
+    )
+    pin = schema_pin(union_schema)
+
+    def to_edge_rows(batch: pa.Table) -> pa.Table:
+        a = [str(v) for v in batch[src_col].to_pylist()]
+        b = [str(v) for v in batch[dst_col].to_pylist()]
+        n = len(a)
+        return pa.table(
+            {
+                "key": pa.array(a, pa.string()),
+                "dst": pa.array(b, pa.string()),
+                "deg": pa.nulls(n, pa.int64()),
+                "r": pa.nulls(n, pa.int64()),
+                "m": pa.nulls(n, pa.int64()),
+                "_b": pa.array([md5_bucket(k, num_buckets) for k in a], pa.int64()),
+            }
+        )
+
+    edge_rows = edges.map_batches(to_edge_rows, batch_format="pyarrow").materialize()
+
+    def to_node_candidates(batch: pa.Table) -> pa.Table:
+        # src endpoints contribute out-degree 1, dst endpoints 0; the
+        # groupby below sums them into deg and distincts the node set
+        a = [str(v) for v in batch[src_col].to_pylist()]
+        b = [str(v) for v in batch[dst_col].to_pylist()]
+        keys = a + b
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "dst": pa.nulls(len(keys), pa.string()),
+                "deg": pa.array([1] * len(a) + [0] * len(b), pa.int64()),
+                "r": pa.nulls(len(keys), pa.int64()),
+                "m": pa.nulls(len(keys), pa.int64()),
+                "_b": pa.array(
+                    [md5_bucket(k, num_buckets) for k in keys], pa.int64()
+                ),
+            }
+        )
+
+    def init_ranks(group: pa.Table) -> pa.Table:
+        df = group.select(["key", "deg"]).to_pandas()
+        agg = df.groupby("key", as_index=False)["deg"].sum()
+        n = len(agg)
+        return pa.table(
+            {
+                "key": pa.array(agg["key"].tolist(), pa.string()),
+                "dst": pa.nulls(n, pa.string()),
+                "deg": pa.array(agg["deg"].to_numpy(np.int64), pa.int64()),
+                "r": pa.array([unit] * n, pa.int64()),
+                "m": pa.nulls(n, pa.int64()),
+                "_b": pa.array(
+                    [md5_bucket(k, num_buckets) for k in agg["key"]], pa.int64()
+                ),
+            }
+        )
+
+    ranks = (
+        edges.map_batches(to_node_candidates, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(init_ranks, batch_format="pyarrow")
+        .map_batches(pin, batch_format="pyarrow")
+    )
+
+    def emit(group: pa.Table) -> pa.Table:
+        is_rank = pc.is_valid(group["r"])
+        rank_rows = group.filter(is_rank)
+        edge_part = group.filter(pc.is_valid(group["dst"]))
+        rk = rank_rows.select(["key", "deg", "r"]).to_pandas()  # null-free
+        shares = pd.DataFrame(
+            {
+                "key": rk["key"],
+                "share": np.where(
+                    rk["deg"].to_numpy(np.int64) > 0,
+                    rk["r"].to_numpy(np.int64)
+                    // np.maximum(rk["deg"].to_numpy(np.int64), 1),
+                    0,
+                ),
+            }
+        )
+        ed = edge_part.select(["key", "dst"]).to_pandas()  # null-free
+        msgs = ed.merge(shares, on="key")
+        n_m = len(msgs)
+        msg_tbl = pa.table(
+            {
+                "key": pa.array(msgs["dst"].tolist(), pa.string()),
+                "dst": pa.nulls(n_m, pa.string()),
+                "deg": pa.nulls(n_m, pa.int64()),
+                "r": pa.nulls(n_m, pa.int64()),
+                "m": pa.array(msgs["share"].to_numpy(np.int64), pa.int64()),
+                "_b": pa.array(
+                    [md5_bucket(k, num_buckets) for k in msgs["dst"]], pa.int64()
+                ),
+            }
+        )
+        return pa.concat_tables([rank_rows.select(union_schema.names), msg_tbl])
+
+    def absorb(group: pa.Table) -> pa.Table:
+        is_rank = pc.is_valid(group["r"])
+        rank_rows = group.filter(is_rank)
+        msg = group.filter(pc.is_valid(group["m"]))
+        rk = rank_rows.select(["key", "deg", "_b"]).to_pandas()
+        if msg.num_rows:
+            ms = msg.select(["key", "m"]).to_pandas()
+            sums = ms.groupby("key", as_index=False)["m"].sum()
+            rk = rk.merge(sums, on="key", how="left")
+            msum = rk["m"].fillna(0).to_numpy(np.int64)
+        else:
+            msum = np.zeros(len(rk), np.int64)
+        new_r = base + (d_num * msum) // d_den
+        n = len(rk)
+        return pa.table(
+            {
+                "key": pa.array(rk["key"].tolist(), pa.string()),
+                "dst": pa.nulls(n, pa.string()),
+                "deg": pa.array(rk["deg"].to_numpy(np.int64), pa.int64()),
+                "r": pa.array(new_r, pa.int64()),
+                "m": pa.nulls(n, pa.int64()),
+                "_b": pa.array(rk["_b"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    for _ in range(iterations):
+        ranks = (
+            edge_rows.union(ranks)
+            .groupby("_b")
+            .map_groups(emit, batch_format="pyarrow")
+            .map_batches(pin, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(absorb, batch_format="pyarrow")
+            .map_batches(pin, batch_format="pyarrow")
+            .materialize()
+        )
+
+    # rank derives from rank_fp with the SAME expression as the driver route
+    def finalize(batch: pa.Table, _unit: int = unit) -> pa.Table:
+        keys = batch["key"].to_pylist()
+        r = batch["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        node = pa.array(
+            [int(k) for k in keys] if int_nodes else keys,
+            out_schema.field("node").type,
+        )
+        return pa.table(
+            {
+                "node": node,
+                "rank_fp": pa.array(r, pa.int64()),
+                "rank": pa.array(np.round(r / float(_unit), 6), pa.float64()),
+            }
+        )
+
+    return ranks.map_batches(finalize, batch_format="pyarrow").map_batches(
+        schema_pin(out_schema), batch_format="pyarrow"
+    )
