@@ -1088,6 +1088,12 @@ def _bm25_oracle() -> str:
     return bm25_sql(_BM25_TERMS, k=20)
 
 
+def _phrase_oracle() -> str:
+    from pdf_parser_ray.ops.retrieval import phrase_sql
+
+    return phrase_sql(_PHRASE)
+
+
 def _q_bm25_top_docs(sf_dir: str):
     import ray.data
 
@@ -1095,6 +1101,18 @@ def _q_bm25_top_docs(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return bm25_top_docs(ds, _BM25_TERMS, k=20)
+
+
+_PHRASE = ["table", "value"]
+
+
+def _q_phrase_search(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.retrieval import phrase_search
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return phrase_search(ds, _PHRASE)
 
 
 def _q_bm25_index_top_docs(sf_dir: str):
@@ -1440,6 +1458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bm25_top_docs": _q_bm25_top_docs,
         "bm25_index_top_docs": _q_bm25_index_top_docs,
+        "phrase_search": _q_phrase_search,
         "pack_shards": _q_pack_shards,
         "stratified_sample": _q_stratified_sample,
         "orders_price_bands": _q_orders_price_bands,
@@ -2723,6 +2742,9 @@ def oracle_sql() -> dict[str, str]:
         # the index-served path is bit-identical to the scan path by the
         # 0.0-addition law (ops/retrieval.py bm25_index_top_docs) — same SQL
         "bm25_index_top_docs": _bm25_oracle(),
+        # token-position adjacency as a list lambda (no join: null ids
+        # survive on both sides, the split_sentences per-row law)
+        "phrase_search": _phrase_oracle(),
         # budget-quantized contiguous packing: shard = prior cumulative
         # tokens within the id range // budget — a windowed SUM
         "pack_shards": (

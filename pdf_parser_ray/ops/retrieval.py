@@ -600,3 +600,97 @@ def bm25_sql(
         f"SELECT {id_col}, score FROM scored WHERE score > 0.0 "
         f"ORDER BY score DESC, {id_col} LIMIT {k}"
     )
+
+
+def phrase_search(
+    ds: ray.data.Dataset,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Exact-phrase occurrence counts per document: a match is
+    ``len(phrase)`` CONSECUTIVE tokens equal to the (lowercased) phrase
+    terms, over the retrieval family's tokenization (``\\S+`` on
+    ``lower(text)``). Returns (id, n_matches, first_pos) for documents
+    with at least one match; ``first_pos`` is the 1-based token index of
+    the first occurrence.
+
+    Null text tokenizes empty (no row); null ids SURVIVE — the per-row
+    law shared with split_sentences, and what the list-lambda oracle
+    (:func:`phrase_sql`) computes: no join ever touches the id. A pure
+    map stage — token-position adjacency is per-document, so phrase
+    matching needs no index and no shuffle at any corpus size (the
+    vectorized mask is one numpy equality per phrase term).
+    """
+    import re
+
+    terms = [t.lower() for t in phrase]
+    if not terms:
+        raise ValueError("phrase must have at least one term")
+    tok_re = re.compile(r"\S+")
+    k = len(terms)
+    id_t = ds.schema().base_schema.field(id_col).type
+    out_schema = pa.schema(
+        [(id_col, id_t), ("n_matches", pa.int64()), ("first_pos", pa.int64())]
+    )
+
+    def find(batch: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(
+            pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        ).to_pylist()
+        keep, n_matches, first_pos = [], [], []
+        for i, t in enumerate(texts):
+            toks = tok_re.findall(t)
+            if len(toks) < k:
+                continue
+            # object dtype: numpy fixed-width unicode truncates trailing NULs
+            arr = np.array(toks, dtype=object)
+            stop = len(arr) - k + 1
+            mask = arr[:stop] == terms[0]
+            for j in range(1, k):
+                mask &= arr[j : stop + j] == terms[j]
+            hits = np.flatnonzero(mask)
+            if hits.size:
+                keep.append(i)
+                n_matches.append(int(hits.size))
+                first_pos.append(int(hits[0]) + 1)
+        return pa.table(
+            {
+                id_col: batch[id_col].take(pa.array(keep, pa.int64())),
+                "n_matches": pa.array(n_matches, pa.int64()),
+                "first_pos": pa.array(first_pos, pa.int64()),
+            }
+        ).cast(out_schema)
+
+    from pdf_parser_ray.functions.tables import schema_pin
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(find, batch_format="pyarrow")
+        .map_batches(schema_pin(out_schema), batch_format="pyarrow")
+    )
+
+
+def phrase_sql(
+    phrase: list[str],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """The DuckDB oracle for :func:`phrase_search` — token-position
+    adjacency as a list lambda (1-based list indexing; ``range`` end is
+    exclusive, so positions run 1 .. len - k + 1 exactly like the op's
+    numpy ``stop``). No join: null ids survive on both sides."""
+    terms = [t.lower() for t in phrase]
+    k = len(terms)
+    conds = " AND ".join(f"l[p + {j}] = '{t}'" for j, t in enumerate(terms))
+    rng_end = f"len(l) - {k - 2}" if k >= 2 else "len(l) + 1"
+    return (
+        f"WITH t AS (SELECT {id_col}, "
+        f"regexp_extract_all(lower(COALESCE({text_col}, '')), '\\S+') AS l "
+        f"FROM {table}), "
+        f"m AS (SELECT {id_col}, "
+        f"list_filter(range(1, {rng_end}), p -> {conds}) AS hits FROM t) "
+        f"SELECT {id_col}, CAST(len(hits) AS BIGINT) AS n_matches, "
+        f"CAST(hits[1] AS BIGINT) AS first_pos FROM m WHERE len(hits) > 0"
+    )

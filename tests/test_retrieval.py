@@ -18,6 +18,8 @@ from pdf_parser_ray.ops.retrieval import (
     bm25_sql,
     bm25_top_docs,
     build_text_index,
+    phrase_search,
+    phrase_sql,
 )
 
 
@@ -229,3 +231,75 @@ def test_bm25_index_route_equality(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         drv.reset_index(drop=True), scan.reset_index(drop=True)
     )
+
+
+def _phrase_tbl():
+    return pa.table(
+        {
+            "doc_id": pa.array([1, 2, None, 4, 5, 6], pa.int64()),
+            "text": pa.array(
+                [
+                    "big table value here and TABLE VALUE again",  # 2 matches
+                    "a a a",                   # overlap probe for ('a','a')
+                    "table value",             # null id still matches
+                    None,                      # null text: no row
+                    "table x value",           # non-adjacent: no row
+                    "value table",             # wrong order: no row
+                ],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def _phrase_oracle_frame(tbl, phrase):
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    return con.execute(phrase_sql(phrase)).df()
+
+
+def _phrase_compare(ray_session, tbl, phrase):
+    got = phrase_search(ray.data.from_arrow(tbl), phrase).to_pandas()
+    want = (
+        _phrase_oracle_frame(tbl, phrase)
+        .sort_values("doc_id", na_position="last")
+        .reset_index(drop=True)
+    )
+    if len(got) == 0:
+        # zero-row to_pandas drops columns on this Ray build
+        assert len(want) == 0
+        return got
+    got = got.sort_values("doc_id", na_position="last").reset_index(drop=True)
+    # doc_id floats through pandas when a null id survives — compare as str
+    for df in (got, want):
+        for c in df.columns:
+            df[c] = df[c].astype("Int64") if c != "doc_id" else df[c]
+    pd.testing.assert_frame_equal(
+        got.astype(str).reset_index(drop=True),
+        want.astype(str).reset_index(drop=True),
+    )
+    return got
+
+
+def test_phrase_search_matches_lambda_oracle(ray_session):
+    got = _phrase_compare(ray_session, _phrase_tbl(), ["table", "value"])
+    # case-folded, adjacency-only, null id kept, null text dropped
+    assert len(got) == 2
+
+
+def test_phrase_search_overlapping_and_single_term(ray_session):
+    # overlapping occurrences each count: 'a a a' has ('a','a') at 1 and 2
+    got = _phrase_compare(ray_session, _phrase_tbl(), ["a", "a"])
+    assert int(got.loc[0, "n_matches"]) == 2 and int(got.loc[0, "first_pos"]) == 1
+    # k=1 degenerates to token counting with the range-end law
+    got1 = _phrase_compare(ray_session, _phrase_tbl(), ["value"])
+    assert len(got1) == 4
+
+
+def test_phrase_search_longer_than_doc_and_empty_phrase(ray_session):
+    got = _phrase_compare(
+        ray_session, _phrase_tbl(), ["table", "value", "here", "and", "zzz"]
+    )
+    assert len(got) == 0
+    with pytest.raises(ValueError):
+        phrase_search(ray.data.from_arrow(_phrase_tbl()), [])
