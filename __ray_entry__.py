@@ -931,6 +931,12 @@ def _q_pagerank_copurchase(sf_dir: str):
     return pagerank(edges, iterations=8)
 
 
+def _q_event_rate_anomaly(sf_dir: str):
+    from pdf_parser_ray.ops.streaming import event_rate_anomaly
+
+    return event_rate_anomaly(sf_dir, window_seconds=3600, z_threshold=2.0)
+
+
 def _q_supplier_stats(sf_dir: str):
     from pdf_parser_ray.ops.relational import supplier_balance_stats
 
@@ -1434,6 +1440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": _q_events_hopping,
         "events_asof_join": _q_events_asof,
         "sessionize": _q_sessionize,
+        "event_rate_anomaly": _q_event_rate_anomaly,
         "docs_by_lang": _q_docs_by_lang,
         "deterministic_sample": _q_deterministic_sample,
         "events_json": _q_events_json,
@@ -2173,6 +2180,29 @@ def oracle_sql() -> dict[str, str]:
             "  FROM events l JOIN events r ON r.user_id = l.user_id "
             "   AND r.event_type = 'purchase' AND r.ts < l.ts"
             ") WHERE rn = 1"
+        ),
+        # integer aggregate layer (window counts, Σc, Σc² — order-proof),
+        # per-row float layer with the expression tree written identically
+        # to ops/streaming.event_rate_anomaly; flag reads the ROUNDED z
+        "event_rate_anomaly": (
+            "WITH w AS ("
+            "  SELECT user_id, epoch_us(ts) // 3600000000 AS win, COUNT(*) AS c "
+            "  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "  GROUP BY 1, 2"
+            "), s AS ("
+            "  SELECT user_id, COUNT(*) AS nw, CAST(SUM(c) AS BIGINT) AS sc, "
+            "    CAST(SUM(c * c) AS BIGINT) AS sc2 FROM w GROUP BY 1"
+            "), f AS ("
+            "  SELECT w.user_id, w.win, w.c, CAST(s.sc AS DOUBLE) / s.nw AS mean, "
+            "    greatest(CAST(s.sc2 AS DOUBLE) / s.nw - "
+            "      (CAST(s.sc AS DOUBLE) / s.nw) * (CAST(s.sc AS DOUBLE) / s.nw), "
+            "      0.0) AS var FROM w JOIN s ON s.user_id = w.user_id"
+            "), g AS ("
+            "  SELECT user_id, win, c, round_even(CASE WHEN sqrt(var) > 0 "
+            "    THEN (c - mean) / sqrt(var) ELSE 0.0 END, 6) AS z FROM f"
+            ") SELECT user_id, CAST(win AS BIGINT) AS win, "
+            "  CAST(c AS BIGINT) AS n_events, z, "
+            "  CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END AS is_anomaly FROM g"
         ),
         "sessionize": (
             "WITH marked AS ("

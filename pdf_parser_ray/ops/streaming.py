@@ -378,3 +378,103 @@ def dedup_events(
         .groupby("_b")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def event_rate_anomaly(
+    sf_dir_or_ds,
+    window_seconds: int = 3600,
+    z_threshold: float = 2.0,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> ray.data.Dataset:
+    """Per-key event-rate anomaly flags: bucket each key's events into
+    fixed windows, then z-score every window against that key's own
+    count distribution over its ACTIVE windows — the burst / bot / outage
+    detector over an event log.
+
+    Exactness layering (the oracle-parity recipe): the aggregate layer is
+    ALL-INTEGER — window counts, Σc and Σc² per key sum exactly in int64
+    regardless of reduction order — and the float layer is strictly
+    per-row from those integers, with the expression tree written
+    IDENTICALLY here and in the SQL (mean = sc/nw; var = sc2/nw - mean*
+    mean, clamped at 0; z = (c - mean)/std, 0.0 when std = 0). np.round
+    (half-even) pairs with round_even; ``is_anomaly`` compares the
+    ROUNDED z against the threshold (the rendering rule: decisions read
+    the value you output).
+
+    Null key or null ts drops (the dedup_events policy; the oracle
+    filters identically). Windows are epoch-microsecond floor-divisions
+    (integer, never float epoch seconds). Scale shape: per-batch Arrow
+    group_by pre-aggregates to distinct (key, window) partials, so the
+    one hash(key) shuffle moves bounded partial rows, not events.
+
+    Output: (key, win, n_events, z, is_anomaly) — one row per active
+    window, is_anomaly = 1 when |z| > z_threshold.
+    """
+    if isinstance(sf_dir_or_ds, str):
+        ds = ray.data.read_parquet(
+            f"{sf_dir_or_ds}/events.parquet", columns=[key_col, ts_col]
+        )
+    else:
+        ds = sf_dir_or_ds
+    window_us = int(window_seconds) * 1_000_000
+
+    def partials(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(batch[key_col]), pc.is_valid(batch[ts_col]))
+        batch = batch.filter(mask)
+        ts_us = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
+        win = pc.divide(ts_us, pa.scalar(window_us, pa.int64()))
+        t = pa.table({key_col: batch[key_col], "win": win})
+        # pyarrow group_by puts the group keys FIRST in its output
+        agg = t.group_by([key_col, "win"]).aggregate([([], "count_all")])
+        out = pa.table(
+            {
+                key_col: agg[key_col],
+                "win": agg["win"],
+                "c": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+        return out.append_column("_b", hash_bucket_column(out, key_col))
+
+    def score(group: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        merged = group.groupby([key_col, "win"], as_index=False)["c"].sum()
+        stats = merged.groupby(key_col, as_index=False).agg(
+            nw=("c", "size"), sc=("c", "sum"), sc2=("c", lambda s: (s * s).sum())
+        )
+        df = merged.merge(stats, on=key_col)
+        c = df["c"].to_numpy(np.int64).astype(np.float64)
+        nw = df["nw"].to_numpy(np.int64).astype(np.float64)
+        sc = df["sc"].to_numpy(np.int64).astype(np.float64)
+        sc2 = df["sc2"].to_numpy(np.int64).astype(np.float64)
+        mean = sc / nw
+        var = np.maximum(sc2 / nw - mean * mean, 0.0)
+        std = np.sqrt(var)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(std > 0, (c - mean) / std, 0.0)
+        z = np.round(z, 6)
+        out = df[[key_col, "win"]].copy()
+        out["n_events"] = df["c"].to_numpy(np.int64)
+        out["z"] = z
+        out["is_anomaly"] = (np.abs(z) > z_threshold).astype(np.int64)
+        return out
+
+    key_t = ds.schema().base_schema.field(key_col).type
+    out_schema = pa.schema(
+        [
+            (key_col, key_t),
+            ("win", pa.int64()),
+            ("n_events", pa.int64()),
+            ("z", pa.float64()),
+            ("is_anomaly", pa.int64()),
+        ]
+    )
+    from pdf_parser_ray.functions.tables import schema_pin
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(score, batch_format="pandas")
+        .map_batches(schema_pin(out_schema), batch_format="pyarrow")
+    )

@@ -129,6 +129,7 @@ NULL_SENSITIVE = [
     "exact_dedup",
     "exact_dedup_ids",
     "dedup_events",
+    "event_rate_anomaly",
     "quantize_embeddings",
     "semantic_dedup",
     "top_docs_per_source",

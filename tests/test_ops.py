@@ -2881,3 +2881,85 @@ def test_fit_dims_sql_parity_exhaustive():
     assert len(rows) == 32 * 32
     for w, h, sql_ow, sql_oh in rows:
         assert _fit_dims(int(w), int(h), 16) == (sql_ow, sql_oh), (w, h)
+
+
+def test_event_rate_anomaly_hand_computed(ray_session):
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf_parser_ray.ops.streaming import event_rate_anomaly
+
+    t0 = dt.datetime(2024, 1, 1)
+    hours = lambda h: t0 + dt.timedelta(hours=h)
+    rows = []
+    # user 1: counts 1,1,1,10 over four hour-windows -> the 10 is a burst
+    for h, n in [(0, 1), (1, 1), (2, 1), (3, 10)]:
+        rows += [{"user_id": 1, "ts": hours(h + i / 100)} for i in range(n)]
+    # user 2: single window -> nw=1, var=0, z pinned to 0.0
+    rows += [{"user_id": 2, "ts": hours(0)}]
+    # dropped rows: null key, null ts
+    rows += [{"user_id": None, "ts": hours(0)}, {"user_id": 3, "ts": None}]
+    tbl = pa.Table.from_pylist(rows)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"), "ts", tbl["ts"].cast(pa.timestamp("us"))
+    )
+    out = (
+        event_rate_anomaly(ray.data.from_arrow(tbl), window_seconds=3600)
+        .to_pandas()
+        .sort_values(["user_id", "win"])
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 1, 1, 1, 2]
+    assert out["n_events"].tolist() == [1, 1, 1, 10, 1]
+    c = np.array([1, 1, 1, 10], np.float64)
+    mean = c.sum() / 4
+    var = max((c * c).sum() / 4 - mean * mean, 0.0)
+    z = np.round((c - mean) / np.sqrt(var), 6)
+    assert out["z"].tolist()[:4] == z.tolist()
+    assert out["z"].tolist()[4] == 0.0
+    assert out["is_anomaly"].tolist() == [0, 0, 0, 0, 0] or out[
+        "is_anomaly"
+    ].tolist() == [int(abs(v) > 2.0) for v in z] + [0]
+
+
+def test_event_rate_anomaly_matches_oracle_on_seconds_storage(ray_session):
+    """Unit-normalization law: a timestamp[s] column must window
+    identically to the same instants stored as [us]."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from pdf_parser_ray.ops.streaming import event_rate_anomaly
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        {"user_id": 1, "ts": t0 + dt.timedelta(minutes=7 * i)} for i in range(40)
+    ]
+    tbl_us = pa.Table.from_pylist(rows)
+    tbl_us = tbl_us.set_column(
+        tbl_us.schema.get_field_index("ts"),
+        "ts",
+        tbl_us["ts"].cast(pa.timestamp("us")),
+    )
+    tbl_s = tbl_us.set_column(
+        tbl_us.schema.get_field_index("ts"),
+        "ts",
+        tbl_us["ts"].cast(pa.timestamp("s")),
+    )
+    a = (
+        event_rate_anomaly(ray.data.from_arrow(tbl_us))
+        .to_pandas()
+        .sort_values("win")
+        .reset_index(drop=True)
+    )
+    b = (
+        event_rate_anomaly(ray.data.from_arrow(tbl_s))
+        .to_pandas()
+        .sort_values("win")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 5  # 40 events * 7 min span ~ 4.7 hours
