@@ -383,9 +383,14 @@ def _pagerank_distributed(
         rk = rank_rows.select(["key", "deg", "_b"]).to_pandas()
         if msg.num_rows:
             ms = msg.select(["key", "m"]).to_pandas()
-            sums = ms.groupby("key", as_index=False)["m"].sum()
-            rk = rk.merge(sums, on="key", how="left")
-            msum = rk["m"].fillna(0).to_numpy(np.int64)
+            # dict lookup, not a left-merge: merge would float the int64
+            # sums through the unmatched rows' NaNs and lose ulps past
+            # 2^53 (mass sums reach N * unit)
+            sums = ms.groupby("key")["m"].sum()
+            lut = sums.to_dict()
+            msum = np.fromiter(
+                (lut.get(k, 0) for k in rk["key"]), np.int64, len(rk)
+            )
         else:
             msum = np.zeros(len(rk), np.int64)
         new_r = base + (d_num * msum) // d_den

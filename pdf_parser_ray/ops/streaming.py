@@ -403,8 +403,10 @@ def event_rate_anomaly(
     the value you output).
 
     Null key or null ts drops (the dedup_events policy; the oracle
-    filters identically). Windows are epoch-microsecond floor-divisions
-    (integer, never float epoch seconds). Scale shape: per-batch Arrow
+    filters identically). Windows are integer epoch-microsecond
+    divisions — pc.divide TRUNCATES toward zero exactly like DuckDB
+    ``//`` (numpy ``//`` floors and would diverge on pre-1970 epochs),
+    and never float epoch seconds. Scale shape: per-batch Arrow
     group_by pre-aggregates to distinct (key, window) partials, so the
     one hash(key) shuffle moves bounded partial rows, not events.
 
