@@ -1173,6 +1173,44 @@ def _q_bm25_index_top_docs(sf_dir: str):
     return bm25_index_top_docs(index_dir, _BM25_TERMS, k=20)
 
 
+def _q_bm25_incr_index_top_docs(sf_dir: str):
+    """Incrementally-maintained index (update_text_index): the corpus is
+    split into two fragment files (cached by source mtime), the store is
+    updated TWICE — the second call must resume with zero work — and the
+    query is served from the per-fragment postings. Same oracle as the
+    scan path: fragment-union serving is bit-identical by construction."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.ops.retrieval import bm25_index_top_docs, update_text_index
+
+    src = f"{sf_dir}/documents.parquet"
+    key = hashlib.md5(
+        f"incr:{os.path.abspath(src)}:{os.path.getmtime(src)}:64".encode()
+    ).hexdigest()[:12]
+    frag_dir = os.path.join(_cache_root(), f"tfrag_{key}")
+    if not (
+        os.path.exists(os.path.join(frag_dir, "part0.parquet"))
+        and os.path.exists(os.path.join(frag_dir, "part1.parquet"))
+    ):
+        os.makedirs(frag_dir, exist_ok=True)
+        t = pq.read_table(src, columns=["doc_id", "text"])
+        half = t.num_rows // 2
+        pq.write_table(t.slice(0, half), os.path.join(frag_dir, "part0.parquet"))
+        pq.write_table(t.slice(half), os.path.join(frag_dir, "part1.parquet"))
+    files = [
+        os.path.join(frag_dir, "part0.parquet"),
+        os.path.join(frag_dir, "part1.parquet"),
+    ]
+    index_dir = os.path.join(_cache_root(), f"tincr_{key}")
+    update_text_index(files, index_dir, n_buckets=64)
+    again = update_text_index(files, index_dir, n_buckets=64)
+    assert again["files_indexed_now"] == 0  # the resume law, every run
+    return bm25_index_top_docs(index_dir, _BM25_TERMS, k=20)
+
+
 def _q_orders_price_bands(sf_dir: str):
     from pdf_parser_ray.ops.relational import orders_price_bands
 
@@ -1465,6 +1503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bm25_top_docs": _q_bm25_top_docs,
         "bm25_index_top_docs": _q_bm25_index_top_docs,
+        "bm25_incr_index_top_docs": _q_bm25_incr_index_top_docs,
         "phrase_search": _q_phrase_search,
         "pack_shards": _q_pack_shards,
         "stratified_sample": _q_stratified_sample,
@@ -2772,6 +2811,9 @@ def oracle_sql() -> dict[str, str]:
         # the index-served path is bit-identical to the scan path by the
         # 0.0-addition law (ops/retrieval.py bm25_index_top_docs) — same SQL
         "bm25_index_top_docs": _bm25_oracle(),
+        # fragment-union serving is bit-identical to the scan path — the
+        # incremental store's resume/prune laws are pinned in tests
+        "bm25_incr_index_top_docs": _bm25_oracle(),
         # token-position adjacency as a list lambda (no join: null ids
         # survive on both sides, the split_sentences per-row law)
         "phrase_search": _phrase_oracle(),

@@ -193,6 +193,64 @@ def bm25_top_docs(
     )
 
 
+def _make_postings_fn(id_type, text_col: str, id_col: str, n_buckets: int):
+    """The ONE postings law, shared by the full build and the incremental
+    update: one row per distinct (term, doc) with (tf, dl, term bucket),
+    plus a per-batch corpus-stats row in its own partition (bucket ==
+    n_buckets — term buckets are [0, n_buckets), so never a collision)."""
+    from pdf_parser_ray.functions.hashing import md5_bucket
+
+    post_schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("doc", id_type),
+            ("tf", pa.int64()),
+            ("dl", pa.int64()),
+            ("bucket", pa.int32()),
+        ]
+    )
+
+    def postings(batch: pa.Table) -> pa.Table:
+        texts = pc.cast(batch[text_col], pa.string()).to_pylist()
+        ids = batch[id_col].to_pylist()
+        out_t: list = []
+        out_doc: list = []
+        out_tf: list = []
+        out_dl: list = []
+        out_b: list = []
+        n_docs = 0
+        dl_total = 0
+        for doc, text in zip(ids, texts):
+            toks = (text or "").lower().split()
+            n_docs += 1
+            dl_total += len(toks)
+            tf: dict[str, int] = {}
+            for tok in toks:
+                tf[tok] = tf.get(tok, 0) + 1
+            for term, f in tf.items():
+                out_t.append(term)
+                out_doc.append(doc)
+                out_tf.append(f)
+                out_dl.append(len(toks))
+                out_b.append(md5_bucket(term, n_buckets))
+        out_t.append(None)
+        out_doc.append(None)
+        out_tf.append(n_docs)
+        out_dl.append(dl_total)
+        out_b.append(n_buckets)
+        return pa.table(
+            {
+                "term": pa.array(out_t, pa.string()),
+                "doc": pa.array(out_doc, id_type),
+                "tf": pa.array(out_tf, pa.int64()),
+                "dl": pa.array(out_dl, pa.int64()),
+                "bucket": pa.array(out_b, pa.int32()),
+            }
+        ).cast(post_schema)
+
+    return postings
+
+
 def build_text_index(
     ds: ray.data.Dataset,
     index_dir: str,
@@ -241,55 +299,7 @@ def build_text_index(
         lambda t: t.filter(pc.is_valid(t[id_col])), batch_format="pyarrow"
     )
 
-    post_schema = pa.schema(
-        [
-            ("term", pa.string()),
-            ("doc", id_type),
-            ("tf", pa.int64()),
-            ("dl", pa.int64()),
-            ("bucket", pa.int32()),
-        ]
-    )
-
-    def postings(batch: pa.Table) -> pa.Table:
-        texts = pc.cast(batch[text_col], pa.string()).to_pylist()
-        ids = batch[id_col].to_pylist()
-        out_t: list = []
-        out_doc: list = []
-        out_tf: list = []
-        out_dl: list = []
-        out_b: list = []
-        n_docs = 0
-        dl_total = 0
-        for doc, text in zip(ids, texts):
-            toks = (text or "").lower().split()
-            n_docs += 1
-            dl_total += len(toks)
-            tf: dict[str, int] = {}
-            for tok in toks:
-                tf[tok] = tf.get(tok, 0) + 1
-            for term, f in tf.items():
-                out_t.append(term)
-                out_doc.append(doc)
-                out_tf.append(f)
-                out_dl.append(len(toks))
-                out_b.append(md5_bucket(term, n_buckets))
-        # the batch's corpus-stats row rides its own partition (bucket ==
-        # n_buckets — term buckets are [0, n_buckets), so never a collision)
-        out_t.append(None)
-        out_doc.append(None)
-        out_tf.append(n_docs)
-        out_dl.append(dl_total)
-        out_b.append(n_buckets)
-        return pa.table(
-            {
-                "term": pa.array(out_t, pa.string()),
-                "doc": pa.array(out_doc, id_type),
-                "tf": pa.array(out_tf, pa.int64()),
-                "dl": pa.array(out_dl, pa.int64()),
-                "bucket": pa.array(out_b, pa.int32()),
-            }
-        ).cast(post_schema)
+    postings = _make_postings_fn(id_type, text_col, id_col, n_buckets)
 
     os.makedirs(index_dir, exist_ok=True)
     post_dir = os.path.join(index_dir, "postings")
@@ -344,12 +354,16 @@ def _term_bucket_files(index_dir: str, terms: list[str]) -> list[str]:
     with open(os.path.join(index_dir, "meta.json")) as f:
         n_buckets = json.load(f)["n_buckets"]
     buckets = sorted({md5_bucket(t, n_buckets) for t in terms})
+    # two layouts share one serving path: flat (full build) and
+    # per-fragment (incremental update_text_index)
     return [
         f
         for b in buckets
-        for f in sorted(
-            glob.glob(os.path.join(index_dir, "postings", f"bucket={b}", "*.parquet"))
+        for pattern in (
+            os.path.join(index_dir, "postings", f"bucket={b}", "*.parquet"),
+            os.path.join(index_dir, "postings", "frag=*", f"bucket={b}", "*.parquet"),
         )
+        for f in sorted(glob.glob(pattern))
     ]
 
 
@@ -694,3 +708,219 @@ def phrase_sql(
         f"SELECT {id_col}, CAST(len(hits) AS BIGINT) AS n_matches, "
         f"CAST(hits[1] AS BIGINT) AS first_pos FROM m WHERE len(hits) > 0"
     )
+
+
+def update_text_index(
+    files: list[str],
+    index_dir: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 16,
+) -> dict:
+    """Incrementally maintain a text index over a FRAGMENTED corpus — the
+    retrieval sibling of ops.dedup.update_band_store, same mechanics:
+
+    * each corpus fragment (input parquet file) owns a partition
+      ``postings/frag=<key>/bucket=<b>/`` plus an atomic manifest keyed by
+      (path, size, mtime_ns, index params). A re-run — after a kill, or
+      with fragments appended — only indexes fragments whose manifest is
+      missing or stale; fragments no longer in ``files`` are pruned
+      (ghost postings would inflate df and N forever).
+    * stale fragments are indexed in CHUNKED UNION pipelines (the
+      streaming executor runs union branches concurrently) writing a
+      hive-partitioned staging dir, then per-fragment rename + manifest
+      LAST — crash granularity stays per fragment.
+    * each manifest carries the fragment's (n_docs, dl_total), so
+      ``meta.json``'s corpus totals are rebuilt by pure json sums — a
+      100k-fragment refresh re-reads zero parquet.
+
+    :func:`bm25_index_top_docs` serves both layouts unchanged
+    (:func:`_term_bucket_files` globs flat and frag partitions); served
+    scores remain bit-identical to the scan path over the fragment union.
+    One index serves ONE corpus with ONE schema: a dir previously written
+    by :func:`build_text_index` (no "incremental" meta flag), or a
+    fragment whose id column type differs from the recorded one, raises.
+
+    Returns {"files_total", "files_indexed_now", "files_skipped_resume"}.
+    """
+    import fcntl
+    import json
+    import os
+
+    from pdf_parser_ray.state.checkpoint import _write_json_atomic
+
+    os.makedirs(os.path.join(index_dir, "postings"), exist_ok=True)
+    os.makedirs(os.path.join(index_dir, "_manifest"), exist_ok=True)
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev_meta = json.load(f)
+        if not prev_meta.get("incremental"):
+            raise ValueError(
+                f"{index_dir} holds a full build_text_index build; "
+                "incremental updates need their own index dir"
+            )
+        if (
+            prev_meta["n_buckets"] != n_buckets
+            or prev_meta["id_col"] != id_col
+            or prev_meta["text_col"] != text_col
+        ):
+            # param change invalidates every fragment anyway (signatures
+            # embed the params); but n_buckets also changes the LAYOUT,
+            # so wipe rather than strand postings in dead bucket dirs
+            import shutil
+
+            shutil.rmtree(os.path.join(index_dir, "postings"), ignore_errors=True)
+            shutil.rmtree(os.path.join(index_dir, "_manifest"), ignore_errors=True)
+            os.makedirs(os.path.join(index_dir, "postings"), exist_ok=True)
+            os.makedirs(os.path.join(index_dir, "_manifest"), exist_ok=True)
+
+    with open(os.path.join(index_dir, ".lock"), "w") as lock_f:
+        fcntl.flock(lock_f, fcntl.LOCK_EX)
+        try:
+            return _update_text_index_locked(
+                files, index_dir, n_buckets, text_col, id_col, chunk_size,
+                _write_json_atomic,
+            )
+        finally:
+            fcntl.flock(lock_f, fcntl.LOCK_UN)
+
+
+def _update_text_index_locked(
+    files: list[str],
+    index_dir: str,
+    n_buckets: int,
+    text_col: str,
+    id_col: str,
+    chunk_size: int,
+    _write_json_atomic,
+) -> dict:
+    import glob
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    def frag_key(path: str) -> str:
+        return hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:16]
+
+    post_root = os.path.join(index_dir, "postings")
+    man_root = os.path.join(index_dir, "_manifest")
+    live = {frag_key(p) for p in files}
+    for man in glob.glob(os.path.join(man_root, "*.json")):
+        key = os.path.splitext(os.path.basename(man))[0]
+        if key not in live:
+            os.remove(man)
+            shutil.rmtree(os.path.join(post_root, f"frag={key}"), ignore_errors=True)
+    # orphan partitions from a crash in the rename-then-manifest window
+    for d in glob.glob(os.path.join(post_root, "frag=*")):
+        if os.path.basename(d)[len("frag="):] not in live:
+            shutil.rmtree(d, ignore_errors=True)
+
+    stats = {"files_total": len(files), "files_indexed_now": 0,
+             "files_skipped_resume": 0}
+    id_type = None
+    stale: list[tuple[str, str, dict, str]] = []
+    for path in files:
+        st = os.stat(path)
+        sig = {
+            "path": os.path.abspath(path),
+            "size": st.st_size,
+            "mtime_ns": st.st_mtime_ns,
+            "n_buckets": n_buckets,
+            "id_col": id_col,
+            "text_col": text_col,
+        }
+        key = frag_key(path)
+        manifest = os.path.join(man_root, f"{key}.json")
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                have = json.load(f)
+            if {k: have.get(k) for k in sig} == sig:
+                stats["files_skipped_resume"] += 1
+                continue
+        stale.append((path, key, sig, manifest))
+
+    # ONE id type per index: take it from the first fragment's footer and
+    # require every other fragment to match (serving assumes one schema)
+    for path in files:
+        t = pq.read_schema(path).field(id_col).type
+        if id_type is None:
+            id_type = t
+        elif t != id_type:
+            raise ValueError(
+                f"fragment {path} id type {t} != index id type {id_type}"
+            )
+    if id_type is None:  # no fragments at all: an empty corpus index
+        id_type = pa.string()
+
+    staging = os.path.join(index_dir, "_staging")
+    shutil.rmtree(staging, ignore_errors=True)
+    postings_fn = _make_postings_fn(id_type, text_col, id_col, n_buckets)
+    for i in range(0, len(stale), chunk_size):
+        chunk = stale[i : i + chunk_size]
+        shutil.rmtree(staging, ignore_errors=True)
+        branches = []
+        for path, key, _, _ in chunk:
+            frag = (
+                ray.data.read_parquet(path, columns=[id_col, text_col])
+                .map_batches(
+                    lambda t, _c=id_col: t.filter(pc.is_valid(t[_c])),
+                    batch_format="pyarrow",
+                )
+                .map_batches(postings_fn, batch_format="pyarrow")
+                .map_batches(
+                    lambda t, _k=key: t.append_column(
+                        "frag", pa.array([_k] * t.num_rows, pa.string())
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            branches.append(frag)
+        ds = branches[0]
+        for b in branches[1:]:
+            ds = ds.union(b)
+        ds.write_parquet(staging, partition_cols=["frag", "bucket"])
+        for path, key, sig, manifest in chunk:
+            out = os.path.join(post_root, f"frag={key}")
+            shutil.rmtree(out, ignore_errors=True)
+            staged = os.path.join(staging, f"frag={key}")
+            n_docs = 0
+            dl_total = 0
+            if os.path.isdir(staged):
+                os.rename(staged, out)  # same filesystem: atomic move
+                for f in glob.glob(
+                    os.path.join(out, f"bucket={n_buckets}", "*.parquet")
+                ):
+                    t = pq.read_table(f, columns=["tf", "dl"])
+                    n_docs += int(pc.sum(t["tf"]).as_py() or 0)
+                    dl_total += int(pc.sum(t["dl"]).as_py() or 0)
+            # empty fragment: no partition dir; manifest alone records it
+            sig["n_docs"] = n_docs
+            sig["dl_total"] = dl_total
+            _write_json_atomic(manifest, sig)  # manifest last
+            stats["files_indexed_now"] += 1
+        shutil.rmtree(staging, ignore_errors=True)
+
+    # corpus totals = pure json sums over the live manifests
+    n_docs = 0
+    dl_total = 0
+    for man in glob.glob(os.path.join(man_root, "*.json")):
+        with open(man) as f:
+            m = json.load(f)
+        n_docs += int(m.get("n_docs", 0))
+        dl_total += int(m.get("dl_total", 0))
+    meta = {
+        "n_buckets": int(n_buckets),
+        "id_col": id_col,
+        "text_col": text_col,
+        "id_type": str(id_type),
+        "n_docs": n_docs,
+        "dl_total": dl_total,
+        "incremental": True,
+    }
+    _write_json_atomic(os.path.join(index_dir, "meta.json"), meta)
+    return stats

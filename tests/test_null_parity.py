@@ -143,6 +143,7 @@ NULL_SENSITIVE = [
     "knn_join",
     "bm25_top_docs",
     "bm25_index_top_docs",
+    "bm25_incr_index_top_docs",
     # text-family ops that coalesce early — cheap to pin, and the corpus
     # exercises their null text / null id paths too
     "script_mix",

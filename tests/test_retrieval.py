@@ -303,3 +303,125 @@ def test_phrase_search_longer_than_doc_and_empty_phrase(ray_session):
     assert len(got) == 0
     with pytest.raises(ValueError):
         phrase_search(ray.data.from_arrow(_phrase_tbl()), [])
+
+
+def _write_frags(tmp_path, tables):
+    import pyarrow.parquet as pq
+
+    paths = []
+    for i, t in enumerate(tables):
+        p = str(tmp_path / f"frag{i}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    return paths
+
+
+def _frag_tbl(ids, texts):
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+
+
+def test_update_text_index_serves_union_and_resumes(ray_session, tmp_path):
+    from pdf_parser_ray.ops.retrieval import update_text_index
+
+    t1 = _frag_tbl([1, 2, None], ["cat dog", "cat", "cat"])  # null id dropped
+    t2 = _frag_tbl([3, 4], ["dog dog sky", None])
+    paths = _write_frags(tmp_path, [t1, t2])
+    idx = str(tmp_path / "incr_idx")
+    s1 = update_text_index(paths, idx, n_buckets=8)
+    assert s1 == {"files_total": 2, "files_indexed_now": 2,
+                  "files_skipped_resume": 0}
+    # resume: nothing stale
+    s2 = update_text_index(paths, idx, n_buckets=8)
+    assert s2["files_skipped_resume"] == 2 and s2["files_indexed_now"] == 0
+    # served == scan over the fragment union (N counts the null-text doc)
+    union = pa.concat_tables([t1, t2])
+    for terms in (["cat"], ["dog", "sky"], ["zebra"]):
+        served = bm25_index_top_docs(idx, terms, k=10).to_pandas()
+        scan = bm25_top_docs(ray.data.from_arrow(union), terms, k=10).to_pandas()
+        if len(scan) == 0:
+            assert len(served) == 0
+        else:
+            pd.testing.assert_frame_equal(
+                served.reset_index(drop=True), scan.reset_index(drop=True)
+            )
+
+
+def test_update_text_index_append_and_prune(ray_session, tmp_path):
+    from pdf_parser_ray.ops.retrieval import update_text_index
+
+    t1 = _frag_tbl([1], ["cat"])
+    t2 = _frag_tbl([2], ["dog"])
+    paths = _write_frags(tmp_path, [t1, t2])
+    idx = str(tmp_path / "incr_idx")
+    update_text_index(paths[:1], idx, n_buckets=8)
+    # append: only the new fragment is indexed
+    s = update_text_index(paths, idx, n_buckets=8)
+    assert s["files_indexed_now"] == 1 and s["files_skipped_resume"] == 1
+    assert list(bm25_index_top_docs(idx, ["dog"], k=5).to_pandas()["doc_id"]) == [2]
+    # prune: dropping a fragment removes its postings AND its mass in meta
+    s = update_text_index(paths[1:], idx, n_buckets=8)
+    assert s["files_total"] == 1
+    assert len(bm25_index_top_docs(idx, ["cat"], k=5).to_pandas()) == 0
+    import json
+    import os
+
+    with open(os.path.join(idx, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["n_docs"] == 1 and meta["incremental"] is True
+
+
+def test_update_text_index_rewrite_reindexes(ray_session, tmp_path):
+    import os
+
+    from pdf_parser_ray.ops.retrieval import update_text_index
+
+    paths = _write_frags(tmp_path, [_frag_tbl([1], ["cat"])])
+    idx = str(tmp_path / "incr_idx")
+    update_text_index(paths, idx, n_buckets=8)
+    # rewrite the fragment with new content (mtime_ns changes)
+    import pyarrow.parquet as pq
+
+    pq.write_table(_frag_tbl([1], ["sky"]), paths[0])
+    s = update_text_index(paths, idx, n_buckets=8)
+    assert s["files_indexed_now"] == 1
+    assert len(bm25_index_top_docs(idx, ["cat"], k=5).to_pandas()) == 0
+    assert list(bm25_index_top_docs(idx, ["sky"], k=5).to_pandas()["doc_id"]) == [1]
+
+
+def test_update_text_index_guards(ray_session, tmp_path):
+    from pdf_parser_ray.ops.retrieval import update_text_index
+
+    # a full-build dir refuses incremental updates
+    full = str(tmp_path / "full_idx")
+    build_text_index(
+        ray.data.from_arrow(_frag_tbl([1], ["cat"])), full, n_buckets=4
+    )
+    paths = _write_frags(tmp_path, [_frag_tbl([2], ["dog"])])
+    with pytest.raises(ValueError, match="full build"):
+        update_text_index(paths, full, n_buckets=4)
+    # mixed id types across fragments refuse
+    idx = str(tmp_path / "incr_idx")
+    str_frag = pa.table(
+        {"doc_id": pa.array(["a"], pa.string()), "text": pa.array(["x"], pa.string())}
+    )
+    import pyarrow.parquet as pq
+
+    str_path = str(tmp_path / "frag_str.parquet")
+    pq.write_table(str_frag, str_path)
+    mixed = paths + [str_path]
+    with pytest.raises(ValueError, match="id type"):
+        update_text_index(mixed, idx, n_buckets=4)
+
+
+def test_update_text_index_param_change_rebuilds(ray_session, tmp_path):
+    from pdf_parser_ray.ops.retrieval import update_text_index
+
+    paths = _write_frags(tmp_path, [_frag_tbl([1], ["cat"])])
+    idx = str(tmp_path / "incr_idx")
+    update_text_index(paths, idx, n_buckets=4)
+    # n_buckets change relays postings into a new layout, no ghosts
+    s = update_text_index(paths, idx, n_buckets=8)
+    assert s["files_indexed_now"] == 1
+    assert list(bm25_index_top_docs(idx, ["cat"], k=5).to_pandas()["doc_id"]) == [1]
