@@ -188,7 +188,7 @@ def run_headline(plant_giant: bool = False) -> dict:
 # numbers from one big session are upper bounds, not measurements
 FAMILIES: dict[str, list[str]] = {
     "text": ["doc_stats", "quality_score", "lang_id", "scrub_pii",
-             "top_ngrams", "gopher_rules"],
+             "top_ngrams", "gopher_rules", "script_mix", "split_sentences"],
     "dedup": ["exact_dedup", "dedup_lines", "dedup_events", "simhash",
               "simhash_pairs"],
     "minhash": ["minhash_pairs", "minhash_dedup_resumable",
@@ -201,10 +201,12 @@ FAMILIES: dict[str, list[str]] = {
                    "price_quantiles_routed", "global_rank",
                    "top_docs_per_source", "chars_quantiles_by_lang",
                    "heavy_hitter_sources"],
-    "streaming": ["events_window_agg", "sessionize", "events_asof_join"],
+    "streaming": ["events_window_agg", "sessionize", "events_asof_join",
+                  "event_rate_anomaly"],
+    "graph": ["copurchase_pairs", "pagerank_copurchase"],
     "curation": ["tfidf_top_terms", "lm_surprisal", "assign_splits",
                  "curate_corpus", "rebalance_sources", "surprisal_filter"],
-    "retrieval": ["term_search", "bm25_top_docs"],
+    "retrieval": ["term_search", "bm25_top_docs", "phrase_search"],
     "crosscorpus": ["contamination_check", "cross_corpus_near_dups",
                     "cross_corpus_embedding_near_dups",
                     "bloom_novel_docs",
@@ -327,6 +329,7 @@ def run_family(fam: str) -> dict[str, float]:
         "ann": ["embeddings"],
         "relational": ["lineitem", "documents"],
         "streaming": ["events"],
+        "graph": ["lineitem"],
         "crosscorpus": ["documents", "embeddings"],
     }.get(fam, ["documents"])
     for table in warm_tables:
