@@ -1094,6 +1094,12 @@ def _bm25_oracle() -> str:
     return bm25_sql(_BM25_TERMS, k=20)
 
 
+def _pmi_oracle() -> str:
+    from pdf_parser_ray.ops.curation import pmi_sql
+
+    return pmi_sql(k=20, min_count=5)
+
+
 def _phrase_oracle() -> str:
     from pdf_parser_ray.ops.retrieval import phrase_sql
 
@@ -1110,6 +1116,15 @@ def _q_bm25_top_docs(sf_dir: str):
 
 
 _PHRASE = ["table", "value"]
+
+
+def _q_pmi_top_pairs(sf_dir: str):
+    import ray.data
+
+    from pdf_parser_ray.ops.curation import pmi_top_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return pmi_top_pairs(ds, k=20, min_count=5)
 
 
 def _q_phrase_search(sf_dir: str):
@@ -1499,6 +1514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_pii": _q_scrub_pii,
         "repetition_score": _q_repetition_score,
         "top_ngrams": _q_top_ngrams,
+        "pmi_top_pairs": _q_pmi_top_pairs,
         "doc_frequency": _q_doc_frequency,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bm25_top_docs": _q_bm25_top_docs,
@@ -2778,6 +2794,8 @@ def oracle_sql() -> dict[str, str]:
             "round_even(1.0 - n_distinct/(n_lines::DOUBLE), 6) AS dup_line_ratio, "
             "round_even(top_freq/(n_lines::DOUBLE), 6) AS top_line_share FROM per"
         ),
+        # PMI collocations: generated so the expression tree matches the op
+        "pmi_top_pairs": _pmi_oracle(),
         "top_ngrams": (
             r"WITH toks AS (SELECT regexp_extract_all(lower(text),'\S+') AS tk "
             r"FROM documents), "

@@ -1303,3 +1303,271 @@ def surprisal_filter(
         return t.filter(pc.less_equal(batch["rank"], cutoff))
 
     return ranked.map_batches(cut, batch_format="pyarrow")
+
+
+def pmi_top_pairs(
+    ds: ray.data.Dataset,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Top-k adjacent-token collocations by pointwise mutual information —
+    the vocabulary-curation op that surfaces multiword units ("new york",
+    "machine learning") worth single tokens.
+
+    PMI law (shared verbatim with the SQL oracle):
+    ``round_even(ln((c_ab / B) / ((c_a / T) * (c_b / T))), 6)`` over
+    DOUBLEs from exact int64 counts — c_ab = corpus count of the adjacent
+    pair (within-document only, the \\S+ lower() tokenization), c_a/c_b =
+    unigram counts, T/B = total token/bigram counts. Ties at the k-cut
+    break (pmi desc, w1 asc, w2 asc) on the ROUNDED pmi.
+
+    Scale shape: per-batch partial count dicts (bounded by the batch's
+    vocabulary) -> ONE groupby(key) Sum — the only corpus-sized shuffle;
+    pairs below ``min_count`` drop before the attach stages, and the two
+    c_a/c_b attaches are co-partitioned unions on hash(word) (the
+    _tfidf_join_path shape) — no vocabulary-sized driver dict at any
+    corpus size. Null text tokenizes empty.
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        uni: dict[str, int] = {}
+        big: dict[str, int] = {}
+        for text in pc.cast(batch[text_col], pa.string()).to_pylist():
+            toks = (text or "").lower().split()
+            for t in toks:
+                uni[t] = uni.get(t, 0) + 1
+            for a, b in zip(toks, toks[1:]):
+                key = f"{a} {b}"  # tokens are \S+: ' ' can never collide
+                big[key] = big.get(key, 0) + 1
+        keys = [f"u {w}" for w in uni] + [f"b {g}" for g in big]
+        counts = list(uni.values()) + list(big.values())
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "c": pa.array(counts, pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.select_columns([text_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()  # totals + two attach stages read it; count once
+    )
+
+    def _side_total(prefix: str) -> int:
+        agg = (
+            counts.map_batches(
+                lambda t, _p=prefix: pa.table(
+                    {
+                        "c": t.filter(
+                            pc.starts_with(t["key"], pattern=_p)
+                        )["c"]
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .aggregate(Sum("c", alias_name="c"))
+        )
+        return int(agg.get("c") or 0)
+
+    t_total = _side_total("u ")
+    b_total = _side_total("b ")
+    if b_total == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "c_pair": pa.array([], pa.int64()),
+                    "pmi": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    msg_schema = pa.schema(
+        [
+            ("w", pa.string()),       # the attach word this row is keyed on
+            ("side", pa.int8()),      # 0 = bigram row, 1 = unigram count row
+            ("w1", pa.string()),
+            ("w2", pa.string()),
+            ("c_pair", pa.int64()),
+            ("c_a", pa.int64()),
+            ("c_b", pa.int64()),
+            ("uc", pa.int64()),
+            ("_b", pa.int64()),
+        ]
+    )
+    pin = schema_pin(msg_schema)
+
+    def split_rows(batch: pa.Table) -> pa.Table:
+        keys = batch["key"].to_pylist()
+        cs = batch["c"].to_pylist()
+        w, side, w1s, w2s, cp, ca, cb, uc, bk = [], [], [], [], [], [], [], [], []
+        for key, c in zip(keys, cs):
+            kind, _, rest = key.partition(" ")
+            if kind == "u":
+                w.append(rest)
+                side.append(1)
+                w1s.append(None)
+                w2s.append(None)
+                cp.append(None)
+                ca.append(None)
+                cb.append(None)
+                uc.append(c)
+            else:
+                a, _, b = rest.partition(" ")
+                if c < min_count:
+                    continue  # drop before any attach work
+                w.append(a)  # stage 1 keys on w1
+                side.append(0)
+                w1s.append(a)
+                w2s.append(b)
+                cp.append(c)
+                ca.append(None)
+                cb.append(None)
+                uc.append(None)
+            bk.append(md5_bucket(w[-1], _TFIDF_JOIN_BUCKETS))
+        return pa.table(
+            {
+                "w": pa.array(w, pa.string()),
+                "side": pa.array(side, pa.int8()),
+                "w1": pa.array(w1s, pa.string()),
+                "w2": pa.array(w2s, pa.string()),
+                "c_pair": pa.array(cp, pa.int64()),
+                "c_a": pa.array(ca, pa.int64()),
+                "c_b": pa.array(cb, pa.int64()),
+                "uc": pa.array(uc, pa.int64()),
+                "_b": pa.array(bk, pa.int64()),
+            }
+        ).cast(msg_schema)
+
+    def attach(col: str, rekey):
+        """Per-bucket: map unigram rows' counts onto bigram rows' ``col``,
+        then re-key for the next stage (dict lookup, not merge: int64
+        counts must never float through unmatched-row NaNs)."""
+
+        def fn(group: pa.Table) -> pa.Table:
+            bgr = group.filter(pc.equal(group["side"], pa.scalar(0, pa.int8())))
+            uni = group.filter(pc.equal(group["side"], pa.scalar(1, pa.int8())))
+            lut = dict(
+                zip(uni["w"].to_pylist(), uni["uc"].to_pylist())
+            )
+            ws = bgr["w"].to_pylist()
+            vals = pa.array([lut.get(x) for x in ws], pa.int64())
+            bgr = bgr.set_column(bgr.schema.get_field_index(col), col, vals)
+            new_key = bgr[rekey].to_pylist()
+            bgr = bgr.set_column(
+                bgr.schema.get_field_index("w"), "w",
+                pa.array(new_key, pa.string()),
+            )
+            return bgr.set_column(
+                bgr.schema.get_field_index("_b"), "_b",
+                pa.array(
+                    [md5_bucket(x, _TFIDF_JOIN_BUCKETS) for x in new_key],
+                    pa.int64(),
+                ),
+            )
+
+        return fn
+
+    rows = counts.map_batches(split_rows, batch_format="pyarrow").map_batches(
+        pin, batch_format="pyarrow"
+    )
+
+    def _side_filter(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.equal(batch["side"], pa.scalar(side, pa.int8()))
+            )
+
+        return fn
+
+    uni_rows = rows.map_batches(_side_filter(1), batch_format="pyarrow").map_batches(
+        pin, batch_format="pyarrow"
+    )
+    big_rows = rows.map_batches(_side_filter(0), batch_format="pyarrow").map_batches(
+        pin, batch_format="pyarrow"
+    )
+    # stage 1: attach c_a on hash(w1); stage 2: attach c_b on hash(w2).
+    # unigram rows re-enter the second union unchanged (their w is the
+    # unigram word, which is exactly the key stage 2 groups on).
+    stage1 = (
+        big_rows.union(uni_rows)
+        .groupby("_b")
+        .map_groups(attach("c_a", "w2"), batch_format="pyarrow")
+        .map_batches(pin, batch_format="pyarrow")
+    )
+    stage2 = (
+        stage1.union(uni_rows)
+        .groupby("_b")
+        .map_groups(attach("c_b", "w1"), batch_format="pyarrow")
+        .map_batches(pin, batch_format="pyarrow")
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        c_ab = batch["c_pair"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_a = batch["c_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_b = batch["c_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.round(
+            np.log((c_ab / b_total) / ((c_a / t_total) * (c_b / t_total))), 6
+        )
+        out = pa.table(
+            {
+                "w1": batch["w1"],
+                "w2": batch["w2"],
+                "c_pair": batch["c_pair"],
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+        if out.num_rows > k:  # local pre-trim, the bm25 top-k shape
+            order = pc.sort_indices(
+                out,
+                sort_keys=[
+                    ("pmi", "descending"),
+                    ("w1", "ascending"),
+                    ("w2", "ascending"),
+                ],
+            )
+            out = out.take(order[:k])
+        return out
+
+    return (
+        stage2.map_batches(score, batch_format="pyarrow")
+        .sort(["pmi", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
+def pmi_sql(
+    k: int = 20,
+    min_count: int = 5,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """The DuckDB oracle for :func:`pmi_top_pairs` — same tokenization,
+    same PMI expression tree, same rounded tie-break."""
+    return (
+        f"WITH toks AS (SELECT regexp_extract_all(lower(COALESCE({text_col}, "
+        f"'')), '\\S+') AS l FROM {table}), "
+        "uni AS (SELECT unnest(l) AS w FROM toks), "
+        "ucnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w), "
+        "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM ucnt), "
+        "bg AS (SELECT unnest(list_transform(range(1, len(l)), "
+        "p -> l[p] || ' ' || l[p + 1])) AS g FROM toks), "
+        "bcnt AS (SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) "
+        "AS w2, CAST(COUNT(*) AS BIGINT) AS c_pair FROM bg GROUP BY g"
+        f" HAVING COUNT(*) >= {min_count}), "
+        "btot AS (SELECT CAST(SUM(c_pair) AS BIGINT) AS b FROM ("
+        "  SELECT COUNT(*) AS c_pair FROM bg GROUP BY g)) "
+        "SELECT bc.w1, bc.w2, bc.c_pair, "
+        "round_even(ln((CAST(bc.c_pair AS DOUBLE) / btot.b) / "
+        "((CAST(ua.c AS DOUBLE) / tot.t) * (CAST(ub.c AS DOUBLE) / tot.t)))"
+        ", 6) AS pmi "
+        "FROM bcnt bc JOIN ucnt ua ON ua.w = bc.w1 "
+        "JOIN ucnt ub ON ub.w = bc.w2, tot, btot "
+        f"ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT {k}"
+    )

@@ -156,6 +156,7 @@ NULL_SENSITIVE = [
     "fingerprint",
     "quality_score",
     "top_ngrams",
+    "pmi_top_pairs",
     "doc_frequency",
     "simhash",
 ]

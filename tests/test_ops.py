@@ -2963,3 +2963,57 @@ def test_event_rate_anomaly_matches_oracle_on_seconds_storage(ray_session):
     )
     pd.testing.assert_frame_equal(a, b)
     assert len(a) == 5  # 40 events * 7 min span ~ 4.7 hours
+
+
+def test_pmi_planted_collocation(ray_session):
+    import pyarrow as pa
+
+    from pdf_parser_ray.ops.curation import pmi_top_pairs
+
+    # "zig zag" always adjacent (perfect collocation); "the" everywhere
+    docs = ["zig zag the x", "zig zag the y", "the zig zag z", None, ""]
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(docs, pa.string())}))
+    out = pmi_top_pairs(ds, k=5, min_count=3).to_pandas()
+    assert list(out.iloc[0][["w1", "w2"]]) == ["zig", "zag"]
+    assert out.iloc[0]["c_pair"] == 3
+    # min_count: every other pair occurs < 3 times
+    assert len(out) == 1
+
+
+def test_pmi_matches_sql_on_fuzz(ray_session):
+    import random
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from pdf_parser_ray.ops.curation import pmi_sql, pmi_top_pairs
+
+    rng = random.Random(3)
+    vocab = ["cat", "dog", "fish", "the", "a", "mat"]
+    docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15)))
+        if rng.random() > 0.1
+        else None
+        for _ in range(200)
+    ]
+    tbl = pa.table({"text": pa.array(docs, pa.string())})
+    got = pmi_top_pairs(ray.data.from_arrow(tbl), k=10, min_count=2).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute(pmi_sql(k=10, min_count=2)).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+
+
+def test_pmi_empty_and_unigram_only(ray_session):
+    import pyarrow as pa
+
+    from pdf_parser_ray.ops.curation import pmi_top_pairs
+
+    # single-token docs: B = 0, empty typed result
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(["a", "b"], pa.string())}))
+    out = pmi_top_pairs(ds, k=5, min_count=1)
+    assert out.schema().names == ["w1", "w2", "c_pair", "pmi"]
+    assert out.count() == 0
