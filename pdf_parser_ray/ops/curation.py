@@ -1474,8 +1474,12 @@ def pmi_top_pairs(
 
         return fn
 
-    rows = counts.map_batches(split_rows, batch_format="pyarrow").map_batches(
-        pin, batch_format="pyarrow"
+    rows = (
+        counts.map_batches(split_rows, batch_format="pyarrow")
+        .map_batches(pin, batch_format="pyarrow")
+        # three consumers (uni twice, big once): without this pin the
+        # vocabulary-sized split_rows Python loop re-runs per consumer
+        .materialize()
     )
 
     def _side_filter(side: int):

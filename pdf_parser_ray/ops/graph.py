@@ -20,9 +20,12 @@ verbatim by all three:
 
 with r_0(v) = unit for every node in src(E) ∪ dst(E). All quantities are
 non-negative, so floor division is identical in numpy, Python and DuckDB
-``//``. Total mass is ~N·unit; per-node ranks stay far inside int64 for
-any realistic graph (a node absorbing ALL mass of a 9-million-node graph
-would be needed to overflow).
+``//``. The binding overflow limit is the ``d_num * msum`` multiply: a
+node's incoming message sum must stay ≤ (2^63-1) // d_num ≈ 1.08e17 —
+about 108k nodes' worth of fully-concentrated mass at the default unit.
+Both routes CHECK the bound and raise (matching the SQL oracle, where
+DuckDB's BIGINT multiply errors) instead of wrapping silently; callers
+with pathological hubs lower ``unit``.
 """
 
 from __future__ import annotations
@@ -152,10 +155,16 @@ def _pagerank_driver(
     base = ((d_den - d_num) * unit) // d_den
     r = np.full(n, unit, np.int64)
     safe_deg = np.maximum(deg, 1)
+    msum_cap = (2**63 - 1) // d_num
     for _ in range(iterations):
         share = np.where(deg > 0, r // safe_deg, 0)
         msum = np.zeros(n, np.int64)
         np.add.at(msum, t, share[s])
+        if msum.max(initial=0) > msum_cap:
+            raise ValueError(
+                "pagerank fixed-point overflow: a node's message sum "
+                f"exceeds {msum_cap}; lower `unit`"
+            )
         r = base + (d_num * msum) // d_den
     return r
 
@@ -224,11 +233,7 @@ def pagerank(
         return ray.data.from_arrow(pa.Table.from_pylist([], schema=out_schema))
 
     if n_edges <= driver_max_edges:
-        tbl = pa.concat_tables(
-            [b for b in edges.iter_batches(batch_format="pyarrow")]
-            if n_edges
-            else []
-        )
+        tbl = pa.concat_tables(edges.iter_batches(batch_format="pyarrow"))
         src = tbl[src_col].to_numpy(zero_copy_only=False)
         dst = tbl[dst_col].to_numpy(zero_copy_only=False)
         node_vals = np.unique(np.concatenate([src, dst]))
@@ -393,6 +398,13 @@ def _pagerank_distributed(
             )
         else:
             msum = np.zeros(len(rk), np.int64)
+        if msum.max(initial=0) > (2**63 - 1) // d_num:
+            # same bound (and same outcome: an error, not a silent wrap)
+            # as the driver kernel and the oracle's BIGINT multiply
+            raise ValueError(
+                "pagerank fixed-point overflow: a node's message sum "
+                "exceeds int64 // d_num; lower `unit`"
+            )
         new_r = base + (d_num * msum) // d_den
         n = len(rk)
         return pa.table(

@@ -41,6 +41,12 @@ def _normalize_terms(query_terms: list[str]) -> list[str]:
     return list(dict.fromkeys(t.lower() for t in query_terms))
 
 
+def _sql_str(term: str) -> str:
+    """A term as a single-quoted SQL literal — embedded quotes double
+    (tokens under the \\S+ law can legally contain an apostrophe)."""
+    return "'" + term.replace("'", "''") + "'"
+
+
 def bm25_top_docs(
     ds: ray.data.Dataset,
     query_terms: list[str],
@@ -283,8 +289,6 @@ def build_text_index(
     import json
     import os
     import shutil
-
-    from pdf_parser_ray.functions.hashing import md5_bucket
 
     _schema = ds.schema()
     id_type = _schema.types[_schema.names.index(id_col)]
@@ -590,7 +594,7 @@ def bm25_sql(
     sum order, round_even(.,6) on the total, (score desc, id) cut."""
     terms = _normalize_terms(query_terms)
     tf_cols = ", ".join(
-        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        f"len(list_filter(toks, x -> x = {_sql_str(t)})) AS tf{i}"
         for i, t in enumerate(terms)
     )
     df_cols = ", ".join(
@@ -697,7 +701,9 @@ def phrase_sql(
     numpy ``stop``). No join: null ids survive on both sides."""
     terms = [t.lower() for t in phrase]
     k = len(terms)
-    conds = " AND ".join(f"l[p + {j}] = '{t}'" for j, t in enumerate(terms))
+    conds = " AND ".join(
+        f"l[p + {j}] = {_sql_str(t)}" for j, t in enumerate(terms)
+    )
     rng_end = f"len(l) - {k - 2}" if k >= 2 else "len(l) + 1"
     return (
         f"WITH t AS (SELECT {id_col}, "
@@ -745,37 +751,20 @@ def update_text_index(
     Returns {"files_total", "files_indexed_now", "files_skipped_resume"}.
     """
     import fcntl
-    import json
     import os
 
     from pdf_parser_ray.state.checkpoint import _write_json_atomic
 
     os.makedirs(os.path.join(index_dir, "postings"), exist_ok=True)
     os.makedirs(os.path.join(index_dir, "_manifest"), exist_ok=True)
-    meta_path = os.path.join(index_dir, "meta.json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            prev_meta = json.load(f)
-        if not prev_meta.get("incremental"):
-            raise ValueError(
-                f"{index_dir} holds a full build_text_index build; "
-                "incremental updates need their own index dir"
-            )
-        if (
-            prev_meta["n_buckets"] != n_buckets
-            or prev_meta["id_col"] != id_col
-            or prev_meta["text_col"] != text_col
-        ):
-            # param change invalidates every fragment anyway (signatures
-            # embed the params); but n_buckets also changes the LAYOUT,
-            # so wipe rather than strand postings in dead bucket dirs
-            import shutil
-
-            shutil.rmtree(os.path.join(index_dir, "postings"), ignore_errors=True)
-            shutil.rmtree(os.path.join(index_dir, "_manifest"), ignore_errors=True)
-            os.makedirs(os.path.join(index_dir, "postings"), exist_ok=True)
-            os.makedirs(os.path.join(index_dir, "_manifest"), exist_ok=True)
-
+    # the same file listed twice (or two spellings of one path) would pass
+    # the staleness check as two chunk entries sharing one frag key — the
+    # second iteration's rmtree would delete the postings the first just
+    # renamed in, then record an n_docs=0 manifest that resumes forever
+    files = list(dict.fromkeys(os.path.abspath(p) for p in files))
+    # ALL store mutations (including the full-build guard and the
+    # param-change wipe) happen under the lock: a pre-lock wipe would
+    # delete partitions a concurrent locked updater already committed
     with open(os.path.join(index_dir, ".lock"), "w") as lock_f:
         fcntl.flock(lock_f, fcntl.LOCK_EX)
         try:
@@ -809,6 +798,30 @@ def _update_text_index_locked(
 
     post_root = os.path.join(index_dir, "postings")
     man_root = os.path.join(index_dir, "_manifest")
+    meta_path = os.path.join(index_dir, "meta.json")
+    prev_meta = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev_meta = json.load(f)
+        if not prev_meta.get("incremental"):
+            raise ValueError(
+                f"{index_dir} holds a full build_text_index build; "
+                "incremental updates need their own index dir"
+            )
+        if (
+            prev_meta["n_buckets"] != n_buckets
+            or prev_meta["id_col"] != id_col
+            or prev_meta["text_col"] != text_col
+        ):
+            # param change invalidates every fragment anyway (signatures
+            # embed the params); but n_buckets also changes the LAYOUT,
+            # so wipe rather than strand postings in dead bucket dirs
+            shutil.rmtree(post_root, ignore_errors=True)
+            shutil.rmtree(man_root, ignore_errors=True)
+            os.makedirs(post_root, exist_ok=True)
+            os.makedirs(man_root, exist_ok=True)
+            prev_meta = None
+
     live = {frag_key(p) for p in files}
     for man in glob.glob(os.path.join(man_root, "*.json")):
         key = os.path.splitext(os.path.basename(man))[0]
@@ -844,9 +857,15 @@ def _update_text_index_locked(
                 continue
         stale.append((path, key, sig, manifest))
 
-    # ONE id type per index: take it from the first fragment's footer and
-    # require every other fragment to match (serving assumes one schema)
-    for path in files:
+    # ONE id type per index: the recorded meta type when the store exists,
+    # else the first STALE fragment's footer; only stale fragments are
+    # validated — a zero-work resume must read zero parquet (footers
+    # included), the documented contract
+    if prev_meta is not None and stats["files_skipped_resume"] > 0:
+        # only binding when prior fragments actually remain: an empty or
+        # fully-stale store takes its type from the incoming fragments
+        id_type = pa.type_for_alias(prev_meta["id_type"])
+    for path, _, _, _ in stale:
         t = pq.read_schema(path).field(id_col).type
         if id_type is None:
             id_type = t

@@ -172,3 +172,10 @@ def test_pagerank_string_nodes(ray_session):
         got = pagerank(ds, iterations=3, **route_kw).to_pandas()
         assert sorted(got["node"].tolist()) == ["a", "b"]
         assert got["rank_fp"].tolist() == [UNIT, UNIT]
+
+
+def test_pagerank_overflow_raises(ray_session):
+    # unit chosen so one node's message sum exceeds (2^63-1) // 85
+    big_unit = (2**63 - 1) // 85 + 1
+    with pytest.raises(ValueError, match="overflow"):
+        pagerank(_edges_ds([(1, 2)]), iterations=1, unit=big_unit)

@@ -2919,9 +2919,7 @@ def test_event_rate_anomaly_hand_computed(ray_session):
     z = np.round((c - mean) / np.sqrt(var), 6)
     assert out["z"].tolist()[:4] == z.tolist()
     assert out["z"].tolist()[4] == 0.0
-    assert out["is_anomaly"].tolist() == [0, 0, 0, 0, 0] or out[
-        "is_anomaly"
-    ].tolist() == [int(abs(v) > 2.0) for v in z] + [0]
+    assert out["is_anomaly"].tolist() == [int(abs(v) > 2.0) for v in z] + [0]
 
 
 def test_event_rate_anomaly_matches_oracle_on_seconds_storage(ray_session):

@@ -425,3 +425,50 @@ def test_update_text_index_param_change_rebuilds(ray_session, tmp_path):
     s = update_text_index(paths, idx, n_buckets=8)
     assert s["files_indexed_now"] == 1
     assert list(bm25_index_top_docs(idx, ["cat"], k=5).to_pandas()["doc_id"]) == [1]
+
+
+def test_update_text_index_duplicate_paths_collapse(ray_session, tmp_path):
+    """The same file listed twice must index once — not delete its own
+    postings on the second pass (the rename/rmtree interleave hazard)."""
+    from pdf_parser_ray.ops.retrieval import update_text_index
+
+    paths = _write_frags(tmp_path, [_frag_tbl([1], ["cat"])])
+    idx = str(tmp_path / "incr_idx")
+    s = update_text_index(paths + paths, idx, n_buckets=4)
+    assert s["files_total"] == 1 and s["files_indexed_now"] == 1
+    assert list(bm25_index_top_docs(idx, ["cat"], k=5).to_pandas()["doc_id"]) == [1]
+
+
+def test_update_text_index_resume_reads_no_footers(ray_session, tmp_path, monkeypatch):
+    """Zero-work resume must read zero parquet — footers included."""
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.ops.retrieval import update_text_index
+
+    paths = _write_frags(tmp_path, [_frag_tbl([1], ["cat"])])
+    idx = str(tmp_path / "incr_idx")
+    update_text_index(paths, idx, n_buckets=4)
+
+    def boom(*a, **kw):
+        raise AssertionError("read_schema called on a zero-work resume")
+
+    monkeypatch.setattr(pq, "read_schema", boom)
+    s = update_text_index(paths, idx, n_buckets=4)
+    assert s["files_skipped_resume"] == 1
+
+
+def test_sql_generators_escape_quotes(ray_session):
+    from pdf_parser_ray.ops.retrieval import bm25_sql, phrase_sql
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["o'brien said hi", "nothing"], pa.string()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    hits = con.execute(phrase_sql(["o'brien", "said"])).df()
+    assert list(hits["doc_id"]) == [1]
+    scored = con.execute(bm25_sql(["o'brien"], k=5)).df()
+    assert list(scored["doc_id"]) == [1]
