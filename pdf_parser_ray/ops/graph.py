@@ -45,9 +45,12 @@ _GRAPH_BUCKETS = 256
 
 
 def _num_buckets(n_edges: int) -> int:
-    """One bucket per ~64k edge rows, floor 8 — per-round AllToAll cost on
-    this Ray build is paid PER BLOCK, so width must track data volume."""
-    return min(_GRAPH_BUCKETS, max(8, n_edges // 65_536 + 8))
+    """One bucket per ~64k edge rows, floor 8, rounded UP to a power of
+    two (the vectorized &-mask bucketing needs it) — per-round AllToAll
+    cost on this Ray build is paid PER BLOCK, so width must track data
+    volume."""
+    want = min(_GRAPH_BUCKETS, max(8, n_edges // 65_536 + 8))
+    return 1 << (want - 1).bit_length()
 
 
 def cooccurrence_edges(
@@ -177,7 +180,8 @@ def pagerank(
     unit: int = 10**12,
     src_col: str = "src",
     dst_col: str = "dst",
-    driver_max_edges: int = 2_000_000,
+    driver_max_edges: int = 20_000_000,
+    broadcast_max_nodes: int = 2_000_000,
     num_buckets: "int | None" = None,
 ) -> ray.data.Dataset:
     """Fixed-iteration PageRank over a DIRECTED edge table (callers wanting
@@ -188,15 +192,25 @@ def pagerank(
     with a null endpoint are dropped (SQL join law). Nodes appearing only
     as destinations are dangling: they receive mass but emit none.
 
-    Scale routing, the ops.dedup convention: ≤ ``driver_max_edges`` edge
-    rows run the vectorized driver kernel (the edge list is bounded and
-    already materialized for the count); larger graphs run co-partitioned
-    message passing — edges and rank rows bucketed on the same endpoint
-    hash, one pandas-merge per bucket per round, messages re-bucketed by
-    destination, 2 coarse shuffles per iteration (the
-    connected_components_distributed topology, with a FIXED iteration
-    count instead of a fixpoint probe so the unrolled SQL oracle can
-    replay it exactly).
+    Scale routing, the ops.dedup convention — three regimes, identical
+    integer law, bit-identical output:
+
+    * ≤ ``driver_max_edges`` edge rows: the vectorized driver kernel (the
+      edge list is bounded and already materialized for the count).
+    * more edges but ≤ ``broadcast_max_nodes`` distinct nodes (the common
+      web-graph shape: edges >> nodes): BROADCAST route — the rank/share
+      arrays ship once per round via ray.put and the STATIC edge table is
+      mapped in place (never reshuffled); each batch emits pre-aggregated
+      (dst, partial-sum) rows, one small groupby-Sum per round. The
+      kmeans broadcast-centroids shape.
+    * otherwise: co-partitioned message passing — edges and rank rows
+      bucketed on the same endpoint hash, 2 coarse shuffles of the FULL
+      edge table per iteration (the connected_components_distributed
+      topology). Unbounded in both dimensions, and priced accordingly;
+      it exists so no graph size is uncomputable, not to be fast.
+
+    All routes run a FIXED iteration count (no fixpoint probe) so the
+    unrolled SQL oracle can replay them exactly.
     """
     schema = edges.schema()
     if schema is None:
@@ -250,11 +264,137 @@ def pagerank(
         )
         return ray.data.from_arrow(out)
 
+    if broadcast_max_nodes > 0:
+        from ray.data.aggregate import Sum
+
+        def deg_partials(batch: pa.Table) -> pa.Table:
+            s = batch[src_col].to_numpy(zero_copy_only=False)
+            d = batch[dst_col].to_numpy(zero_copy_only=False)
+            su, sc = np.unique(s, return_counts=True)
+            du = np.unique(d)
+            return pa.table(
+                {
+                    "node": pa.array(
+                        np.concatenate([su, du]), pa.int64() if int_nodes else pa.string()
+                    ),
+                    "deg": pa.array(
+                        np.concatenate([sc, np.zeros(len(du), np.int64)]),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        deg_table = (
+            edges.map_batches(deg_partials, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("deg", alias_name="deg"))
+            .materialize()
+        )
+        if deg_table.count() <= broadcast_max_nodes:
+            return _pagerank_broadcast(
+                edges, deg_table, iterations, d_num, d_den, unit,
+                src_col, dst_col, int_nodes, out_schema,
+            )
+
     return _pagerank_distributed(
         edges, iterations, d_num, d_den, unit, src_col, dst_col,
         int_nodes, out_schema,
         num_buckets if num_buckets is not None else _num_buckets(n_edges),
     )
+
+
+def _pagerank_broadcast(
+    edges: ray.data.Dataset,
+    deg_table: ray.data.Dataset,
+    iterations: int,
+    d_num: int,
+    d_den: int,
+    unit: int,
+    src_col: str,
+    dst_col: str,
+    int_nodes: bool,
+    out_schema: pa.Schema,
+) -> ray.data.Dataset:
+    """Broadcast-ranks route: the node arrays (bounded by
+    broadcast_max_nodes) live on the driver; each round ships the share
+    array once via ray.put and maps the STATIC edge table in place —
+    edges are never reshuffled. Every batch pre-aggregates its messages
+    to distinct-destination partial sums, streamed straight into a
+    driver-side vectorized merge — no per-round shuffle at all. Same integer
+    law as the other routes; the overflow check runs on the merged sums
+    (a graph whose TOTAL mass nears 2^63 is outside the stated domain —
+    the module doc's bound)."""
+    import ray as _ray
+
+    # one-time reblock: upstream pair derivation leaves many tiny bucket
+    # blocks, and this route re-maps the edge table once per ITERATION —
+    # per-task launch overhead x blocks x iterations dominates otherwise.
+    # ~1M edge rows per block, data-derived (never CPU-derived).
+    n_edges = edges.count()
+    edges = edges.repartition(max(8, n_edges // 1_000_000 + 1)).materialize()
+
+    rows = deg_table.take_all()  # bounded: caller checked the node count
+    node_pa_t = pa.int64() if int_nodes else pa.string()
+    node_vals = np.array(
+        [row["node"] for row in rows],
+        dtype=np.int64 if int_nodes else object,
+    )
+    deg = np.array([int(row["deg"]) for row in rows], np.int64)
+    order = np.argsort(node_vals, kind="stable")  # searchsorted law
+    node_vals = node_vals[order]
+    deg = deg[order]
+    n = len(node_vals)
+    base = ((d_den - d_num) * unit) // d_den
+    safe_deg = np.maximum(deg, 1)
+    msum_cap = (2**63 - 1) // d_num
+    r = np.full(n, unit, np.int64)
+
+    for _ in range(iterations):
+        share = np.where(deg > 0, r // safe_deg, 0)
+        ref = _ray.put((node_vals, share))
+
+        def partials(batch: pa.Table, _ref=ref) -> pa.Table:
+            nv, sh = _ray.get(_ref)
+            s = batch[src_col].to_numpy(zero_copy_only=False)
+            d = batch[dst_col].to_numpy(zero_copy_only=False)
+            sv = sh[np.searchsorted(nv, s)]
+            du, inv = np.unique(d, return_inverse=True)
+            ps = np.zeros(len(du), np.int64)
+            np.add.at(ps, inv, sv)
+            return pa.table(
+                {"node": pa.array(du, node_pa_t), "m": pa.array(ps, pa.int64())}
+            )
+
+        # stream the per-batch partials straight into a driver-side
+        # vectorized merge — no groupby shuffle at all; rows streamed are
+        # bounded by blocks x distinct-dst-per-block, and the int64
+        # np.add.at merge is exact (Arrow's Sum would wrap silently at
+        # the 2^63 boundary this route's cap check guards)
+        msum = np.zeros(n, np.int64)
+        for part in edges.map_batches(
+            partials, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            an = part["node"].to_numpy(zero_copy_only=False)
+            am = part["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+            np.add.at(msum, np.searchsorted(node_vals, an), am)
+        if msum.max(initial=0) > msum_cap:
+            raise ValueError(
+                "pagerank fixed-point overflow: a node's message sum "
+                "exceeds int64 // d_num; lower `unit`"
+            )
+        r = base + (d_num * msum) // d_den
+
+    out = pa.table(
+        {
+            "node": pa.array(
+                node_vals if int_nodes else [str(v) for v in node_vals],
+                out_schema.field("node").type,
+            ),
+            "rank_fp": pa.array(r, pa.int64()),
+            "rank": pa.array(np.round(r / float(unit), 6), pa.float64()),
+        }
+    )
+    return ray.data.from_arrow(out)
 
 
 def _pagerank_distributed(
@@ -271,15 +411,28 @@ def _pagerank_distributed(
 ) -> ray.data.Dataset:
     """Co-partitioned message-passing route. Internal row kinds share one
     union schema (key, dst, deg, r, m, _b): edge rows carry dst; rank rows
-    carry deg + r; message rows carry m. Node keys travel as strings
-    (bucketing convention); integer node ids decode at finalize. The
-    per-bucket merges split the union frame into null-free sub-frames
-    FIRST, so int64 columns never float through pandas."""
+    carry deg + r; message rows carry m. Node keys travel in their NATIVE
+    dtype — integer graphs bucket with one vectorized &-mask kernel
+    (num_buckets is a power of two) and merge on int64 keys; only string
+    graphs pay the per-key md5 loop. The per-bucket merges split the
+    union frame into null-free sub-frames FIRST, so int64 columns never
+    float through pandas."""
     base = ((d_den - d_num) * unit) // d_den
+    key_t = pa.int64() if int_nodes else pa.string()
+    mask = pa.scalar(num_buckets - 1, pa.int64())
+
+    def bucket_of(arr) -> pa.Array:
+        if int_nodes:
+            return pc.bit_wise_and(pc.cast(arr, pa.int64()), mask)
+        return pa.array(
+            [md5_bucket(str(v), num_buckets) for v in arr.to_pylist()],
+            pa.int64(),
+        )
+
     union_schema = pa.schema(
         [
-            ("key", pa.string()),
-            ("dst", pa.string()),
+            ("key", key_t),
+            ("dst", key_t),
             ("deg", pa.int64()),
             ("r", pa.int64()),
             ("m", pa.int64()),
@@ -289,17 +442,16 @@ def _pagerank_distributed(
     pin = schema_pin(union_schema)
 
     def to_edge_rows(batch: pa.Table) -> pa.Table:
-        a = [str(v) for v in batch[src_col].to_pylist()]
-        b = [str(v) for v in batch[dst_col].to_pylist()]
+        a = pc.cast(batch[src_col], key_t)
         n = len(a)
         return pa.table(
             {
-                "key": pa.array(a, pa.string()),
-                "dst": pa.array(b, pa.string()),
+                "key": a,
+                "dst": pc.cast(batch[dst_col], key_t),
                 "deg": pa.nulls(n, pa.int64()),
                 "r": pa.nulls(n, pa.int64()),
                 "m": pa.nulls(n, pa.int64()),
-                "_b": pa.array([md5_bucket(k, num_buckets) for k in a], pa.int64()),
+                "_b": bucket_of(a),
             }
         )
 
@@ -308,19 +460,21 @@ def _pagerank_distributed(
     def to_node_candidates(batch: pa.Table) -> pa.Table:
         # src endpoints contribute out-degree 1, dst endpoints 0; the
         # groupby below sums them into deg and distincts the node set
-        a = [str(v) for v in batch[src_col].to_pylist()]
-        b = [str(v) for v in batch[dst_col].to_pylist()]
-        keys = a + b
+        a = pc.cast(batch[src_col], key_t).combine_chunks()
+        b = pc.cast(batch[dst_col], key_t).combine_chunks()
+        keys = pa.concat_arrays(
+            [a if isinstance(a, pa.Array) else a.combine_chunks(),
+             b if isinstance(b, pa.Array) else b.combine_chunks()]
+        )
+        n = len(keys)
         return pa.table(
             {
-                "key": pa.array(keys, pa.string()),
-                "dst": pa.nulls(len(keys), pa.string()),
+                "key": keys,
+                "dst": pa.nulls(n, key_t),
                 "deg": pa.array([1] * len(a) + [0] * len(b), pa.int64()),
-                "r": pa.nulls(len(keys), pa.int64()),
-                "m": pa.nulls(len(keys), pa.int64()),
-                "_b": pa.array(
-                    [md5_bucket(k, num_buckets) for k in keys], pa.int64()
-                ),
+                "r": pa.nulls(n, pa.int64()),
+                "m": pa.nulls(n, pa.int64()),
+                "_b": bucket_of(keys),
             }
         )
 
@@ -328,16 +482,15 @@ def _pagerank_distributed(
         df = group.select(["key", "deg"]).to_pandas()
         agg = df.groupby("key", as_index=False)["deg"].sum()
         n = len(agg)
+        keys = pa.array(agg["key"].tolist(), key_t)
         return pa.table(
             {
-                "key": pa.array(agg["key"].tolist(), pa.string()),
-                "dst": pa.nulls(n, pa.string()),
+                "key": keys,
+                "dst": pa.nulls(n, key_t),
                 "deg": pa.array(agg["deg"].to_numpy(np.int64), pa.int64()),
                 "r": pa.array([unit] * n, pa.int64()),
                 "m": pa.nulls(n, pa.int64()),
-                "_b": pa.array(
-                    [md5_bucket(k, num_buckets) for k in agg["key"]], pa.int64()
-                ),
+                "_b": bucket_of(keys),
             }
         )
 
@@ -367,16 +520,15 @@ def _pagerank_distributed(
         ed = edge_part.select(["key", "dst"]).to_pandas()  # null-free
         msgs = ed.merge(shares, on="key")
         n_m = len(msgs)
+        dsts = pa.array(msgs["dst"].tolist(), key_t)
         msg_tbl = pa.table(
             {
-                "key": pa.array(msgs["dst"].tolist(), pa.string()),
-                "dst": pa.nulls(n_m, pa.string()),
+                "key": dsts,
+                "dst": pa.nulls(n_m, key_t),
                 "deg": pa.nulls(n_m, pa.int64()),
                 "r": pa.nulls(n_m, pa.int64()),
                 "m": pa.array(msgs["share"].to_numpy(np.int64), pa.int64()),
-                "_b": pa.array(
-                    [md5_bucket(k, num_buckets) for k in msgs["dst"]], pa.int64()
-                ),
+                "_b": bucket_of(dsts),
             }
         )
         return pa.concat_tables([rank_rows.select(union_schema.names), msg_tbl])
@@ -409,8 +561,8 @@ def _pagerank_distributed(
         n = len(rk)
         return pa.table(
             {
-                "key": pa.array(rk["key"].tolist(), pa.string()),
-                "dst": pa.nulls(n, pa.string()),
+                "key": pa.array(rk["key"].tolist(), key_t),
+                "dst": pa.nulls(n, key_t),
                 "deg": pa.array(rk["deg"].to_numpy(np.int64), pa.int64()),
                 "r": pa.array(new_r, pa.int64()),
                 "m": pa.nulls(n, pa.int64()),
@@ -432,15 +584,10 @@ def _pagerank_distributed(
 
     # rank derives from rank_fp with the SAME expression as the driver route
     def finalize(batch: pa.Table, _unit: int = unit) -> pa.Table:
-        keys = batch["key"].to_pylist()
         r = batch["r"].to_numpy(zero_copy_only=False).astype(np.int64)
-        node = pa.array(
-            [int(k) for k in keys] if int_nodes else keys,
-            out_schema.field("node").type,
-        )
         return pa.table(
             {
-                "node": node,
+                "node": pc.cast(batch["key"], out_schema.field("node").type),
                 "rank_fp": pa.array(r, pa.int64()),
                 "rank": pa.array(np.round(r / float(_unit), 6), pa.float64()),
             }

@@ -149,13 +149,21 @@ def test_pagerank_routes_bit_identical(ray_session):
         .sort_values("node")
         .reset_index(drop=True)
     )
-    dist = (
+    bcast = (
         pagerank(edges, iterations=4, driver_max_edges=0)
         .to_pandas()
         .sort_values("node")
         .reset_index(drop=True)
     )
-    assert len(drv) and drv.equals(dist)
+    copart = (
+        pagerank(
+            edges, iterations=4, driver_max_edges=0, broadcast_max_nodes=0
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert len(drv) and drv.equals(bcast) and drv.equals(copart)
 
 
 def test_pagerank_string_nodes(ray_session):
@@ -167,8 +175,13 @@ def test_pagerank_string_nodes(ray_session):
             }
         )
     )
-    # symmetric 2-cycle: all mass conserved, both nodes keep unit
-    for route_kw in ({}, {"driver_max_edges": 0}):
+    # symmetric 2-cycle: all mass conserved, both nodes keep unit —
+    # across driver, broadcast, and co-partitioned routes
+    for route_kw in (
+        {},
+        {"driver_max_edges": 0},
+        {"driver_max_edges": 0, "broadcast_max_nodes": 0},
+    ):
         got = pagerank(ds, iterations=3, **route_kw).to_pandas()
         assert sorted(got["node"].tolist()) == ["a", "b"]
         assert got["rank_fp"].tolist() == [UNIT, UNIT]
