@@ -192,3 +192,28 @@ def test_pagerank_overflow_raises(ray_session):
     big_unit = (2**63 - 1) // 85 + 1
     with pytest.raises(ValueError, match="overflow"):
         pagerank(_edges_ds([(1, 2)]), iterations=1, unit=big_unit)
+
+
+def test_pagerank_three_routes_fuzz_skewed_digraph(ray_session):
+    """Random skewed digraph (hub + dangling chain): driver, broadcast
+    and co-partitioned routes must agree on exact BIGINT ranks."""
+    import random
+
+    rng = random.Random(11)
+    edges = [(rng.randint(0, 200), 0) for _ in range(1500)]
+    edges += [(rng.randint(0, 200), rng.randint(0, 200)) for _ in range(2000)]
+    edges += [(999, 1000)]  # 1000 is dangling
+    ds = _edges_ds(edges)
+    frames = [
+        pagerank(ds, iterations=5, **kw)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+        for kw in (
+            {},
+            {"driver_max_edges": 0},
+            {"driver_max_edges": 0, "broadcast_max_nodes": 0},
+        )
+    ]
+    assert len(frames[0]) > 200
+    assert frames[0].equals(frames[1]) and frames[0].equals(frames[2])
