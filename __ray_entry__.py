@@ -1100,6 +1100,12 @@ def _pmi_oracle() -> str:
     return pmi_sql(k=20, min_count=5)
 
 
+def _bm25_pool_oracle() -> str:
+    from pdf_parser_ray.ops.retrieval import bm25_sql
+
+    return bm25_sql(_BM25_TERMS, k=100)
+
+
 def _phrase_oracle() -> str:
     from pdf_parser_ray.ops.retrieval import phrase_sql
 
@@ -1134,6 +1140,25 @@ def _q_phrase_search(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return phrase_search(ds, _PHRASE)
+
+
+def _q_hybrid_search(sf_dir: str):
+    """Lexical+semantic composition: BM25 pool of 100 reranked by cosine
+    to the vec_id-0 query embedding (the knn family's query convention;
+    vec_id == doc_id in this corpus)."""
+    import ray.data
+
+    from pdf_parser_ray.ops.retrieval import hybrid_search
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return hybrid_search(
+        docs, emb, _BM25_TERMS, _query_vector(sf_dir), k=10, pool=100
+    )
 
 
 def _q_bm25_index_top_docs(sf_dir: str):
@@ -1521,6 +1546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_index_top_docs": _q_bm25_index_top_docs,
         "bm25_incr_index_top_docs": _q_bm25_incr_index_top_docs,
         "phrase_search": _q_phrase_search,
+        "hybrid_search": _q_hybrid_search,
         "pack_shards": _q_pack_shards,
         "stratified_sample": _q_stratified_sample,
         "orders_price_bands": _q_orders_price_bands,
@@ -2835,6 +2861,20 @@ def oracle_sql() -> dict[str, str]:
         # token-position adjacency as a list lambda (no join: null ids
         # survive on both sides, the split_sentences per-row law)
         "phrase_search": _phrase_oracle(),
+        # BM25 pool (same generated SQL, k=pool) inner-joined to valid
+        # embeddings, cosine + weighted sum with the op's expression tree
+        "hybrid_search": (
+            "WITH bm AS (" + _bm25_pool_oracle() + "), "
+            "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+            "  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) > 0), "
+            "q AS (SELECT v FROM e WHERE vec_id = 0), "
+            "c AS (SELECT bm.doc_id, bm.score, "
+            "  round_even(list_cosine_similarity(e.v, q.v), 6) AS cosine "
+            "  FROM bm JOIN e ON e.vec_id = bm.doc_id, q) "
+            "SELECT doc_id, score, cosine, "
+            "  round_even(0.5 * score + (1.0 - 0.5) * cosine, 6) AS hybrid "
+            "FROM c ORDER BY hybrid DESC, doc_id LIMIT 10"
+        ),
         # budget-quantized contiguous packing: shard = prior cumulative
         # tokens within the id range // budget — a windowed SUM
         "pack_shards": (

@@ -943,3 +943,106 @@ def _update_text_index_locked(
     }
     _write_json_atomic(os.path.join(index_dir, "meta.json"), meta)
     return stats
+
+
+def hybrid_search(
+    docs_ds: ray.data.Dataset,
+    emb_ds: ray.data.Dataset,
+    query_terms: list[str],
+    query_vec,
+    k: int = 10,
+    pool: int = 100,
+    alpha: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Hybrid retrieval: a BM25 recall pool reranked by embedding cosine —
+    the lexical+semantic composition every retrieval-augmented curation
+    pipeline runs (CCNet-style composition from package primitives, like
+    surprisal_filter).
+
+    hybrid = round(alpha * bm25 + (1 - alpha) * cosine, 6), both
+    components already rounded to 6 (the bm25 and knn-family laws); the
+    k-cut orders (hybrid desc, id). Pool docs without a valid embedding
+    row (missing id, null/EMPTY vector) DROP — the SQL inner-join law.
+
+    Scale shape: the pool is bounded (``pool`` rows) so it collects to
+    the driver; the embeddings table is scanned ONCE with an is_in
+    filter on the pool ids (at cluster scale push the same predicate
+    into the parquet read), each batch computing cosines against the
+    broadcast unit query; the final merge is pool-sized driver work.
+    """
+    from pdf_parser_ray.ops.similarity import _drop_invalid_vectors, _unit
+
+    pool_rows = bm25_top_docs(
+        docs_ds, query_terms, k=pool, k1=k1, b=b,
+        text_col=text_col, id_col=id_col,
+    ).take_all()
+    id_py_type = int if all(
+        isinstance(r[id_col], (int, np.integer)) for r in pool_rows
+    ) else str
+    out_id_t = pa.int64() if id_py_type is int else pa.string()
+    out_schema = pa.schema(
+        [
+            (id_col, out_id_t),
+            ("score", pa.float64()),
+            ("cosine", pa.float64()),
+            ("hybrid", pa.float64()),
+        ]
+    )
+    if not pool_rows:
+        return ray.data.from_arrow(pa.Table.from_pylist([], schema=out_schema))
+    bm = {id_py_type(r[id_col]): float(r["score"]) for r in pool_rows}
+    pool_ids = pa.array(sorted(bm), out_id_t)
+
+    q = _unit(np.asarray(query_vec, dtype=np.float64))
+    emb = _drop_invalid_vectors(emb_ds, vec_id_col, vec_col)
+
+    def cosines(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.is_in(pc.cast(batch[vec_id_col], out_id_t), value_set=pool_ids)
+        )
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    vec_id_col: pa.array([], out_id_t),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        sims = np.round(_unit(vecs) @ q, 6)  # the knn-family rounded law
+        return pa.table(
+            {
+                vec_id_col: pc.cast(batch[vec_id_col], out_id_t),
+                "cosine": pa.array(sims, pa.float64()),
+            }
+        )
+
+    cands = emb.map_batches(cosines, batch_format="pyarrow").take_all()
+    merged = []
+    for r in cands:  # <= pool rows
+        did = id_py_type(r[vec_id_col])
+        bs = bm[did]
+        cs = float(r["cosine"])
+        # np.round, NOT Python round: averaging two 6-decimal components
+        # lands exactly on 7th-decimal halves, where only the scaled-
+        # double half-even (np.round == DuckDB round_even) agrees
+        merged.append(
+            (did, bs, cs, float(np.round(alpha * bs + (1.0 - alpha) * cs, 6)))
+        )
+    merged.sort(key=lambda t: (-t[3], t[0]))
+    top = merged[:k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                id_col: pa.array([t[0] for t in top], out_id_t),
+                "score": pa.array([t[1] for t in top], pa.float64()),
+                "cosine": pa.array([t[2] for t in top], pa.float64()),
+                "hybrid": pa.array([t[3] for t in top], pa.float64()),
+            }
+        )
+    )

@@ -144,6 +144,7 @@ NULL_SENSITIVE = [
     "bm25_top_docs",
     "bm25_index_top_docs",
     "bm25_incr_index_top_docs",
+    "hybrid_search",
     # text-family ops that coalesce early — cheap to pin, and the corpus
     # exercises their null text / null id paths too
     "script_mix",

@@ -472,3 +472,58 @@ def test_sql_generators_escape_quotes(ray_session):
     assert list(hits["doc_id"]) == [1]
     scored = con.execute(bm25_sql(["o'brien"], k=5)).df()
     assert list(scored["doc_id"]) == [1]
+
+
+def test_hybrid_search_composition_and_drop_law(ray_session):
+    from pdf_parser_ray.ops.retrieval import hybrid_search
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["cat cat", "cat", "dog"], pa.string()),
+        }
+    )
+    # doc 2 has no embedding row; doc 3 never enters the pool (no term)
+    emb = pa.table(
+        {
+            "vec_id": pa.array([1, 3], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0], [0.0, 1.0]], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = hybrid_search(
+        ray.data.from_arrow(docs),
+        ray.data.from_arrow(emb),
+        ["cat"],
+        [1.0, 0.0],
+        k=5,
+        pool=10,
+    ).to_pandas()
+    # only doc 1 survives: in the BM25 pool AND has a valid embedding
+    assert out["doc_id"].tolist() == [1]
+    assert out["cosine"].tolist() == [1.0]
+    import numpy as np
+
+    assert out["hybrid"].tolist() == [
+        float(np.round(0.5 * out["score"][0] + 0.5 * 1.0, 6))
+    ]
+
+
+def test_hybrid_search_empty_pool(ray_session):
+    from pdf_parser_ray.ops.retrieval import hybrid_search
+
+    docs = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "text": pa.array(["dog"], pa.string())}
+    )
+    emb = pa.table(
+        {
+            "vec_id": pa.array([1], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0]], pa.list_(pa.float32())),
+        }
+    )
+    out = hybrid_search(
+        ray.data.from_arrow(docs), ray.data.from_arrow(emb), ["cat"], [1.0, 0.0]
+    )
+    assert out.schema().names == ["doc_id", "score", "cosine", "hybrid"]
+    assert out.count() == 0
