@@ -205,8 +205,10 @@ FAMILIES: dict[str, list[str]] = {
                   "event_rate_anomaly"],
     "graph": ["copurchase_pairs", "pagerank_copurchase"],
     "curation": ["tfidf_top_terms", "lm_surprisal", "assign_splits",
-                 "curate_corpus", "rebalance_sources", "surprisal_filter"],
-    "retrieval": ["term_search", "bm25_top_docs", "phrase_search"],
+                 "curate_corpus", "rebalance_sources", "surprisal_filter",
+                 "pmi_top_pairs"],
+    "retrieval": ["term_search", "bm25_top_docs", "phrase_search",
+                  "hybrid_search"],
     "crosscorpus": ["contamination_check", "cross_corpus_near_dups",
                     "cross_corpus_embedding_near_dups",
                     "bloom_novel_docs",
