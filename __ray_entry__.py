@@ -937,6 +937,39 @@ def _q_event_rate_anomaly(sf_dir: str):
     return event_rate_anomaly(sf_dir, window_seconds=3600, z_threshold=2.0)
 
 
+def _q_trending_terms(sf_dir: str):
+    from pdf_parser_ray.ops.streaming import trending_terms
+
+    return trending_terms(sf_dir, window_seconds=3600, k=3)
+
+
+def _q_funnel_conversion(sf_dir: str):
+    from pdf_parser_ray.ops.streaming import funnel_conversion
+
+    return funnel_conversion(
+        sf_dir, step_a="view", step_b="purchase", horizon_seconds=86400
+    )
+
+
+def _q_rrf_search(sf_dir: str):
+    """Rank-based retrieval fusion: BM25 top-50 + cosine top-50 to the
+    vec_id-0 query (the knn family's query convention; vec_id == doc_id
+    in this corpus), fused with integer reciprocal-rank scores."""
+    import ray.data
+
+    from pdf_parser_ray.ops.retrieval import rrf_search
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return rrf_search(
+        docs, emb, _BM25_TERMS, _query_vector(sf_dir), k=10, pool=50
+    )
+
+
 def _q_supplier_stats(sf_dir: str):
     from pdf_parser_ray.ops.relational import supplier_balance_stats
 
@@ -1110,6 +1143,12 @@ def _phrase_oracle() -> str:
     from pdf_parser_ray.ops.retrieval import phrase_sql
 
     return phrase_sql(_PHRASE)
+
+
+def _rrf_oracle() -> str:
+    from pdf_parser_ray.ops.retrieval import rrf_sql
+
+    return rrf_sql(_BM25_TERMS, k=10, pool=50)
 
 
 def _q_bm25_top_docs(sf_dir: str):
@@ -1519,6 +1558,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": _q_events_asof,
         "sessionize": _q_sessionize,
         "event_rate_anomaly": _q_event_rate_anomaly,
+        "trending_terms": _q_trending_terms,
+        "funnel_conversion": _q_funnel_conversion,
         "docs_by_lang": _q_docs_by_lang,
         "deterministic_sample": _q_deterministic_sample,
         "events_json": _q_events_json,
@@ -1547,6 +1588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_incr_index_top_docs": _q_bm25_incr_index_top_docs,
         "phrase_search": _q_phrase_search,
         "hybrid_search": _q_hybrid_search,
+        "rrf_search": _q_rrf_search,
         "pack_shards": _q_pack_shards,
         "stratified_sample": _q_stratified_sample,
         "orders_price_bands": _q_orders_price_bands,
@@ -2285,6 +2327,39 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(c AS BIGINT) AS n_events, z, "
             "  CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END AS is_anomaly FROM g"
         ),
+        # all-integer windowed top-k: counts, truncating window division,
+        # ROW_NUMBER ties by key asc — no float law anywhere
+        "trending_terms": (
+            "WITH c AS ("
+            "  SELECT epoch_us(ts) // 3600000000 AS win, event_type, "
+            "    COUNT(*)::BIGINT AS n_events FROM events "
+            "  WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2"
+            "), r AS ("
+            "  SELECT win, event_type, n_events, ROW_NUMBER() OVER ("
+            "    PARTITION BY win ORDER BY n_events DESC, event_type) AS rank "
+            "  FROM c"
+            ") SELECT CAST(win AS BIGINT) AS win, event_type, n_events, "
+            "  CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3"
+        ),
+        # the funnel law as the op computes it: first A, first STRICTLY
+        # later B, integer-microsecond horizon; -1 sentinel for no B
+        "funnel_conversion": (
+            "WITH a AS ("
+            "  SELECT user_id, MIN(epoch_us(ts)) AS ta_us FROM events "
+            "  WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "    AND event_type = 'view' GROUP BY user_id"
+            "), b AS ("
+            "  SELECT a.user_id, MIN(epoch_us(e.ts)) AS tb FROM a "
+            "  JOIN events e ON e.user_id = a.user_id "
+            "  WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL "
+            "    AND epoch_us(e.ts) > a.ta_us GROUP BY a.user_id"
+            ") SELECT a.user_id, a.ta_us, "
+            "  CAST(COALESCE(b.tb, -1) AS BIGINT) AS tb_us, "
+            "  CAST(CASE WHEN b.tb IS NOT NULL "
+            "    AND b.tb - a.ta_us <= 86400000000 THEN 1 ELSE 0 END "
+            "   AS BIGINT) AS converted "
+            "FROM a LEFT JOIN b ON a.user_id = b.user_id"
+        ),
         "sessionize": (
             "WITH marked AS ("
             "  SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER "
@@ -2861,6 +2936,9 @@ def oracle_sql() -> dict[str, str]:
         # token-position adjacency as a list lambda (no join: null ids
         # survive on both sides, the split_sentences per-row law)
         "phrase_search": _phrase_oracle(),
+        # rank-based fusion: generated BM25 pool + knn cosine pool,
+        # ROW_NUMBER ranks, EXACT integer // scoring (no float blend)
+        "rrf_search": _rrf_oracle(),
         # BM25 pool (same generated SQL, k=pool) inner-joined to valid
         # embeddings, cosine + weighted sum with the op's expression tree
         "hybrid_search": (

@@ -202,13 +202,14 @@ FAMILIES: dict[str, list[str]] = {
                    "top_docs_per_source", "chars_quantiles_by_lang",
                    "heavy_hitter_sources"],
     "streaming": ["events_window_agg", "sessionize", "events_asof_join",
-                  "event_rate_anomaly"],
+                  "event_rate_anomaly", "trending_terms",
+                  "funnel_conversion"],
     "graph": ["copurchase_pairs", "pagerank_copurchase"],
     "curation": ["tfidf_top_terms", "lm_surprisal", "assign_splits",
                  "curate_corpus", "rebalance_sources", "surprisal_filter",
                  "pmi_top_pairs"],
     "retrieval": ["term_search", "bm25_top_docs", "phrase_search",
-                  "hybrid_search"],
+                  "hybrid_search", "rrf_search"],
     "crosscorpus": ["contamination_check", "cross_corpus_near_dups",
                     "cross_corpus_embedding_near_dups",
                     "bloom_novel_docs",
@@ -333,6 +334,7 @@ def run_family(fam: str) -> dict[str, float]:
         "streaming": ["events"],
         "graph": ["lineitem"],
         "crosscorpus": ["documents", "embeddings"],
+        "retrieval": ["documents", "embeddings"],
     }.get(fam, ["documents"])
     for table in warm_tables:
         ray.data.read_parquet(f"{SF_DIR}/{table}.parquet").limit(256).map_batches(

@@ -1046,3 +1046,124 @@ def hybrid_search(
             }
         )
     )
+
+
+def rrf_search(
+    docs_ds: ray.data.Dataset,
+    emb_ds: ray.data.Dataset,
+    query_terms: list[str],
+    query_vec,
+    k: int = 10,
+    pool: int = 50,
+    rrf_k: int = 60,
+    scale: int = 1_000_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Reciprocal-rank fusion: the RANK-based sibling of
+    :func:`hybrid_search` (Cormack et al.'s RRF — the standard way to
+    fuse retrieval systems whose scores aren't commensurable). Each
+    system contributes ``scale // (rrf_k + rank)`` for the docs in its
+    top-``pool``; absent docs contribute 0. Because ranks are integers,
+    the fused score is EXACT int64 arithmetic — no float-rounding law
+    needed anywhere (contrast hybrid_search's np.round blend).
+
+    Ranks are deterministic on both sides: BM25 orders by (rounded
+    score desc, id asc) — the bm25_top_docs law — and cosine by
+    (rounded cosine desc, id asc) — the knn-family law — so
+    ROW_NUMBER in the oracle reproduces them bit-for-bit.
+
+    Output columns: (id, bm25_rank, cos_rank, rrf_score), top-k by
+    (rrf_score desc, id). Absent ranks render as 0, not NULL — kept
+    ranks are strictly positive, and an int64 column stays int64 on
+    every engine where a nullable BIGINT reaches pandas as float (the
+    dedup_events -1-sentinel rationale).
+
+    Scale shape: both pools are bounded (``pool`` rows) driver merges;
+    the lexical side runs the no-corpus-shuffle BM25 two-pass, the
+    vector side the broadcast-query per-batch top-k — nothing here
+    materializes or reshuffles the corpus.
+    """
+    from pdf_parser_ray.ops.similarity import knn_bruteforce
+
+    lex_rows = bm25_top_docs(
+        docs_ds, query_terms, k=pool, text_col=text_col, id_col=id_col
+    ).take_all()
+    vec_rows = knn_bruteforce(
+        emb_ds, query_vec, k=pool, id_col=vec_id_col, vec_col=vec_col
+    ).take_all()
+
+    id_vals = [r[id_col] for r in lex_rows] + [r[vec_id_col] for r in vec_rows]
+    id_py_type = int if all(
+        isinstance(v, (int, np.integer)) for v in id_vals
+    ) else str
+    out_id_t = pa.int64() if id_py_type is int else pa.string()
+
+    # ranks from the already-deterministic orders, re-derived explicitly
+    # so a future upstream reordering can't silently shift them
+    lex_rows.sort(key=lambda r: (-r["score"], id_py_type(r[id_col])))
+    vec_rows.sort(key=lambda r: (-r["cosine"], id_py_type(r[vec_id_col])))
+    bm_rank = {id_py_type(r[id_col]): i + 1 for i, r in enumerate(lex_rows)}
+    cos_rank = {
+        id_py_type(r[vec_id_col]): i + 1 for i, r in enumerate(vec_rows)
+    }
+
+    fused = []
+    for did in set(bm_rank) | set(cos_rank):
+        br, cr = bm_rank.get(did, 0), cos_rank.get(did, 0)
+        s = (scale // (rrf_k + br) if br else 0) + (
+            scale // (rrf_k + cr) if cr else 0
+        )
+        fused.append((did, br, cr, s))
+    fused.sort(key=lambda t: (-t[3], t[0]))
+    top = fused[:k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                id_col: pa.array([t[0] for t in top], out_id_t),
+                "bm25_rank": pa.array([t[1] for t in top], pa.int64()),
+                "cos_rank": pa.array([t[2] for t in top], pa.int64()),
+                "rrf_score": pa.array([t[3] for t in top], pa.int64()),
+            }
+        )
+    )
+
+
+def rrf_sql(
+    query_terms: list[str],
+    k: int = 10,
+    pool: int = 50,
+    rrf_k: int = 60,
+    scale: int = 1_000_000_000,
+    query_vec_id: int = 0,
+) -> str:
+    """The DuckDB oracle for :func:`rrf_search`: the generated BM25 pool
+    CTE (same terms/constants), the knn_bruteforce cosine pool (same
+    rounded law), ROW_NUMBER ranks with the same tiebreaks, integer
+    ``//`` fusion, 0-sentinel absent ranks, (rrf desc, id) cut."""
+    bm = bm25_sql(query_terms, k=pool)
+    return (
+        f"WITH bm AS ({bm}), "
+        "bmr AS (SELECT doc_id, ROW_NUMBER() OVER "
+        "  (ORDER BY score DESC, doc_id) AS r FROM bm), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "  FROM embeddings WHERE vec_id IS NOT NULL "
+        "  AND embedding IS NOT NULL AND len(embedding) > 0), "
+        f"q AS (SELECT v FROM e WHERE vec_id = {query_vec_id}), "
+        "cs AS (SELECT e.vec_id AS doc_id, "
+        "  round_even(list_cosine_similarity(e.v, q.v), 6) AS cosine "
+        f"  FROM e, q ORDER BY cosine DESC, e.vec_id LIMIT {pool}), "
+        "csr AS (SELECT doc_id, ROW_NUMBER() OVER "
+        "  (ORDER BY cosine DESC, doc_id) AS r FROM cs), "
+        "f AS (SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id, "
+        "  CAST(COALESCE(b.r, 0) AS BIGINT) AS bm25_rank, "
+        "  CAST(COALESCE(c.r, 0) AS BIGINT) AS cos_rank, "
+        f"  CAST(CASE WHEN b.r IS NULL THEN 0 ELSE {scale} // ({rrf_k} + b.r) END "
+        f"   + CASE WHEN c.r IS NULL THEN 0 ELSE {scale} // ({rrf_k} + c.r) END "
+        "   AS BIGINT) AS rrf_score "
+        "  FROM bmr b FULL OUTER JOIN csr c ON b.doc_id = c.doc_id) "
+        "SELECT doc_id, bm25_rank, cos_rank, rrf_score FROM f "
+        f"ORDER BY rrf_score DESC, doc_id LIMIT {k}"
+    )

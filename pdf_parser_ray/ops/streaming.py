@@ -480,3 +480,170 @@ def event_rate_anomaly(
         .map_groups(score, batch_format="pandas")
         .map_batches(schema_pin(out_schema), batch_format="pyarrow")
     )
+
+
+def trending_terms(
+    sf_dir_or_ds,
+    window_seconds: int = 3600,
+    k: int = 3,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> ray.data.Dataset:
+    """Per-window top-k keys by count — the "trending now" query every
+    event pipeline runs (heavy hitters per fixed window, exact because
+    the per-window key universe is bounded after pre-aggregation).
+
+    Scale shape: per-batch Arrow group_by pre-aggregates to distinct
+    (window, key) partials — the event_rate_anomaly recipe — so the one
+    hash(window) shuffle moves bounded partial rows, not events; the
+    per-window rank cut happens inside the window's bucket. Everything
+    is integer (counts, epoch-microsecond window division via pc.divide,
+    which TRUNCATES exactly like DuckDB ``//``), so no float law at all.
+
+    Null key or null ts drops (the dedup_events policy; the oracle
+    filters identically). Ranks break count ties by key ascending —
+    ROW_NUMBER semantics, dense ranks would hide the cut law.
+
+    Output: (win, key, n_events, rank), rank 1..k per active window.
+    """
+    if isinstance(sf_dir_or_ds, str):
+        ds = ray.data.read_parquet(
+            f"{sf_dir_or_ds}/events.parquet", columns=[ts_col, key_col]
+        )
+    else:
+        ds = sf_dir_or_ds
+    window_us = int(window_seconds) * 1_000_000
+
+    def partials(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(batch[key_col]), pc.is_valid(batch[ts_col]))
+        batch = batch.filter(mask)
+        ts_us = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
+        win = pc.divide(ts_us, pa.scalar(window_us, pa.int64()))
+        t = pa.table({"win": win, key_col: batch[key_col]})
+        agg = t.group_by(["win", key_col]).aggregate([([], "count_all")])
+        out = pa.table(
+            {
+                "win": agg["win"],
+                key_col: agg[key_col],
+                "c": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+        return out.append_column("_b", hash_bucket_column(out, "win"))
+
+    def rank_cut(group: pd.DataFrame) -> pd.DataFrame:
+        merged = group.groupby(["win", key_col], as_index=False)["c"].sum()
+        merged = merged.sort_values(
+            ["win", "c", key_col], ascending=[True, False, True]
+        )
+        merged["rank"] = merged.groupby("win").cumcount() + 1
+        out = merged[merged["rank"] <= k].copy()
+        out = out.rename(columns={"c": "n_events"})
+        return out[["win", key_col, "n_events", "rank"]]
+
+    key_t = ds.schema().base_schema.field(key_col).type
+    out_schema = pa.schema(
+        [
+            ("win", pa.int64()),
+            (key_col, key_t),
+            ("n_events", pa.int64()),
+            ("rank", pa.int64()),
+        ]
+    )
+    from pdf_parser_ray.functions.tables import schema_pin
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(rank_cut, batch_format="pandas")
+        .map_batches(schema_pin(out_schema), batch_format="pyarrow")
+    )
+
+
+def funnel_conversion(
+    sf_dir_or_ds,
+    step_a: str = "view",
+    step_b: str = "purchase",
+    horizon_seconds: int = 86400,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+) -> ray.data.Dataset:
+    """Two-step funnel: for every user who performed ``step_a``, did
+    their first ``step_b`` STRICTLY AFTER that first A land within the
+    horizon? The conversion query behind every product-analytics
+    dashboard, and a sequential-pattern op the relational family lacks.
+
+    The law (written as the oracle computes it): ta = the user's MIN A
+    timestamp; tb = the user's MIN B timestamp with tb > ta (strict —
+    a same-microsecond B is not "after"); converted = 1 iff tb exists
+    and tb - ta <= horizon. One output row per user WITH an A event;
+    users with B-only activity don't enter the funnel. tb renders -1
+    when no qualifying B exists (the dedup_events sentinel rationale:
+    real tb is non-negative epoch-us, and int64 stays int64).
+
+    Null user/ts rows drop (the dedup_events policy; oracle filters
+    identically). Timestamps compare in integer MICROSECONDS.
+
+    Scale shape: the type filter prunes to A/B rows per batch BEFORE
+    the one hash(user) shuffle; per-bucket work is two vectorized
+    groupby-mins and one merge — no per-user Python.
+    """
+    if isinstance(sf_dir_or_ds, str):
+        ds = ray.data.read_parquet(
+            f"{sf_dir_or_ds}/events.parquet",
+            columns=[key_col, ts_col, type_col],
+        )
+    else:
+        ds = sf_dir_or_ds
+    horizon_us = int(horizon_seconds) * 1_000_000
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.is_valid(batch[key_col]), pc.is_valid(batch[ts_col])),
+            pc.is_in(
+                batch[type_col],
+                value_set=pa.array([step_a, step_b], pa.string()),
+            ),
+        )
+        batch = batch.filter(mask)
+        return batch.append_column("_b", hash_bucket_column(batch, key_col))
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        ts_us = group[ts_col].astype("datetime64[us]").astype("int64")
+        is_a = group[type_col] == step_a
+        ta = (
+            ts_us[is_a]
+            .groupby(group.loc[is_a, key_col])
+            .min()
+            .rename("ta_us")
+            .reset_index()
+        )
+        b = pd.DataFrame(
+            {key_col: group.loc[~is_a, key_col], "tb": ts_us[~is_a]}
+        ).merge(ta, on=key_col)
+        b = b[b["tb"] > b["ta_us"]]
+        tb = b.groupby(key_col, as_index=False)["tb"].min()
+        out = ta.merge(tb, on=key_col, how="left")
+        out["tb_us"] = out["tb"].fillna(-1).astype("int64")
+        out["converted"] = (
+            (out["tb_us"] >= 0) & (out["tb_us"] - out["ta_us"] <= horizon_us)
+        ).astype("int64")
+        return out[[key_col, "ta_us", "tb_us", "converted"]]
+
+    key_t = ds.schema().base_schema.field(key_col).type
+    out_schema = pa.schema(
+        [
+            (key_col, key_t),
+            ("ta_us", pa.int64()),
+            ("tb_us", pa.int64()),
+            ("converted", pa.int64()),
+        ]
+    )
+    from pdf_parser_ray.functions.tables import schema_pin
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .map_batches(schema_pin(out_schema), batch_format="pyarrow")
+    )

@@ -78,8 +78,12 @@ def null_sf_dir(tmp_path_factory):
             "event_id": pa.array(list(range(8)), pa.int64()),
             "ts": ts,
             "user_id": pa.array([1, 1, None, None, 2, 2, 1, None], pa.int64()),
+            # 'view'/'purchase' are the funnel query's step labels: user 1
+            # converts (view@0 -> purchase@6), user 2 views and never
+            # purchases (-1 sentinel), null users/types drop
             "event_type": pa.array(
-                ["c", "c", "c", "c", None, "v", "c", None], pa.string()
+                ["view", "c", "c", "view", None, "view", "purchase", None],
+                pa.string(),
             ),
             "value": pa.array([1.0] * 8, pa.float64()),
             "props": pa.array(["{}"] * 8, pa.string()),
@@ -130,6 +134,9 @@ NULL_SENSITIVE = [
     "exact_dedup_ids",
     "dedup_events",
     "event_rate_anomaly",
+    "trending_terms",
+    "funnel_conversion",
+    "rrf_search",
     "quantize_embeddings",
     "semantic_dedup",
     "top_docs_per_source",

@@ -3015,3 +3015,89 @@ def test_pmi_empty_and_unigram_only(ray_session):
     out = pmi_top_pairs(ds, k=5, min_count=1)
     assert out.schema().names == ["w1", "w2", "c_pair", "pmi"]
     assert out.count() == 0
+
+
+def test_trending_terms_hand_computed(ray_session):
+    import pyarrow as pa
+
+    from pdf_parser_ray.ops.streaming import trending_terms
+
+    H = 3_600_000_000  # one hour of microseconds
+    rows = []
+    # window 0: a x3, b x2, c x1 -> top-2 is [a, b]
+    for t, n in [("a", 3), ("b", 2), ("c", 1)]:
+        rows += [{"ts": i * 1000, "event_type": t} for i in range(n)]
+    # window 1: b and c tie at 2 -> key-ascending tiebreak ranks b first
+    for t, n in [("b", 2), ("c", 2)]:
+        rows += [{"ts": H + i * 1000, "event_type": t} for i in range(n)]
+    # dropped: null type, null ts
+    rows += [{"ts": 0, "event_type": None}, {"ts": None, "event_type": "a"}]
+    tbl = pa.Table.from_pylist(rows)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"),
+        "ts",
+        tbl["ts"].cast(pa.timestamp("us")),
+    )
+    out = (
+        trending_terms(ray.data.from_arrow(tbl), window_seconds=3600, k=2)
+        .to_pandas()
+        .sort_values(["win", "rank"])
+        .reset_index(drop=True)
+    )
+    assert out[["win", "event_type", "n_events", "rank"]].values.tolist() == [
+        [0, "a", 3, 1],
+        [0, "b", 2, 2],
+        [1, "b", 2, 1],
+        [1, "c", 2, 2],
+    ]
+
+
+def test_funnel_conversion_laws(ray_session):
+    import pyarrow as pa
+
+    from pdf_parser_ray.ops.streaming import funnel_conversion
+
+    MIN = 60_000_000  # a minute of microseconds
+    rows = [
+        # user 1 converts: view @0, purchase @5min (within 10min horizon)
+        {"user_id": 1, "ts": 0, "event_type": "view"},
+        {"user_id": 1, "ts": 5 * MIN, "event_type": "purchase"},
+        # user 2: purchase BEFORE the first view only -> tb_us = -1
+        {"user_id": 2, "ts": 0, "event_type": "purchase"},
+        {"user_id": 2, "ts": MIN, "event_type": "view"},
+        # user 3: purchase at the SAME microsecond as the view -> not
+        # "strictly after" -> -1
+        {"user_id": 3, "ts": 7 * MIN, "event_type": "view"},
+        {"user_id": 3, "ts": 7 * MIN, "event_type": "purchase"},
+        # user 4: purchase after the horizon -> tb set, converted 0
+        {"user_id": 4, "ts": 0, "event_type": "view"},
+        {"user_id": 4, "ts": 20 * MIN, "event_type": "purchase"},
+        # user 5: purchase-only -> never enters the funnel
+        {"user_id": 5, "ts": 0, "event_type": "purchase"},
+        # dropped rows: null user, null ts
+        {"user_id": None, "ts": 0, "event_type": "view"},
+        {"user_id": 6, "ts": None, "event_type": "view"},
+        # other event types never count as steps
+        {"user_id": 2, "ts": 2 * MIN, "event_type": "click"},
+    ]
+    tbl = pa.Table.from_pylist(rows)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"),
+        "ts",
+        tbl["ts"].cast(pa.timestamp("us")),
+    )
+    out = (
+        funnel_conversion(
+            ray.data.from_arrow(tbl),
+            step_a="view",
+            step_b="purchase",
+            horizon_seconds=600,
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 2, 3, 4]
+    assert out["ta_us"].tolist() == [0, MIN, 7 * MIN, 0]
+    assert out["tb_us"].tolist() == [5 * MIN, -1, -1, 20 * MIN]
+    assert out["converted"].tolist() == [1, 0, 0, 0]

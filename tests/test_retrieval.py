@@ -527,3 +527,77 @@ def test_hybrid_search_empty_pool(ray_session):
     )
     assert out.schema().names == ["doc_id", "score", "cosine", "hybrid"]
     assert out.count() == 0
+
+
+def test_rrf_search_integer_fusion_law(ray_session):
+    from pdf_parser_ray.ops.retrieval import rrf_search
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": ["apple apple", "apple", "banana"],
+            }
+        )
+    )
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([1, 2, 3], pa.int64()),
+                "embedding": pa.array(
+                    [[0.0, 1.0], [1.0, 0.0], [1.0, 0.1]],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    out = (
+        rrf_search(docs, emb, ["apple"], [1.0, 0.0], k=10, pool=2)
+        .to_pandas()
+    )
+    # BM25 pool: doc1 (rank 1, higher tf), doc2 (rank 2); doc3 scores 0
+    # and is excluded. Cosine pool: vec2 (rank 1), vec3 (rank 2).
+    S = 1_000_000_000
+    expect = {
+        2: (2, 1, S // 62 + S // 61),
+        1: (1, 0, S // 61),
+        3: (0, 2, S // 62),
+    }
+    assert len(out) == 3
+    for _, r in out.iterrows():
+        br, cr, s = expect[r["doc_id"]]
+        assert (r["bm25_rank"], r["cos_rank"], r["rrf_score"]) == (br, cr, s)
+    # cut orders by (rrf desc, id): doc2's two contributions win
+    assert out["doc_id"].tolist() == [2, 1, 3]
+    assert out["rrf_score"].is_monotonic_decreasing
+
+
+def test_rrf_search_k_cut_and_empty_lexical_pool(ray_session):
+    from pdf_parser_ray.ops.retrieval import rrf_search
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": ["banana"],
+            }
+        )
+    )
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([5, 6], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0], [0.9, 0.1]], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    # no doc matches the terms -> fusion degrades to the cosine ranking
+    out = (
+        rrf_search(docs, emb, ["apple"], [1.0, 0.0], k=1, pool=2)
+        .to_pandas()
+    )
+    assert out["doc_id"].tolist() == [5]
+    assert out["bm25_rank"].tolist() == [0]
+    assert out["cos_rank"].tolist() == [1]
