@@ -30,6 +30,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -1086,14 +1087,28 @@ def rrf_search(
     vector side the broadcast-query per-batch top-k — nothing here
     materializes or reshuffles the corpus.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from pdf_parser_ray.ops.similarity import knn_bruteforce
 
-    lex_rows = bm25_top_docs(
-        docs_ds, query_terms, k=pool, text_col=text_col, id_col=id_col
-    ).take_all()
-    vec_rows = knn_bruteforce(
-        emb_ds, query_vec, k=pool, id_col=vec_id_col, vec_col=vec_col
-    ).take_all()
+    # the two pools share no data dependency (contrast hybrid_search,
+    # whose embedding scan filters on the pool ids) — drive both corpus
+    # scans concurrently so the query pays max(scan_lex, scan_vec), not
+    # their sum; each take_all owns its own streaming executor
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        lex_f = ex.submit(
+            lambda: bm25_top_docs(
+                docs_ds, query_terms, k=pool, text_col=text_col,
+                id_col=id_col,
+            ).take_all()
+        )
+        vec_f = ex.submit(
+            lambda: knn_bruteforce(
+                emb_ds, query_vec, k=pool, id_col=vec_id_col,
+                vec_col=vec_col,
+            ).take_all()
+        )
+        lex_rows, vec_rows = lex_f.result(), vec_f.result()
 
     id_vals = [r[id_col] for r in lex_rows] + [r[vec_id_col] for r in vec_rows]
     id_py_type = int if all(
@@ -1102,22 +1117,35 @@ def rrf_search(
     out_id_t = pa.int64() if id_py_type is int else pa.string()
 
     # ranks from the already-deterministic orders, re-derived explicitly
-    # so a future upstream reordering can't silently shift them
+    # so a future upstream reordering can't silently shift them. Kept as
+    # ROWS, never an id->rank dict: a corpus with duplicate ids puts the
+    # same id in a pool at two ranks, and the oracle's ROW_NUMBER + FULL
+    # OUTER JOIN fans those out to one fused row per rank PAIR — a
+    # pandas outer merge has exactly that per-id cartesian semantics
     lex_rows.sort(key=lambda r: (-r["score"], id_py_type(r[id_col])))
     vec_rows.sort(key=lambda r: (-r["cosine"], id_py_type(r[vec_id_col])))
-    bm_rank = {id_py_type(r[id_col]): i + 1 for i, r in enumerate(lex_rows)}
-    cos_rank = {
-        id_py_type(r[vec_id_col]): i + 1 for i, r in enumerate(vec_rows)
-    }
-
-    fused = []
-    for did in set(bm_rank) | set(cos_rank):
-        br, cr = bm_rank.get(did, 0), cos_rank.get(did, 0)
-        s = (scale // (rrf_k + br) if br else 0) + (
-            scale // (rrf_k + cr) if cr else 0
-        )
-        fused.append((did, br, cr, s))
-    fused.sort(key=lambda t: (-t[3], t[0]))
+    bmr = pd.DataFrame(
+        {
+            "_id": [id_py_type(r[id_col]) for r in lex_rows],
+            "bm25_rank": np.arange(1, len(lex_rows) + 1, dtype=np.int64),
+        }
+    )
+    csr = pd.DataFrame(
+        {
+            "_id": [id_py_type(r[vec_id_col]) for r in vec_rows],
+            "cos_rank": np.arange(1, len(vec_rows) + 1, dtype=np.int64),
+        }
+    )
+    f = bmr.merge(csr, on="_id", how="outer")
+    br = f["bm25_rank"].fillna(0).astype("int64").to_numpy()
+    cr = f["cos_rank"].fillna(0).astype("int64").to_numpy()
+    s = np.where(br > 0, scale // (rrf_k + br), 0) + np.where(
+        cr > 0, scale // (rrf_k + cr), 0
+    )
+    fused = sorted(
+        zip(f["_id"].tolist(), br.tolist(), cr.tolist(), s.tolist()),
+        key=lambda t: (-t[3], t[0]),
+    )
     top = fused[:k]
     return ray.data.from_arrow(
         pa.table(

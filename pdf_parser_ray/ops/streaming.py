@@ -579,7 +579,11 @@ def funnel_conversion(
     and tb - ta <= horizon. One output row per user WITH an A event;
     users with B-only activity don't enter the funnel. tb renders -1
     when no qualifying B exists (the dedup_events sentinel rationale:
-    real tb is non-negative epoch-us, and int64 stays int64).
+    real tb is non-negative epoch-us on any post-1970 log, and int64
+    stays int64; ``converted`` reads B's existence, never the sentinel,
+    so a genuinely pre-1970 tb still flags correctly — only its RENDERED
+    value can collide at exactly -1 us, the same collision the oracle's
+    COALESCE(tb, -1) has).
 
     Null user/ts rows drop (the dedup_events policy; oracle filters
     identically). Timestamps compare in integer MICROSECONDS.
@@ -611,6 +615,10 @@ def funnel_conversion(
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         ts_us = group[ts_col].astype("datetime64[us]").astype("int64")
         is_a = group[type_col] == step_a
+        # B selects by its OWN label, never as A's complement: a same-type
+        # funnel (step_a == step_b, "second view within the horizon") must
+        # classify every row as both an A and a B candidate
+        is_b = group[type_col] == step_b
         ta = (
             ts_us[is_a]
             .groupby(group.loc[is_a, key_col])
@@ -619,14 +627,17 @@ def funnel_conversion(
             .reset_index()
         )
         b = pd.DataFrame(
-            {key_col: group.loc[~is_a, key_col], "tb": ts_us[~is_a]}
+            {key_col: group.loc[is_b, key_col], "tb": ts_us[is_b]}
         ).merge(ta, on=key_col)
         b = b[b["tb"] > b["ta_us"]]
         tb = b.groupby(key_col, as_index=False)["tb"].min()
         out = ta.merge(tb, on=key_col, how="left")
+        # the flag reads B's EXISTENCE (the oracle's IS NOT NULL), not the
+        # rendered sentinel — a pre-1970 tb is negative yet perfectly real
+        has_b = out["tb"].notna()
         out["tb_us"] = out["tb"].fillna(-1).astype("int64")
         out["converted"] = (
-            (out["tb_us"] >= 0) & (out["tb_us"] - out["ta_us"] <= horizon_us)
+            has_b & (out["tb_us"] - out["ta_us"] <= horizon_us)
         ).astype("int64")
         return out[[key_col, "ta_us", "tb_us", "converted"]]
 

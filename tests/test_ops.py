@@ -3101,3 +3101,38 @@ def test_funnel_conversion_laws(ray_session):
     assert out["ta_us"].tolist() == [0, MIN, 7 * MIN, 0]
     assert out["tb_us"].tolist() == [5 * MIN, -1, -1, 20 * MIN]
     assert out["converted"].tolist() == [1, 0, 0, 0]
+
+
+def test_funnel_conversion_same_type_steps(ray_session):
+    """step_a == step_b: every row is both an A and a B candidate — the
+    'second view within the horizon' funnel."""
+    import pyarrow as pa
+
+    from pdf_parser_ray.ops.streaming import funnel_conversion
+
+    MIN = 60_000_000
+    rows = [
+        {"user_id": 1, "ts": 0, "event_type": "view"},
+        {"user_id": 1, "ts": 2 * MIN, "event_type": "view"},
+        {"user_id": 2, "ts": 0, "event_type": "view"},
+    ]
+    tbl = pa.Table.from_pylist(rows)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"),
+        "ts",
+        tbl["ts"].cast(pa.timestamp("us")),
+    )
+    out = (
+        funnel_conversion(
+            ray.data.from_arrow(tbl),
+            step_a="view",
+            step_b="view",
+            horizon_seconds=600,
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 2]
+    assert out["tb_us"].tolist() == [2 * MIN, -1]
+    assert out["converted"].tolist() == [1, 0]

@@ -601,3 +601,38 @@ def test_rrf_search_k_cut_and_empty_lexical_pool(ray_session):
     assert out["doc_id"].tolist() == [5]
     assert out["bm25_rank"].tolist() == [0]
     assert out["cos_rank"].tolist() == [1]
+
+
+def test_rrf_search_duplicate_ids_fan_out(ray_session):
+    """A duplicated doc_id holds TWO pool ranks; the oracle's ROW_NUMBER +
+    FULL OUTER JOIN emits one fused row per rank pair — the op must too."""
+    from pdf_parser_ray.ops.retrieval import rrf_search
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([7, 7], pa.int64()),
+                "text": ["apple apple", "apple"],
+            }
+        )
+    )
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([7], pa.int64()),
+                "embedding": pa.array([[1.0, 0.0]], pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = (
+        rrf_search(docs, emb, ["apple"], [1.0, 0.0], k=10, pool=5)
+        .to_pandas()
+        .sort_values("bm25_rank")
+        .reset_index(drop=True)
+    )
+    S = 1_000_000_000
+    # both lexical ranks join the single cosine rank-1 row
+    assert out["doc_id"].tolist() == [7, 7]
+    assert out["bm25_rank"].tolist() == [1, 2]
+    assert out["cos_rank"].tolist() == [1, 1]
+    assert out["rrf_score"].tolist() == [S // 61 + S // 61, S // 62 + S // 61]
