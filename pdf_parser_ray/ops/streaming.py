@@ -380,6 +380,40 @@ def dedup_events(
     )
 
 
+def _windowed_count_partials(
+    batch: pa.Table,
+    ts_col: str,
+    key_col: str,
+    window_us: int,
+    lead_col: str,
+) -> pa.Table:
+    """The ONE per-batch windowed-count partial recipe, shared by
+    :func:`event_rate_anomaly` (groups (key, win), buckets on key) and
+    :func:`trending_terms` (groups (win, key), buckets on win): drop
+    null key/ts, Arrow SAFE cast to microseconds (sub-microsecond input
+    raises rather than silently truncating — the precision policy),
+    truncating integer window division (pc.divide == DuckDB ``//``),
+    Arrow group_by count. ``lead_col`` picks the leading group column,
+    which is also the downstream shuffle-bucket column."""
+    mask = pc.and_(pc.is_valid(batch[key_col]), pc.is_valid(batch[ts_col]))
+    batch = batch.filter(mask)
+    ts_us = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
+    win = pc.divide(ts_us, pa.scalar(window_us, pa.int64()))
+    cols = {key_col: batch[key_col], "win": win}
+    order = [lead_col, "win" if lead_col == key_col else key_col]
+    t = pa.table({c: cols[c] for c in order})
+    # pyarrow group_by puts the group keys FIRST in its output
+    agg = t.group_by(order).aggregate([([], "count_all")])
+    out = pa.table(
+        {
+            order[0]: agg[order[0]],
+            order[1]: agg[order[1]],
+            "c": pc.cast(agg["count_all"], pa.int64()),
+        }
+    )
+    return out.append_column("_b", hash_bucket_column(out, lead_col))
+
+
 def event_rate_anomaly(
     sf_dir_or_ds,
     window_seconds: int = 3600,
@@ -422,21 +456,9 @@ def event_rate_anomaly(
     window_us = int(window_seconds) * 1_000_000
 
     def partials(batch: pa.Table) -> pa.Table:
-        mask = pc.and_(pc.is_valid(batch[key_col]), pc.is_valid(batch[ts_col]))
-        batch = batch.filter(mask)
-        ts_us = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
-        win = pc.divide(ts_us, pa.scalar(window_us, pa.int64()))
-        t = pa.table({key_col: batch[key_col], "win": win})
-        # pyarrow group_by puts the group keys FIRST in its output
-        agg = t.group_by([key_col, "win"]).aggregate([([], "count_all")])
-        out = pa.table(
-            {
-                key_col: agg[key_col],
-                "win": agg["win"],
-                "c": pc.cast(agg["count_all"], pa.int64()),
-            }
+        return _windowed_count_partials(
+            batch, ts_col, key_col, window_us, lead_col=key_col
         )
-        return out.append_column("_b", hash_bucket_column(out, key_col))
 
     def score(group: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -515,20 +537,9 @@ def trending_terms(
     window_us = int(window_seconds) * 1_000_000
 
     def partials(batch: pa.Table) -> pa.Table:
-        mask = pc.and_(pc.is_valid(batch[key_col]), pc.is_valid(batch[ts_col]))
-        batch = batch.filter(mask)
-        ts_us = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
-        win = pc.divide(ts_us, pa.scalar(window_us, pa.int64()))
-        t = pa.table({"win": win, key_col: batch[key_col]})
-        agg = t.group_by(["win", key_col]).aggregate([([], "count_all")])
-        out = pa.table(
-            {
-                "win": agg["win"],
-                key_col: agg[key_col],
-                "c": pc.cast(agg["count_all"], pa.int64()),
-            }
+        return _windowed_count_partials(
+            batch, ts_col, key_col, window_us, lead_col="win"
         )
-        return out.append_column("_b", hash_bucket_column(out, "win"))
 
     def rank_cut(group: pd.DataFrame) -> pd.DataFrame:
         merged = group.groupby(["win", key_col], as_index=False)["c"].sum()
@@ -610,6 +621,14 @@ def funnel_conversion(
             ),
         )
         batch = batch.filter(mask)
+        # normalize to microseconds at the ARROW layer: the safe cast
+        # raises on sub-microsecond input instead of silently truncating
+        # (the _windowed_count_partials precision policy)
+        batch = batch.set_column(
+            batch.schema.get_field_index(ts_col),
+            ts_col,
+            pc.cast(batch[ts_col], pa.timestamp("us")),
+        )
         return batch.append_column("_b", hash_bucket_column(batch, key_col))
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
@@ -631,6 +650,10 @@ def funnel_conversion(
         ).merge(ta, on=key_col)
         b = b[b["tb"] > b["ta_us"]]
         tb = b.groupby(key_col, as_index=False)["tb"].min()
+        # nullable Int64 BEFORE the left merge: unmatched rows would
+        # otherwise float64 the whole column and corrupt tb past 2^53
+        # (the asof_join / pagerank NaN-promotion class)
+        tb["tb"] = tb["tb"].astype("Int64")
         out = ta.merge(tb, on=key_col, how="left")
         # the flag reads B's EXISTENCE (the oracle's IS NOT NULL), not the
         # rendered sentinel — a pre-1970 tb is negative yet perfectly real

@@ -3136,3 +3136,39 @@ def test_funnel_conversion_same_type_steps(ray_session):
     assert out["user_id"].tolist() == [1, 2]
     assert out["tb_us"].tolist() == [2 * MIN, -1]
     assert out["converted"].tolist() == [1, 0]
+
+
+def test_funnel_conversion_tb_exact_past_2_53(ray_session):
+    """A no-B user in the same bucket must not float64 the tb column:
+    a real tb of 2^53+1 us has to round-trip exactly (the left-merge
+    NaN-promotion class)."""
+    import pyarrow as pa
+
+    from pdf_parser_ray.ops.streaming import funnel_conversion
+
+    BIG = 2**53 + 1  # not representable in float64 (rounds to 2^53)
+    rows = [
+        # users 64 and 128 share hash bucket (64 & 63 == 128 & 63 == 0)
+        {"user_id": 64, "ts": 0, "event_type": "view"},
+        {"user_id": 64, "ts": BIG, "event_type": "purchase"},
+        {"user_id": 128, "ts": 0, "event_type": "view"},
+    ]
+    tbl = pa.Table.from_pylist(rows)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"),
+        "ts",
+        tbl["ts"].cast(pa.timestamp("us")),
+    )
+    out = (
+        funnel_conversion(
+            ray.data.from_arrow(tbl),
+            step_a="view",
+            step_b="purchase",
+            horizon_seconds=2**53,
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["tb_us"].tolist() == [BIG, -1]
+    assert out["converted"].tolist() == [1, 0]
