@@ -937,6 +937,12 @@ def _q_event_rate_anomaly(sf_dir: str):
     return event_rate_anomaly(sf_dir, window_seconds=3600, z_threshold=2.0)
 
 
+def _q_cohort_retention(sf_dir: str):
+    from pdf_parser_ray.ops.streaming import cohort_retention
+
+    return cohort_retention(sf_dir, window_seconds=86400)
+
+
 def _q_trending_terms(sf_dir: str):
     from pdf_parser_ray.ops.streaming import trending_terms
 
@@ -1560,6 +1566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_rate_anomaly": _q_event_rate_anomaly,
         "trending_terms": _q_trending_terms,
         "funnel_conversion": _q_funnel_conversion,
+        "cohort_retention": _q_cohort_retention,
         "docs_by_lang": _q_docs_by_lang,
         "deterministic_sample": _q_deterministic_sample,
         "events_json": _q_events_json,
@@ -2340,6 +2347,19 @@ def oracle_sql() -> dict[str, str]:
             "  FROM c"
             ") SELECT CAST(win AS BIGINT) AS win, event_type, n_events, "
             "  CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3"
+        ),
+        # all-integer cohort triangle: distinct (user, window) pairs,
+        # min-window cohort, COUNT over the already-distinct pair set
+        "cohort_retention": (
+            "WITH w AS ("
+            "  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS win "
+            "  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL"
+            "), f AS ("
+            "  SELECT user_id, MIN(win) AS cohort FROM w GROUP BY user_id"
+            ") SELECT CAST(f.cohort AS BIGINT) AS cohort, "
+            "  CAST(w.win - f.cohort AS BIGINT) AS win_offset, "
+            "  COUNT(*)::BIGINT AS n_users "
+            "FROM w JOIN f ON w.user_id = f.user_id GROUP BY 1, 2"
         ),
         # the funnel law as the op computes it: first A, first STRICTLY
         # later B, integer-microsecond horizon; -1 sentinel for no B

@@ -681,3 +681,79 @@ def funnel_conversion(
         .map_groups(per_bucket, batch_format="pandas")
         .map_batches(schema_pin(out_schema), batch_format="pyarrow")
     )
+
+
+def cohort_retention(
+    sf_dir_or_ds,
+    window_seconds: int = 86400,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> ray.data.Dataset:
+    """Cohort retention matrix: group users by the window of their FIRST
+    event (the cohort), then count how many of each cohort are active
+    again ``offset`` windows later — the standard growth-analytics
+    triangle, and the repo's sequential-aggregation sibling to
+    :func:`funnel_conversion`.
+
+    All-integer law (no float anywhere): win = truncating integer
+    epoch-us division (:func:`_windowed_count_partials` policy), cohort
+    = the user's min win, one row per (cohort, win_offset) with
+    n_users = distinct users from that cohort active at that offset.
+    Null user/ts drop (the dedup_events policy; oracle filters
+    identically). Offset 0 is the cohort's size by construction.
+
+    Scale shape: per-batch Arrow group_by collapses events to distinct
+    (user, window) partials BEFORE the hash(user) shuffle; because
+    buckets partition USERS, each bucket's (cohort, offset) counts are
+    over disjoint user sets, so the final merge is a tiny Sum groupby
+    over at most buckets x cohorts x offsets partial rows — events
+    cross the wire never, user-window pairs once.
+
+    Output: (cohort, win_offset, n_users).
+    """
+    from ray.data.aggregate import Sum
+
+    if isinstance(sf_dir_or_ds, str):
+        ds = ray.data.read_parquet(
+            f"{sf_dir_or_ds}/events.parquet", columns=[key_col, ts_col]
+        )
+    else:
+        ds = sf_dir_or_ds
+    window_us = int(window_seconds) * 1_000_000
+
+    def partials(batch: pa.Table) -> pa.Table:
+        # the shared recipe's count column is unused here — the partial
+        # IS the distinct (user, window) pair set
+        return _windowed_count_partials(
+            batch, ts_col, key_col, window_us, lead_col=key_col
+        )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        pairs = group[[key_col, "win"]].drop_duplicates()
+        cohort = (
+            pairs.groupby(key_col)["win"].min().rename("cohort").reset_index()
+        )
+        joined = pairs.merge(cohort, on=key_col)
+        joined["win_offset"] = joined["win"] - joined["cohort"]
+        out = joined.groupby(["cohort", "win_offset"], as_index=False).agg(
+            n=(key_col, "size")
+        )
+        return out
+
+    from pdf_parser_ray.functions.tables import schema_pin
+
+    out_schema = pa.schema(
+        [
+            ("cohort", pa.int64()),
+            ("win_offset", pa.int64()),
+            ("n_users", pa.int64()),
+        ]
+    )
+    merged = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["cohort", "win_offset"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+    return merged.map_batches(schema_pin(out_schema), batch_format="pyarrow")

@@ -136,6 +136,7 @@ NULL_SENSITIVE = [
     "event_rate_anomaly",
     "trending_terms",
     "funnel_conversion",
+    "cohort_retention",
     "rrf_search",
     "quantize_embeddings",
     "semantic_dedup",

@@ -3172,3 +3172,43 @@ def test_funnel_conversion_tb_exact_past_2_53(ray_session):
     )
     assert out["tb_us"].tolist() == [BIG, -1]
     assert out["converted"].tolist() == [1, 0]
+
+
+def test_cohort_retention_hand_computed(ray_session):
+    import pyarrow as pa
+
+    from pdf_parser_ray.ops.streaming import cohort_retention
+
+    DAY = 86_400_000_000
+    rows = [
+        # user 1: cohort day0, active again day2 (two day-0 events collapse)
+        {"user_id": 1, "ts": 0},
+        {"user_id": 1, "ts": 100},
+        {"user_id": 1, "ts": 2 * DAY},
+        # user 2: cohort day0 only
+        {"user_id": 2, "ts": DAY - 1},
+        # user 3: cohort day1, active day2
+        {"user_id": 3, "ts": DAY},
+        {"user_id": 3, "ts": 2 * DAY + 5},
+        # dropped: null user, null ts
+        {"user_id": None, "ts": 0},
+        {"user_id": 4, "ts": None},
+    ]
+    tbl = pa.Table.from_pylist(rows)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"),
+        "ts",
+        tbl["ts"].cast(pa.timestamp("us")),
+    )
+    out = (
+        cohort_retention(ray.data.from_arrow(tbl), window_seconds=86400)
+        .to_pandas()
+        .sort_values(["cohort", "win_offset"])
+        .reset_index(drop=True)
+    )
+    assert out.values.tolist() == [
+        [0, 0, 2],
+        [0, 2, 1],
+        [1, 0, 1],
+        [1, 1, 1],
+    ]
