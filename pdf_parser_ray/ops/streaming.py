@@ -729,16 +729,12 @@ def cohort_retention(
         )
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        pairs = group[[key_col, "win"]].drop_duplicates()
-        cohort = (
-            pairs.groupby(key_col)["win"].min().rename("cohort").reset_index()
-        )
-        joined = pairs.merge(cohort, on=key_col)
-        joined["win_offset"] = joined["win"] - joined["cohort"]
-        out = joined.groupby(["cohort", "win_offset"], as_index=False).agg(
+        pairs = group[[key_col, "win"]].drop_duplicates().copy()
+        pairs["cohort"] = pairs.groupby(key_col)["win"].transform("min")
+        pairs["win_offset"] = pairs["win"] - pairs["cohort"]
+        return pairs.groupby(["cohort", "win_offset"], as_index=False).agg(
             n=(key_col, "size")
         )
-        return out
 
     from pdf_parser_ray.functions.tables import schema_pin
 
