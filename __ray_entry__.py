@@ -937,6 +937,12 @@ def _q_event_rate_anomaly(sf_dir: str):
     return event_rate_anomaly(sf_dir, window_seconds=3600, z_threshold=2.0)
 
 
+def _q_windowed_distinct(sf_dir: str):
+    from pdf_parser_ray.ops.streaming import windowed_distinct
+
+    return windowed_distinct(sf_dir, col="user_id", window_seconds=86400, p=10)
+
+
 def _q_cohort_retention(sf_dir: str):
     from pdf_parser_ray.ops.streaming import cohort_retention
 
@@ -1567,6 +1573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_terms": _q_trending_terms,
         "funnel_conversion": _q_funnel_conversion,
         "cohort_retention": _q_cohort_retention,
+        "windowed_distinct": _q_windowed_distinct,
         "docs_by_lang": _q_docs_by_lang,
         "deterministic_sample": _q_deterministic_sample,
         "events_json": _q_events_json,
@@ -2347,6 +2354,37 @@ def oracle_sql() -> dict[str, str]:
             "  FROM c"
             ") SELECT CAST(win AS BIGINT) AS win, event_type, n_events, "
             "  CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3"
+        ),
+        # per-window HLL with the EXACT-integer harmonic: Σ 2^-rho sums
+        # as SUM(1 << (55 - rho)) (HUGEINT) + zeros << 55, ONE rounding
+        # at the DOUBLE cast — float SUM order can round multiples of
+        # 2^-55 needing > 53 bits, and SQL sum order is arbitrary
+        "windowed_distinct": (
+            "WITH h AS ("
+            "  SELECT epoch_us(ts) // 86400000000 AS win, "
+            "    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,16))::UBIGINT AS hv "
+            "  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL"
+            "), regs AS ("
+            "  SELECT win, CAST(hv >> 54 AS INT) AS b, "
+            "    MAX(CASE WHEN (hv & 18014398509481983::UBIGINT) = 0 THEN 55 "
+            "         ELSE 55 - CAST(length(bin(hv & 18014398509481983::UBIGINT)) AS INT) END) AS rho "
+            "  FROM h GROUP BY win, b"
+            "), agg AS ("
+            "  SELECT win, COUNT(*) AS n_used, "
+            "    SUM(1::BIGINT << (55 - rho)) AS s_num "
+            "  FROM regs GROUP BY win"
+            "), est AS ("
+            "  SELECT win, n_used, 1024 - n_used AS zeros, "
+            "    CAST(s_num + CAST(1024 - n_used AS HUGEINT) * "
+            "      CAST(1::BIGINT << 55 AS HUGEINT) AS DOUBLE) / pow(2.0, 55) AS harmonic "
+            "  FROM agg"
+            ") SELECT CAST(win AS BIGINT) AS win, "
+            "  CAST(printf('%.2f', CASE WHEN "
+            "    (0.7213/(1.0 + 1.079/1024)) * 1024.0 * 1024.0 / harmonic <= 2.5*1024 "
+            "    AND zeros > 0 THEN 1024.0 * ln(1024.0/zeros) "
+            "    ELSE (0.7213/(1.0 + 1.079/1024)) * 1024.0 * 1024.0 / harmonic END) "
+            "   AS DOUBLE) AS n_estimate, "
+            "  CAST(n_used AS BIGINT) AS n_buckets_used FROM est"
         ),
         # all-integer cohort triangle: distinct (user, window) pairs,
         # min-window cohort, COUNT over the already-distinct pair set

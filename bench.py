@@ -203,7 +203,8 @@ FAMILIES: dict[str, list[str]] = {
                    "heavy_hitter_sources"],
     "streaming": ["events_window_agg", "sessionize", "events_asof_join",
                   "event_rate_anomaly", "trending_terms",
-                  "funnel_conversion", "cohort_retention"],
+                  "funnel_conversion", "cohort_retention",
+                  "windowed_distinct"],
     "graph": ["copurchase_pairs", "pagerank_copurchase"],
     "curation": ["tfidf_top_terms", "lm_surprisal", "assign_splits",
                  "curate_corpus", "rebalance_sources", "surprisal_filter",

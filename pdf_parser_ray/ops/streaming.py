@@ -753,3 +753,118 @@ def cohort_retention(
         .aggregate(Sum("n", alias_name="n_users"))
     )
     return merged.map_batches(schema_pin(out_schema), batch_format="pyarrow")
+
+
+def windowed_distinct(
+    sf_dir_or_ds,
+    col: str = "user_id",
+    window_seconds: int = 86400,
+    p: int = 10,
+    ts_col: str = "ts",
+) -> ray.data.Dataset:
+    """Per-window approximate distinct count (daily-active-users): one
+    HyperLogLog sketch per fixed event-time window — the windowed
+    sibling of ops/relational.approx_distinct, with the same md5-64
+    register law (Flajolet et al. 2007) so the SQL oracle reproduces
+    the EXACT estimate.
+
+    Exactness hardening over the global op: the harmonic term sums as
+    an INTEGER — each 2^-rho is 2^(R-rho)/2^R, so Σ is one exact int
+    (DuckDB: SUM(1::BIGINT << (R - rho)), HUGEINT) divided by 2^R with
+    ONE rounding at the cast — float summation order can round multiples
+    of 2^-R that need more than 53 significant bits, and SQL SUM order
+    is arbitrary. Python mirrors with float(S) / 2.0**R (float() first:
+    int/int true division rounds the exact rational, which can differ
+    from cast-then-divide by one ulp).
+
+    Null key or null ts drops (the dedup_events policy). Scale shape:
+    per-batch register partials — at most windows_in_batch x 2^p rows
+    regardless of batch size — one (win, b) Max merge, then a per-window
+    estimator over ≤ 2^p register rows via groupby(win).
+
+    Output: (win, n_estimate rounded-2, n_buckets_used).
+    """
+    import hashlib
+    import math
+
+    from ray.data.aggregate import Max
+
+    if isinstance(sf_dir_or_ds, str):
+        ds = ray.data.read_parquet(
+            f"{sf_dir_or_ds}/events.parquet", columns=[col, ts_col]
+        )
+    else:
+        ds = sf_dir_or_ds
+    window_us = int(window_seconds) * 1_000_000
+    m = 1 << p
+    w_bits = 64 - p
+    w_mask = (1 << w_bits) - 1
+    rho0 = w_bits + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(batch[col]), pc.is_valid(batch[ts_col]))
+        batch = batch.filter(mask)
+        ts_us = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
+        wins = pc.divide(ts_us, pa.scalar(window_us, pa.int64())).to_pylist()
+        regs: dict[tuple[int, int], int] = {}
+        for win, v in zip(wins, batch[col].to_pylist()):
+            h = int.from_bytes(
+                hashlib.md5(str(v).encode()).digest()[:8], "big"
+            )
+            b = h >> w_bits
+            w = h & w_mask
+            rho = rho0 if w == 0 else (w_bits - w.bit_length() + 1)
+            if rho > regs.get((win, b), 0):
+                regs[(win, b)] = rho
+        return pa.table(
+            {
+                "win": pa.array([k[0] for k in regs], pa.int64()),
+                "b": pa.array([k[1] for k in regs], pa.int32()),
+                "rho": pa.array(list(regs.values()), pa.int32()),
+            }
+        )
+
+    m_f = float(m)
+    alpha_mm = (0.7213 / (1.0 + 1.079 / m)) * m_f * m_f
+
+    def estimate(group: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for win, g in group.groupby("win"):
+            rhos = g["rho"].to_numpy()
+            n_used = len(rhos)
+            zeros = m - n_used
+            s_num = sum(1 << (rho0 - int(r)) for r in rhos) + (
+                zeros << rho0
+            )
+            harmonic = float(s_num) / 2.0**rho0
+            raw = alpha_mm / harmonic
+            if raw <= 2.5 * m and zeros > 0:
+                raw = m_f * math.log(m_f / zeros)
+            out.append(
+                {
+                    "win": int(win),
+                    "n_estimate": float(f"{raw:.2f}"),
+                    "n_buckets_used": n_used,
+                }
+            )
+        return pd.DataFrame(
+            out, columns=["win", "n_estimate", "n_buckets_used"]
+        )
+
+    from pdf_parser_ray.functions.tables import schema_pin
+
+    out_schema = pa.schema(
+        [
+            ("win", pa.int64()),
+            ("n_estimate", pa.float64()),
+            ("n_buckets_used", pa.int64()),
+        ]
+    )
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["win", "b"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .groupby("win")
+        .map_groups(estimate, batch_format="pandas")
+        .map_batches(schema_pin(out_schema), batch_format="pyarrow")
+    )

@@ -137,6 +137,7 @@ NULL_SENSITIVE = [
     "trending_terms",
     "funnel_conversion",
     "cohort_retention",
+    "windowed_distinct",
     "rrf_search",
     "quantize_embeddings",
     "semantic_dedup",

@@ -3212,3 +3212,55 @@ def test_cohort_retention_hand_computed(ray_session):
         [1, 0, 1],
         [1, 1, 1],
     ]
+
+
+def test_windowed_distinct_registers_and_accuracy(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+
+    from pdf_parser_ray.ops.streaming import windowed_distinct
+
+    DAY = 86_400_000_000
+    rows = []
+    # window 0: users 0..99 each twice (duplicates must not move registers)
+    for u in range(100):
+        rows += [
+            {"user_id": u, "ts": u * 1000},
+            {"user_id": u, "ts": u * 1000 + 1},
+        ]
+    # window 1: users 0..9
+    rows += [{"user_id": u, "ts": DAY + u} for u in range(10)]
+    # dropped: null user, null ts
+    rows += [{"user_id": None, "ts": 0}, {"user_id": 5, "ts": None}]
+    tbl = pa.Table.from_pylist(rows)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"),
+        "ts",
+        tbl["ts"].cast(pa.timestamp("us")),
+    )
+    out = (
+        windowed_distinct(
+            ray.data.from_arrow(tbl), col="user_id",
+            window_seconds=86400, p=10,
+        )
+        .to_pandas()
+        .sort_values("win")
+        .reset_index(drop=True)
+    )
+    assert out["win"].tolist() == [0, 1]
+    # independent recomputation of the register law per window
+    for win, users in ((0, range(100)), (1, range(10))):
+        regs = {}
+        for u in users:
+            h = int.from_bytes(
+                hashlib.md5(str(u).encode()).digest()[:8], "big"
+            )
+            b, w = h >> 54, h & ((1 << 54) - 1)
+            rho = 55 if w == 0 else 54 - w.bit_length() + 1
+            regs[b] = max(regs.get(b, 0), rho)
+        row = out[out["win"] == win].iloc[0]
+        assert row["n_buckets_used"] == len(regs)
+    # linear-counting regime at this cardinality: estimates land close
+    assert abs(out["n_estimate"][0] - 100) / 100 < 0.15
+    assert abs(out["n_estimate"][1] - 10) / 10 < 0.15
