@@ -2495,10 +2495,15 @@ def oracle_sql() -> dict[str, str]:
             "    MAX(CASE WHEN (hv & 4503599627370495::UBIGINT) = 0 THEN 53 "
             "         ELSE 53 - CAST(length(bin(hv & 4503599627370495::UBIGINT)) AS INT) END) AS rho "
             "  FROM h GROUP BY b"
-            "), agg AS (SELECT COUNT(*) AS n_used, SUM(pow(2.0, -rho)) AS s FROM regs), "
+            # EXACT-integer harmonic (the windowed_distinct law): one
+            # rounding at the DOUBLE cast, immune to SQL SUM order
+            "), agg AS (SELECT COUNT(*) AS n_used, "
+            "  SUM(1::BIGINT << (53 - rho)) AS s_num FROM regs), "
             "est AS ("
             "  SELECT n_used, "
-            "    (0.7213/(1.0 + 1.079/4096)) * 4096.0 * 4096.0 / (s + (4096 - n_used) * 1.0) AS raw, "
+            "    (0.7213/(1.0 + 1.079/4096)) * 4096.0 * 4096.0 / "
+            "      (CAST(s_num + CAST(4096 - n_used AS HUGEINT) * "
+            "        CAST(1::BIGINT << 53 AS HUGEINT) AS DOUBLE) / pow(2.0, 53)) AS raw, "
             "    4096 - n_used AS zeros"
             "  FROM agg"
             # printf = the op's float(f"{x:.2f}") decimal formatting exactly;

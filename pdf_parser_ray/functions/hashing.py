@@ -20,3 +20,18 @@ def md5_64(s: str) -> int:
 def md5_bucket(s: str, n_buckets: int) -> int:
     """Stable bucket id in [0, n_buckets)."""
     return md5_64(s) % n_buckets
+
+
+def hll_register(value, w_bits: int) -> tuple[int, int]:
+    """The ONE HyperLogLog register law (Flajolet et al. 2007), shared by
+    ops/relational.approx_distinct and ops/streaming.windowed_distinct:
+    md5-64 of str(value), top ``64 - w_bits`` bits pick the bucket, the
+    position of the leading 1 in the low ``w_bits`` gives rho (w == 0 ->
+    w_bits + 1). SQL equivalent (p = 64 - w_bits): ``hv >> w_bits`` and
+    ``CASE WHEN (hv & (2^w_bits - 1)) = 0 THEN w_bits + 1 ELSE w_bits -
+    length(bin(hv & ...)) + 1 END``."""
+    h = int.from_bytes(hashlib.md5(str(value).encode()).digest()[:8], "big")
+    b = h >> w_bits
+    w = h & ((1 << w_bits) - 1)
+    rho = (w_bits + 1) if w == 0 else (w_bits - w.bit_length() + 1)
+    return b, rho

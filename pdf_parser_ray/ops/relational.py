@@ -523,25 +523,32 @@ def approx_distinct(
     oracle reproduces the exact same estimate. Relative error ~1.04/sqrt(m)
     (~1.6% at p=12).
 
+    The harmonic term sums as an EXACT integer (each 2^-rho is
+    2^(rho0-rho)/2^rho0, so the sum is one int divided by 2^rho0 with ONE
+    rounding at the float cast; SQL: SUM(1::BIGINT << (rho0 - rho)) as
+    HUGEINT) — a float summation can round multiples of 2^-rho0 needing
+    more than 53 significant bits, and SQL SUM order is arbitrary. The
+    register law is the shared :func:`~pdf_parser_ray.functions.hashing.
+    hll_register` (ops/streaming.windowed_distinct is the per-window
+    sibling).
+
     Returns one row: (n_estimate: float rounded to 2, n_buckets_used)."""
-    import hashlib
     import math
 
     from ray.data.aggregate import Max
 
+    from pdf_parser_ray.functions.hashing import hll_register
+
     m = 1 << p
     w_bits = 64 - p
-    w_mask = (1 << w_bits) - 1
+    rho0 = w_bits + 1
 
     def partial(batch: pa.Table) -> pa.Table:
         regs: dict[int, int] = {}
         for v in batch[col].to_pylist():
             if v is None:
                 continue  # nulls excluded, matching COUNT(DISTINCT col)
-            h = int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
-            b = h >> w_bits
-            w = h & w_mask
-            rho = (w_bits + 1) if w == 0 else (w_bits - w.bit_length() + 1)
+            b, rho = hll_register(v, w_bits)
             if rho > regs.get(b, 0):
                 regs[b] = rho
         return pa.table(
@@ -560,10 +567,14 @@ def approx_distinct(
     rows = registers.take_all()  # <= 2^p rows — the sketch, not the data
     used = {int(r["b"]): int(r["rho"]) for r in rows}
     n_used = len(used)
-    harmonic = sum(2.0 ** -rho for rho in used.values()) + (m - n_used) * 1.0
+    zeros = m - n_used
+    s_num = sum(1 << (rho0 - rho) for rho in used.values()) + (zeros << rho0)
+    # float() FIRST, then the exact power-of-two division — int/int true
+    # division rounds the exact rational, which can differ by one ulp
+    # from SQL's cast-then-divide
+    harmonic = float(s_num) / 2.0**rho0
     alpha = 0.7213 / (1.0 + 1.079 / m)
     estimate = alpha * m * m / harmonic
-    zeros = m - n_used
     if estimate <= 2.5 * m and zeros > 0:
         estimate = m * math.log(m / zeros)
     return ray.data.from_items(

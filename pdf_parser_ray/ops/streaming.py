@@ -380,6 +380,21 @@ def dedup_events(
     )
 
 
+def _valid_window_rows(
+    batch: pa.Table, ts_col: str, key_col: str, window_us: int
+) -> "tuple[pa.Table, pa.Array]":
+    """The ONE windowed-op prologue (shared by every per-window partial
+    here): drop null key/ts, Arrow SAFE cast to microseconds
+    (sub-microsecond input raises rather than silently truncating — the
+    precision policy), truncating integer window division (pc.divide ==
+    DuckDB ``//``). Returns (filtered batch, window column)."""
+    mask = pc.and_(pc.is_valid(batch[key_col]), pc.is_valid(batch[ts_col]))
+    batch = batch.filter(mask)
+    ts_us = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
+    win = pc.divide(ts_us, pa.scalar(window_us, pa.int64()))
+    return batch, win
+
+
 def _windowed_count_partials(
     batch: pa.Table,
     ts_col: str,
@@ -389,16 +404,11 @@ def _windowed_count_partials(
 ) -> pa.Table:
     """The ONE per-batch windowed-count partial recipe, shared by
     :func:`event_rate_anomaly` (groups (key, win), buckets on key) and
-    :func:`trending_terms` (groups (win, key), buckets on win): drop
-    null key/ts, Arrow SAFE cast to microseconds (sub-microsecond input
-    raises rather than silently truncating — the precision policy),
-    truncating integer window division (pc.divide == DuckDB ``//``),
-    Arrow group_by count. ``lead_col`` picks the leading group column,
-    which is also the downstream shuffle-bucket column."""
-    mask = pc.and_(pc.is_valid(batch[key_col]), pc.is_valid(batch[ts_col]))
-    batch = batch.filter(mask)
-    ts_us = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
-    win = pc.divide(ts_us, pa.scalar(window_us, pa.int64()))
+    :func:`trending_terms` (groups (win, key), buckets on win):
+    the :func:`_valid_window_rows` prologue, then an Arrow group_by
+    count. ``lead_col`` picks the leading group column, which is also
+    the downstream shuffle-bucket column."""
+    batch, win = _valid_window_rows(batch, ts_col, key_col, window_us)
     cols = {key_col: batch[key_col], "win": win}
     order = [lead_col, "win" if lead_col == key_col else key_col]
     t = pa.table({c: cols[c] for c in order})
@@ -784,36 +794,30 @@ def windowed_distinct(
 
     Output: (win, n_estimate rounded-2, n_buckets_used).
     """
-    import hashlib
     import math
 
     from ray.data.aggregate import Max
+
+    from pdf_parser_ray.functions.hashing import hll_register
 
     if isinstance(sf_dir_or_ds, str):
         ds = ray.data.read_parquet(
             f"{sf_dir_or_ds}/events.parquet", columns=[col, ts_col]
         )
     else:
-        ds = sf_dir_or_ds
+        # project before the per-row register loop: a wide events table
+        # would otherwise copy every payload column through the filter
+        ds = sf_dir_or_ds.select_columns([col, ts_col])
     window_us = int(window_seconds) * 1_000_000
     m = 1 << p
     w_bits = 64 - p
-    w_mask = (1 << w_bits) - 1
     rho0 = w_bits + 1
 
     def partial(batch: pa.Table) -> pa.Table:
-        mask = pc.and_(pc.is_valid(batch[col]), pc.is_valid(batch[ts_col]))
-        batch = batch.filter(mask)
-        ts_us = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
-        wins = pc.divide(ts_us, pa.scalar(window_us, pa.int64())).to_pylist()
+        batch, win_col = _valid_window_rows(batch, ts_col, col, window_us)
         regs: dict[tuple[int, int], int] = {}
-        for win, v in zip(wins, batch[col].to_pylist()):
-            h = int.from_bytes(
-                hashlib.md5(str(v).encode()).digest()[:8], "big"
-            )
-            b = h >> w_bits
-            w = h & w_mask
-            rho = rho0 if w == 0 else (w_bits - w.bit_length() + 1)
+        for win, v in zip(win_col.to_pylist(), batch[col].to_pylist()):
+            b, rho = hll_register(v, w_bits)
             if rho > regs.get((win, b), 0):
                 regs[(win, b)] = rho
         return pa.table(
